@@ -1,0 +1,357 @@
+"""Aggregation compiler: Aggregation spec → Spark DataFrame plan + ANSI SQL.
+
+Implements the SQL semantics the reference declares for its (mocked)
+aggregation service (reference: raise_/analytics/analysis.py:30-92,
+raise_/PRD.md:954-993): metric whitelist, single-feature ``group_by``,
+trailing time ``window`` ("7d" → WHERE ts >= anchor - 7d), and ``rolling``
+aggregates over per-day buckets with an N-period ROWS frame.
+
+Design notes (scale posture):
+
+- The whole plan is declarative DataFrame ops → Catalyst does partial+final
+  hash aggregation, predicate pushdown of ``filter`` into the parquet scan,
+  and column pruning down to the referenced features.
+- The time-window anchor (max of the time column) is computed as a 1-row
+  aggregate cross-joined (broadcast) into the scan rather than collected to
+  the driver, so the plan stays lazy and cluster-side.
+- Rolling aggregation is two-stage: a distributed groupBy compresses raw rows
+  to (group, day) buckets first; the ordered window then runs over that tiny
+  bucketed relation (≤ groups × days rows), so the unpartitioned ORDER BY is
+  never a bottleneck. Rolling avg/stddev/variance recombine exactly from
+  per-bucket (n, Σx, Σx²) partials rather than averaging averages.
+- Double-typed metrics are rounded to ``round_to`` decimals so results are
+  bit-stable across engines/partitionings (parallel double summation is
+  order-dependent); counts and min/max stay exact.
+
+Both ``compile_aggregation`` (Spark) and ``aggregation_to_sql`` (ANSI SQL for
+the DuckDB oracle) derive from the same spec, so the differential test cannot
+drift from the implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.analytics.analysis import Aggregation, parse_duration_seconds
+
+DEFAULT_ROUND = 4
+
+# metrics whose result is a (rounded) double
+_DOUBLE_METRICS = {
+    "sum",
+    "avg",
+    "mean",
+    "stddev",
+    "variance",
+    "median",
+    "null_rate",
+}
+_PERCENTILE = {"p50": 0.5, "p75": 0.75, "p90": 0.9, "p95": 0.95, "p99": 0.99}
+_ROLLING_METRICS = {"count", "sum", "avg", "mean", "min", "max", "stddev", "variance"}
+
+
+def metric_alias(metric: str, feature: str) -> str:
+    safe = "".join(ch if ch.isalnum() else "_" for ch in feature)
+    return f"{metric}_{safe}"
+
+
+def _metric_column(metric: str, feature: str, round_to: int | None) -> Column:
+    c = F.col(feature)
+    d = c.cast("double")
+    if metric == "count":
+        out = F.count(c)
+    elif metric == "null_count":
+        out = F.sum(c.isNull().cast("long")).cast("long")
+    elif metric == "distinct_count":
+        out = F.countDistinct(c)
+    elif metric == "min":
+        out = F.min(c)
+    elif metric == "max":
+        out = F.max(c)
+    elif metric == "sum":
+        out = F.sum(d)
+    elif metric in ("avg", "mean"):
+        out = F.avg(d)
+    elif metric == "stddev":
+        out = F.stddev_samp(d)
+    elif metric == "variance":
+        out = F.var_samp(d)
+    elif metric == "median":
+        out = F.percentile(d, F.lit(0.5))
+    elif metric == "null_rate":
+        out = F.avg(c.isNull().cast("double"))
+    elif metric in _PERCENTILE:
+        out = F.percentile(d, F.lit(_PERCENTILE[metric]))
+    else:
+        raise ValueError(f"unsupported metric {metric!r}")
+    if round_to is not None and (metric in _DOUBLE_METRICS or metric in _PERCENTILE):
+        out = F.round(out, round_to)
+    return out.alias(metric_alias(metric, feature))
+
+
+def _metric_sql(metric: str, feature: str, round_to: int | None) -> str:
+    x = feature
+    d = f"CAST({x} AS DOUBLE)"
+    if metric == "count":
+        e = f"COUNT({x})"
+    elif metric == "null_count":
+        e = f"CAST(COALESCE(SUM(CASE WHEN {x} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    elif metric == "distinct_count":
+        e = f"COUNT(DISTINCT {x})"
+    elif metric == "min":
+        e = f"MIN({x})"
+    elif metric == "max":
+        e = f"MAX({x})"
+    elif metric == "sum":
+        e = f"SUM({d})"
+    elif metric in ("avg", "mean"):
+        e = f"AVG({d})"
+    elif metric == "stddev":
+        e = f"STDDEV_SAMP({d})"
+    elif metric == "variance":
+        e = f"VAR_SAMP({d})"
+    elif metric == "median":
+        e = f"QUANTILE_CONT({d}, 0.5)"
+    elif metric == "null_rate":
+        e = f"AVG(CASE WHEN {x} IS NULL THEN 1.0 ELSE 0.0 END)"
+    elif metric in _PERCENTILE:
+        e = f"QUANTILE_CONT({d}, {_PERCENTILE[metric]})"
+    else:
+        raise ValueError(f"unsupported metric {metric!r}")
+    if round_to is not None and (metric in _DOUBLE_METRICS or metric in _PERCENTILE):
+        e = f"ROUND({e}, {round_to})"
+    return f"{e} AS {metric_alias(metric, feature)}"
+
+
+def _null_count_fixup(metric: str, feature: str, col: Column) -> Column:
+    # SUM over an all-null group yields NULL; the semantic null_count of an
+    # empty/all-present group is 0.
+    if metric == "null_count":
+        return F.coalesce(col, F.lit(0).cast("long")).alias(metric_alias(metric, feature))
+    return col
+
+
+def compile_aggregation(
+    df: DataFrame, spec: Aggregation, round_to: int | None = DEFAULT_ROUND
+) -> DataFrame:
+    """Compile an Aggregation spec against ``df`` into a DataFrame plan."""
+    if spec.filter:
+        df = df.where(F.expr(spec.filter))
+
+    if spec.window:
+        if not spec.time_column:
+            raise ValueError("Aggregation.window requires time_column")
+        secs = parse_duration_seconds(spec.window)
+        anchor = df.agg(F.max(F.col(spec.time_column)).alias("__anchor__"))
+        df = df.join(F.broadcast(anchor)).where(
+            F.col(spec.time_column) >= F.col("__anchor__") - F.expr(f"INTERVAL {secs} SECOND")
+        ).drop("__anchor__")
+
+    if spec.rolling:
+        return _compile_rolling(df, spec, round_to)
+
+    # Percentile-family metrics (median, p50..p99) share ONE
+    # percentile(col, array(...)) aggregate per feature: N separate exact
+    # percentile aggregates each buffer the column independently (and
+    # interact catastrophically with distinct-aggregate Expand), measured
+    # ~60× slower than the fused array form at sf0.1.
+    pct_metrics = {
+        m: (_PERCENTILE[m] if m in _PERCENTILE else 0.5)
+        for m in spec.metrics
+        if m in _PERCENTILE or m == "median"
+    }
+    # distinct aggregates compile to an Expand; combined with percentile
+    # buffers that interaction measured ~40× slower, so distinct metrics get
+    # their own pass joined back on the (tiny) grouped result.
+    split_distinct = bool(pct_metrics) and "distinct_count" in spec.metrics
+
+    aggs: list[Column] = []
+    distinct_aggs: list[Column] = []
+    for feature in spec.features:
+        safe = "".join(ch if ch.isalnum() else "_" for ch in feature)
+        for metric in spec.metrics:
+            if metric in pct_metrics:
+                continue
+            col = _metric_column(metric, feature, round_to)
+            col = _null_count_fixup(metric, feature, col)
+            if split_distinct and metric == "distinct_count":
+                distinct_aggs.append(col)
+            else:
+                aggs.append(col)
+        if pct_metrics:
+            fracs = F.array(*[F.lit(p) for p in pct_metrics.values()])
+            aggs.append(
+                F.percentile(F.col(feature).cast("double"), fracs).alias(f"__pcts_{safe}")
+            )
+
+    grouped = df.groupBy(spec.group_by).agg(*aggs) if spec.group_by else df.agg(*aggs)
+    if distinct_aggs:
+        dg = df.groupBy(spec.group_by).agg(*distinct_aggs) if spec.group_by else df.agg(*distinct_aggs)
+        grouped = (
+            grouped.join(dg, on=spec.group_by, how="inner")
+            if spec.group_by
+            else grouped.crossJoin(dg)
+        )
+    if not pct_metrics:
+        return grouped
+
+    out: list[Column] = [F.col(spec.group_by)] if spec.group_by else []
+    for feature in spec.features:
+        safe = "".join(ch if ch.isalnum() else "_" for ch in feature)
+        for metric in spec.metrics:
+            if metric in pct_metrics:
+                idx = list(pct_metrics).index(metric) + 1  # element_at is 1-based
+                col = F.element_at(F.col(f"__pcts_{safe}"), idx)
+                if round_to is not None:
+                    col = F.round(col, round_to)
+                out.append(col.alias(metric_alias(metric, feature)))
+            else:
+                out.append(F.col(metric_alias(metric, feature)))
+    return grouped.select(*out)
+
+
+def aggregation_to_sql(
+    spec: Aggregation, table: str, round_to: int | None = DEFAULT_ROUND
+) -> str:
+    """Equivalent ANSI SQL (DuckDB-compatible) for the same spec."""
+    where = []
+    if spec.filter:
+        where.append(f"({spec.filter})")
+    if spec.window:
+        secs = parse_duration_seconds(spec.window)
+        where.append(
+            f"{spec.time_column} >= (SELECT MAX({spec.time_column}) FROM {table})"
+            f" - INTERVAL {secs} SECOND"
+        )
+    where_sql = (" WHERE " + " AND ".join(where)) if where else ""
+
+    if spec.rolling:
+        return _rolling_sql(spec, table, where_sql, round_to)
+
+    cols = [_metric_sql(m, ft, round_to) for ft in spec.features for m in spec.metrics]
+    if spec.group_by:
+        return (
+            f"SELECT {spec.group_by}, {', '.join(cols)} FROM {table}{where_sql} "
+            f"GROUP BY {spec.group_by}"
+        )
+    return f"SELECT {', '.join(cols)} FROM {table}{where_sql}"
+
+
+def _rolling_partials(feature: str) -> list[Column]:
+    c = F.col(feature)
+    d = c.cast("double")
+    s = "".join(ch if ch.isalnum() else "_" for ch in feature)
+    return [
+        F.count(c).alias(f"__n_{s}"),
+        F.sum(d).alias(f"__s_{s}"),
+        F.sum(d * d).alias(f"__ss_{s}"),
+        F.min(c).alias(f"__mn_{s}"),
+        F.max(c).alias(f"__mx_{s}"),
+    ]
+
+
+def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> DataFrame:
+    if not spec.time_column:
+        raise ValueError("rolling aggregation requires time_column")
+    bad = set(spec.metrics) - _ROLLING_METRICS
+    if bad:
+        raise ValueError(f"metrics {sorted(bad)} not supported in rolling mode")
+
+    # string (not DATE) so the value representation is identical across
+    # engines/clients: pandas renders Spark DATE as datetime.date but DuckDB
+    # DATE as Timestamp, which breaks value-hash comparison.
+    period = F.date_format(F.date_trunc("day", F.col(spec.time_column)), "yyyy-MM-dd").alias(
+        "period_start"
+    )
+    keys = [F.col(spec.group_by)] if spec.group_by else []
+    bucketed = df.groupBy(*keys, period).agg(
+        *[p for ft in spec.features for p in _rolling_partials(ft)]
+    )
+
+    w = (
+        Window.partitionBy(spec.group_by).orderBy("period_start")
+        if spec.group_by
+        else Window.orderBy("period_start")
+    ).rowsBetween(-(spec.periods - 1), 0)
+
+    out_cols: list[Column] = ([F.col(spec.group_by)] if spec.group_by else []) + [
+        F.col("period_start")
+    ]
+    for ft in spec.features:
+        s = "".join(ch if ch.isalnum() else "_" for ch in ft)
+        n = F.sum(F.col(f"__n_{s}")).over(w)
+        tot = F.sum(F.col(f"__s_{s}")).over(w)
+        ss = F.sum(F.col(f"__ss_{s}")).over(w)
+        for metric in spec.metrics:
+            alias = f"rolling_{metric_alias(metric, ft)}"
+            if metric == "count":
+                col = n.cast("long")
+            elif metric == "sum":
+                col = tot
+            elif metric in ("avg", "mean"):
+                col = tot / n
+            elif metric == "min":
+                col = F.min(F.col(f"__mn_{s}")).over(w)
+            elif metric == "max":
+                col = F.max(F.col(f"__mx_{s}")).over(w)
+            elif metric == "variance":
+                col = F.when(n > 1, (ss - tot * tot / n) / (n - 1))
+            elif metric == "stddev":
+                col = F.when(n > 1, F.sqrt((ss - tot * tot / n) / (n - 1)))
+            else:  # pragma: no cover
+                raise ValueError(metric)
+            if round_to is not None and metric not in ("count", "min", "max"):
+                col = F.round(col, round_to)
+            out_cols.append(col.alias(alias))
+    return bucketed.select(*out_cols)
+
+
+def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | None) -> str:
+    keys = f"{spec.group_by}, " if spec.group_by else ""
+    partials = []
+    for ft in spec.features:
+        s = "".join(ch if ch.isalnum() else "_" for ch in ft)
+        d = f"CAST({ft} AS DOUBLE)"
+        partials += [
+            f"COUNT({ft}) AS __n_{s}",
+            f"SUM({d}) AS __s_{s}",
+            f"SUM({d} * {d}) AS __ss_{s}",
+            f"MIN({ft}) AS __mn_{s}",
+            f"MAX({ft}) AS __mx_{s}",
+        ]
+    inner = (
+        f"SELECT {keys}STRFTIME(DATE_TRUNC('day', {spec.time_column}), '%Y-%m-%d') AS period_start, "
+        f"{', '.join(partials)} FROM {table}{where_sql} "
+        f"GROUP BY 1{', 2' if spec.group_by else ''}"
+    )
+    part = f"PARTITION BY {spec.group_by} " if spec.group_by else ""
+    frame = f"OVER ({part}ORDER BY period_start ROWS BETWEEN {spec.periods - 1} PRECEDING AND CURRENT ROW)"
+    outs = []
+    for ft in spec.features:
+        s = "".join(ch if ch.isalnum() else "_" for ch in ft)
+        n = f"SUM(__n_{s}) {frame}"
+        tot = f"SUM(__s_{s}) {frame}"
+        ss = f"SUM(__ss_{s}) {frame}"
+        for metric in spec.metrics:
+            alias = f"rolling_{metric_alias(metric, ft)}"
+            if metric == "count":
+                e = f"CAST({n} AS BIGINT)"
+            elif metric == "sum":
+                e = tot
+            elif metric in ("avg", "mean"):
+                e = f"({tot}) / ({n})"
+            elif metric == "min":
+                e = f"MIN(__mn_{s}) {frame}"
+            elif metric == "max":
+                e = f"MAX(__mx_{s}) {frame}"
+            elif metric == "variance":
+                e = f"CASE WHEN {n} > 1 THEN (({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1) END"
+            elif metric == "stddev":
+                e = f"CASE WHEN {n} > 1 THEN SQRT((({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1)) END"
+            else:  # pragma: no cover
+                raise ValueError(metric)
+            if round_to is not None and metric not in ("count", "min", "max"):
+                e = f"ROUND({e}, {round_to})"
+            outs.append(f"{e} AS {alias}")
+    return f"SELECT {keys}period_start, {', '.join(outs)} FROM ({inner}) __b"

@@ -1,0 +1,254 @@
+"""Typed analysis specifications.
+
+These dataclasses mirror the reference's analytics API surface
+(reference: raise_/analytics/analysis.py:30-470) — same metric whitelists,
+same fields, same validation errors — but here they are the *logical plan
+input* to a real Spark compiler rather than a mocked service call.
+
+Each spec is pure data; compilation to a DataFrame plan lives in the sibling
+modules (aggregation.py, distribution.py, correlation.py, ...). This keeps
+spec validation instant (no Spark session needed) and makes the spec
+hashable for the freshness-policied result cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+AGGREGATION_METRICS = frozenset(
+    {
+        "count",
+        "sum",
+        "avg",
+        "mean",
+        "min",
+        "max",
+        "stddev",
+        "variance",
+        "median",
+        "null_rate",
+        "null_count",
+        "distinct_count",
+        "p50",
+        "p75",
+        "p90",
+        "p95",
+        "p99",
+    }
+)
+
+DISTRIBUTION_METRICS = frozenset(
+    {"histogram", "percentiles", "quantiles", "cdf", "density", "skewness", "kurtosis"}
+)
+
+CORRELATION_METHODS = frozenset({"pearson", "spearman", "kendall"})
+
+STAT_TESTS = frozenset({"ttest", "welch", "mannwhitney", "chi2", "ks", "anova"})
+
+DRIFT_METRICS = frozenset({"psi", "kl_divergence", "js_divergence", "wasserstein", "ks_statistic"})
+
+QUALITY_CHECKS = frozenset(
+    {"completeness", "validity", "uniqueness", "freshness", "consistency", "outliers"}
+)
+
+_DURATION_RE = re.compile(r"^(\d+)\s*(s|m|h|d|w)$")
+
+_DURATION_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def parse_duration_seconds(spec: str) -> int:
+    """Parse the reference's duration grammar ``"7d" | "30m" | ...``.
+
+    (reference: raise_/analytics/freshness.py:69-93 — units s/m/h/d/w)
+    """
+    m = _DURATION_RE.match(spec.strip())
+    if not m:
+        raise ValueError(f"invalid duration: {spec!r} (expected e.g. '30s', '5m', '2h', '7d', '1w')")
+    return int(m.group(1)) * _DURATION_SECONDS[m.group(2)]
+
+
+class AnalysisSpecError(ValueError):
+    pass
+
+
+@dataclass
+class _Spec:
+    def to_dict(self) -> dict[str, Any]:
+        d = asdict(self)
+        d["__analysis__"] = type(self).__name__
+        return d
+
+    def cache_key(self) -> str:
+        """md5 of the sorted-JSON spec — the freshness cache key.
+
+        (reference: raise_/analytics/client.py:194-199)
+        """
+        return hashlib.md5(
+            json.dumps(self.to_dict(), sort_keys=True, default=str).encode()
+        ).hexdigest()
+
+
+@dataclass
+class Aggregation(_Spec):
+    """Grouped/windowed/rolling aggregate metrics over features.
+
+    (reference: raise_/analytics/analysis.py:30-92; SQL semantics
+    raise_/PRD.md:954-993)
+    """
+
+    features: list[str]
+    metrics: list[str]
+    group_by: str | None = None
+    window: str | None = None  # e.g. "7d" → WHERE ts >= anchor - 7d
+    filter: str | None = None  # SQL boolean expression
+    rolling: bool = False
+    periods: int = 7
+    time_column: str | None = None  # engine addition: which ts drives window/rolling
+
+    def __post_init__(self) -> None:
+        bad = set(self.metrics) - AGGREGATION_METRICS
+        if bad:
+            raise AnalysisSpecError(
+                f"unknown aggregation metrics {sorted(bad)}; allowed: {sorted(AGGREGATION_METRICS)}"
+            )
+        if not self.features:
+            raise AnalysisSpecError("Aggregation requires at least one feature")
+        if self.rolling and self.periods < 1:
+            raise AnalysisSpecError("rolling aggregation requires periods >= 1")
+        if self.window:
+            parse_duration_seconds(self.window)
+
+
+@dataclass
+class Distribution(_Spec):
+    """Histogram / percentile / moment analysis of one feature.
+
+    (reference: raise_/analytics/analysis.py:96-147; WIDTH_BUCKET semantics
+    raise_/PRD.md:997-1004)
+    """
+
+    feature: str
+    metrics: list[str] = field(default_factory=lambda: ["histogram"])
+    bins: int = 10
+    segment_by: str | None = None
+    sample_size: int | None = None
+    filter: str | None = None
+    percentiles: list[float] = field(default_factory=lambda: [0.25, 0.5, 0.75, 0.9, 0.99])
+
+    def __post_init__(self) -> None:
+        bad = set(self.metrics) - DISTRIBUTION_METRICS
+        if bad:
+            raise AnalysisSpecError(f"unknown distribution metrics {sorted(bad)}")
+        if self.bins < 1:
+            raise AnalysisSpecError("bins must be >= 1")
+
+
+@dataclass
+class Correlation(_Spec):
+    """N×N correlation matrix over numeric features.
+
+    (reference: raise_/analytics/analysis.py:152-195; semantics
+    raise_/PRD.md:1016-1028)
+    """
+
+    features: list[str]
+    method: str = "pearson"
+    sample_size: int | None = None
+    filter: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.method not in CORRELATION_METHODS:
+            raise AnalysisSpecError(f"unknown correlation method {self.method!r}")
+        if len(self.features) < 2:
+            raise AnalysisSpecError("Correlation requires >= 2 features")
+
+
+@dataclass
+class StatTest(_Spec):
+    """Two-sample / k-sample statistical test, control vs treatment via
+    ``segment_by``. (reference: raise_/analytics/analysis.py:250-306)
+    """
+
+    feature: str
+    test: str
+    segment_by: str
+    control: Any = None
+    treatment: Any = None
+    filter: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.test not in STAT_TESTS:
+            raise AnalysisSpecError(f"unknown stat test {self.test!r}; allowed {sorted(STAT_TESTS)}")
+
+
+@dataclass
+class VersionDiff(_Spec):
+    """Compare two versions of a feature: schema + distribution drift.
+
+    (reference: raise_/analytics/analysis.py:199-246; drift metrics
+    raise_/PRD.md:671-676)
+    """
+
+    feature: str
+    from_version: str
+    to_version: str
+    compare: list[str] = field(default_factory=lambda: ["schema", "distribution", "statistics"])
+    bins: int = 10
+
+
+@dataclass
+class Drift(_Spec):
+    """Baseline-vs-current distribution drift.
+
+    (reference: raise_/analytics/analysis.py:417-470, metrics :445-451)
+    """
+
+    feature: str
+    metrics: list[str] = field(default_factory=lambda: ["psi"])
+    bins: int = 10
+    baseline_filter: str | None = None
+    current_filter: str | None = None
+    threshold: float | None = None
+
+    def __post_init__(self) -> None:
+        bad = set(self.metrics) - DRIFT_METRICS
+        if bad:
+            raise AnalysisSpecError(f"unknown drift metrics {sorted(bad)}")
+
+
+@dataclass
+class RecordLookup(_Spec):
+    """Project + filter + order + limit + sample record retrieval.
+
+    (reference: raise_/analytics/analysis.py:309-362)
+    """
+
+    features: list[str] | None = None
+    filter: str | None = None
+    sample: int | None = None
+    order_by: str | None = None
+    descending: bool = False
+    limit: int = 100
+
+
+@dataclass
+class DataQuality(_Spec):
+    """Aggregate quality checks over a feature group.
+
+    (reference: raise_/analytics/analysis.py:366-414)
+    """
+
+    features: list[str]
+    checks: list[str] = field(default_factory=lambda: ["completeness"])
+    key_columns: list[str] | None = None
+    time_column: str | None = None
+    outlier_stddevs: float = 3.0
+
+    def __post_init__(self) -> None:
+        bad = set(self.checks) - QUALITY_CHECKS
+        if bad:
+            raise AnalysisSpecError(f"unknown quality checks {sorted(bad)}")

@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configs are what we would set on a real multi-executor cluster:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing).
+- Arrow on (fast toPandas / pandas_udf transfer).
+- Session timezone pinned to UTC so naive parquet timestamps have stable
+  wall-clock values across engines (the DuckDB oracle reads them naively).
+- ``spark.sql.shuffle.partitions`` sized to the core count locally; on a
+  cluster AQE coalescing makes the initial number less critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "raise-featurestore-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # testdata events.ts is TIMESTAMP(NANOS): Spark has no ns timestamp,
+        # so read as long and convert (see tables.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    return builder.getOrCreate()

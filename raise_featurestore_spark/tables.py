@@ -1,0 +1,63 @@
+"""Test-data table loading helpers.
+
+The driver generates TPC-H-ish parquet at ``/root/testdata/sf*/``:
+``region nation customer supplier part orders lineitem events documents
+embeddings``. We read each as a DataFrame and (optionally) register temp
+views so SQL transforms can reference them by name.
+
+At 100 TB these would be partitioned/clustered warehouse tables; reading
+parquet directly keeps Catalyst's parquet scan (predicate pushdown, column
+pruning, vectorized reader) on the fast path either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# columns stored as TIMESTAMP(NANOS) in the driver's parquet; Spark reads
+# them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to a
+# µs-precision timestamp with integer division (a double division would lose
+# precision at 2^60-scale nanos).
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = False
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

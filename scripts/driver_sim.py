@@ -1,0 +1,80 @@
+"""Simulate the driver's correctness gate: run every queries() entry at
+sf0.01 and compare with oracle_sql() via DuckDB — row count, sorted column
+names, and an order-insensitive value hash (floats rounded to 6 sig figs).
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                row.append("null" if pd.isna(v) else f"{v:.6g}")
+            elif v is None or (isinstance(v, float) and pd.isna(v)):
+                row.append("null")
+            else:
+                row.append(str(v))
+        rows.append("|".join(row))
+    rows.sort()
+    import hashlib
+
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(df), list(df.columns), h
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as em
+
+    from raise_featurestore_spark.session import get_spark
+
+    spark = get_spark("driver-sim")
+
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(path)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+
+    entry_df = em.entry(spark)
+    print(f"entry: rows={entry_df.count()} schema={entry_df.columns}")
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    ok = bad = 0
+    for name in sorted(qs):
+        spark_pd = qs[name](spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name}: ROWS-ONLY rows={len(spark_pd)}")
+            continue
+        want_pd = con.sql(oracles[name]).df()
+        g, w = canon(spark_pd), canon(want_pd)
+        status = "MATCH" if g == w else "MISMATCH"
+        if g == w:
+            ok += 1
+        else:
+            bad += 1
+        print(f"{name}: {status} spark(rows={g[0]}, hash={g[2][:8]}) oracle(rows={w[0]}, hash={w[2][:8]})")
+        if g != w:
+            print("  spark cols:", g[1])
+            print("  oracle cols:", w[1])
+    print(json.dumps({"match": ok, "mismatch": bad, "total": len(qs)}))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
