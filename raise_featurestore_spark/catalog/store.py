@@ -1,0 +1,420 @@
+"""FeatureStore client: catalog CRUD + Spark-bound feature groups.
+
+Re-implements the reference's entry-point client (reference:
+raise_/client.py:40-206 — context, CRUD with if_exists, search_features
+:502-552) and the bound feature-group surface (raise_/models/
+feature_group.py:103-214 create_feature, :346-352 version access, :393-439
+point lookup, :596-614 analyze).
+
+The metadata store is a JSON-persisted registry (the reference's is
+in-process dicts; its PRD targets PostgreSQL — either way it is
+metadata-plane, not a Spark concern). The data plane is one parquet
+directory per feature group under ``{root}/data/...``; derived features are
+virtual columns compiled at read time by the expression compiler.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.catalog.audit import AuditLog
+from raise_featurestore_spark.catalog.entities import Feature, FeatureGroupMeta, FeatureStatus
+from raise_featurestore_spark.catalog.lineage import FeatureRef, LineageGraph
+from raise_featurestore_spark.types import parse_dtype
+
+
+class CatalogError(ValueError):
+    pass
+
+
+class AlreadyExistsError(CatalogError):
+    pass
+
+
+class NotFoundError(CatalogError):
+    pass
+
+
+@dataclass
+class _Node:
+    """One namespace level (org / domain / project)."""
+
+    name: str
+    description: str = ""
+    children: dict[str, "_Node"] = field(default_factory=dict)
+    groups: dict[str, FeatureGroupMeta] = field(default_factory=dict)
+    created_at: float = field(default_factory=time.time)
+
+
+class FeatureStore:
+    """Catalog root + context holder (reference: client.py:40-161)."""
+
+    def __init__(self, path: str, org: str | None = None, domain: str | None = None,
+                 project: str | None = None):
+        self.path = path
+        self._orgs: dict[str, _Node] = {}
+        self.lineage = LineageGraph()
+        self.audit = AuditLog()
+        self._ctx = (org, domain, project)
+        os.makedirs(path, exist_ok=True)
+        self._load()
+
+    # -- context ------------------------------------------------------------
+
+    def with_context(self, org: str, domain: str | None = None, project: str | None = None
+                     ) -> "FeatureStore":
+        """Re-scoped view sharing the same registry (reference: client.py:137-161)."""
+        fs = FeatureStore.__new__(FeatureStore)
+        fs.path = self.path
+        fs._orgs = self._orgs
+        fs.lineage = self.lineage
+        fs.audit = self.audit
+        fs._ctx = (org, domain, project)
+        return fs
+
+    # -- namespace CRUD (if_exists: error|skip|update, reference: client.py:167-206)
+
+    def create_organization(self, name: str, description: str = "", if_exists: str = "error"):
+        return self._create(self._orgs, name, description, if_exists, "organization")
+
+    def create_domain(self, org: str, name: str, description: str = "", if_exists: str = "error"):
+        return self._create(self._org(org).children, name, description, if_exists, "domain")
+
+    def create_project(self, org: str, domain: str, name: str, description: str = "",
+                       if_exists: str = "error"):
+        node = self._org(org).children.get(domain)
+        if node is None:
+            raise NotFoundError(f"domain {org}/{domain} not found")
+        return self._create(node.children, name, description, if_exists, "project")
+
+    def _create(self, registry: dict, name: str, description: str, if_exists: str, kind: str):
+        if name in registry:
+            if if_exists == "error":
+                raise AlreadyExistsError(f"{kind} {name!r} already exists")
+            if if_exists == "skip":
+                return registry[name]
+            if if_exists == "update":
+                registry[name].description = description
+                return registry[name]
+            raise CatalogError(f"invalid if_exists {if_exists!r}")
+        registry[name] = _Node(name=name, description=description)
+        self.audit.log("catalog", f"create_{kind}", name)
+        self._save()
+        return registry[name]
+
+    def _org(self, name: str) -> _Node:
+        if name not in self._orgs:
+            raise NotFoundError(f"organization {name!r} not found")
+        return self._orgs[name]
+
+    def _project(self, org: str, domain: str, project: str) -> _Node:
+        d = self._org(org).children.get(domain)
+        if d is None:
+            raise NotFoundError(f"domain {org}/{domain} not found")
+        p = d.children.get(project)
+        if p is None:
+            raise NotFoundError(f"project {org}/{domain}/{project} not found")
+        return p
+
+    # -- feature groups -------------------------------------------------------
+
+    def create_feature_group(
+        self,
+        name: str,
+        entity_key: str,
+        entity_dtype: str = "int64",
+        description: str = "",
+        org: str | None = None,
+        domain: str | None = None,
+        project: str | None = None,
+        if_exists: str = "error",
+        storage_path: str | None = None,
+        tags: dict[str, str] | None = None,
+    ) -> "BoundFeatureGroup":
+        org, domain, project = self._resolve_ctx(org, domain, project)
+        node = self._project(org, domain, project)
+        if name in node.groups:
+            if if_exists == "error":
+                raise AlreadyExistsError(f"feature group {name!r} already exists")
+            if if_exists == "skip":
+                return self.get_feature_group(name, org=org, domain=domain, project=project)
+        meta = FeatureGroupMeta(
+            name=name,
+            entity_key=entity_key,
+            entity_dtype=parse_dtype(entity_dtype),
+            description=description,
+            tags=tags or {},
+            storage_path=storage_path
+            or os.path.join(self.path, "data", org, domain, project, name),
+        )
+        node.groups[name] = meta
+        self.audit.log("catalog", "create_feature_group", f"{org}/{domain}/{project}/{name}")
+        self._save()
+        return BoundFeatureGroup(self, org, domain, project, meta)
+
+    def get_feature_group(self, name: str, org: str | None = None, domain: str | None = None,
+                          project: str | None = None) -> "BoundFeatureGroup":
+        org, domain, project = self._resolve_ctx(org, domain, project)
+        node = self._project(org, domain, project)
+        if name not in node.groups:
+            raise NotFoundError(f"feature group {name!r} not found")
+        return BoundFeatureGroup(self, org, domain, project, node.groups[name])
+
+    def list_feature_groups(self, org: str | None = None, domain: str | None = None,
+                            project: str | None = None) -> list[str]:
+        org, domain, project = self._resolve_ctx(org, domain, project)
+        return sorted(self._project(org, domain, project).groups)
+
+    def _resolve_ctx(self, org, domain, project) -> tuple[str, str, str]:
+        org = org or self._ctx[0]
+        domain = domain or self._ctx[1]
+        project = project or self._ctx[2]
+        if not (org and domain and project):
+            raise CatalogError("no org/domain/project context; use with_context() or pass them")
+        return org, domain, project
+
+    # -- search (reference: client.py:502-552) --------------------------------
+
+    def search_features(self, query: str = "", dtype: str | None = None,
+                        tags: dict[str, str] | None = None, limit: int = 100) -> list[dict]:
+        out: list[dict] = []
+        q = query.lower()
+        for org_name, org in self._orgs.items():
+            for dom_name, dom in org.children.items():
+                for proj_name, proj in dom.children.items():
+                    for g in proj.groups.values():
+                        for versions in g.features.values():
+                            for f in versions:
+                                if q and q not in f.name.lower() and q not in f.description.lower():
+                                    continue
+                                if dtype and not _dtype_matches(str(f.dtype), dtype):
+                                    continue
+                                if tags and any(f.tags.get(k) != v for k, v in tags.items()):
+                                    continue
+                                out.append(
+                                    {
+                                        "qualified_name": f"{org_name}/{dom_name}/{proj_name}/"
+                                        f"{g.name}/{f.versioned_name}",
+                                        "dtype": str(f.dtype),
+                                        "description": f.description,
+                                        "tags": dict(f.tags),
+                                    }
+                                )
+                                if len(out) >= limit:
+                                    return out
+        return out
+
+    # -- persistence -----------------------------------------------------------
+
+    def _save(self) -> None:
+        def node_dict(n: _Node) -> dict:
+            return {
+                "name": n.name,
+                "description": n.description,
+                "children": {k: node_dict(v) for k, v in n.children.items()},
+                "groups": {k: g.to_dict() for k, g in n.groups.items()},
+            }
+
+        state = {
+            "orgs": {k: node_dict(v) for k, v in self._orgs.items()},
+            "lineage": {k: sorted(v) for k, v in self.lineage.upstream.items()},
+        }
+        with open(os.path.join(self.path, "catalog.json"), "w") as fh:
+            json.dump(state, fh, indent=1, default=str)
+
+    def _load(self) -> None:
+        p = os.path.join(self.path, "catalog.json")
+        if not os.path.exists(p):
+            return
+        with open(p) as fh:
+            state = json.load(fh)
+
+        def node_from(d: dict) -> _Node:
+            n = _Node(name=d["name"], description=d.get("description", ""))
+            n.children = {k: node_from(v) for k, v in d.get("children", {}).items()}
+            n.groups = {k: FeatureGroupMeta.from_dict(v) for k, v in d.get("groups", {}).items()}
+            return n
+
+        self._orgs = {k: node_from(v) for k, v in state.get("orgs", {}).items()}
+        self.lineage.upstream = {k: set(v) for k, v in state.get("lineage", {}).items()}
+
+
+def _dtype_matches(actual: str, pattern: str) -> bool:
+    """dtype wildcard match, e.g. ``float*`` or ``*[512]``."""
+    import fnmatch
+
+    return fnmatch.fnmatch(actual, pattern)
+
+
+class BoundFeatureGroup:
+    """A feature group bound to the store + a storage path; the Spark-aware
+    surface (read/write/get/analyze/create_feature)."""
+
+    def __init__(self, store: FeatureStore, org: str, domain: str, project: str,
+                 meta: FeatureGroupMeta):
+        self.store = store
+        self.org, self.domain, self.project = org, domain, project
+        self.meta = meta
+
+    # -- feature CRUD (reference: feature_group.py:103-214) -------------------
+
+    def create_feature(
+        self,
+        name: str,
+        dtype: str,
+        description: str = "",
+        derived_from: str | None = None,
+        nullable: bool = True,
+        default: Any = None,
+        tags: dict[str, str] | None = None,
+        if_exists: str = "error",
+        validation_level: str = "standard",
+    ) -> Feature:
+        existing = self.meta.features.get(name, [])
+        if existing and if_exists == "error":
+            raise AlreadyExistsError(f"feature {name!r} exists (v{existing[-1].version})")
+        if existing and if_exists == "skip":
+            return existing[-1]
+        # "update" (and any create on an existing name) = new immutable version
+        version = existing[-1].version + 1 if existing else 1
+
+        refs: list[FeatureRef] = []
+        if derived_from is not None:
+            from raise_featurestore_spark.expressions.validator import validate_expression
+
+            known = set(self.meta.features) | {self.meta.entity_key}
+            result = validate_expression(derived_from, known_features=known,
+                                         level=validation_level)
+            if not result.valid:
+                from raise_featurestore_spark.expressions.compiler import ExpressionError
+
+                raise ExpressionError(result)
+            refs = result.references
+
+        feature = Feature(
+            name=name,
+            dtype=parse_dtype(dtype),
+            version=version,
+            description=description,
+            derived_from=derived_from,
+            nullable=nullable,
+            default=default,
+            tags=tags or {},
+        )
+        qn = self.qualified_feature_name(feature)
+        if derived_from is not None:
+            ctx = FeatureRef(feature=name, group=self.meta.name, project=self.project,
+                             domain=self.domain, org=self.org)
+            dep_names = {r.qualified(ctx).split("@v")[0] for r in refs}
+            self.store.lineage.add(qn.split("@v")[0], dep_names)
+        self.meta.features.setdefault(name, []).append(feature)
+        self.store.audit.log("catalog", "create_feature", qn)
+        self.store._save()
+        return feature
+
+    def get_feature(self, name: str) -> Feature:
+        """``name`` or ``name@v2`` (reference: feature_group.py:346-352)."""
+        if "@v" in name:
+            base, _, v = name.partition("@v")
+            return self.meta.get_version(base, int(v))
+        return self.meta.latest(name)
+
+    def qualified_feature_name(self, f: Feature) -> str:
+        return f"{self.org}/{self.domain}/{self.project}/{self.meta.name}/{f.versioned_name}"
+
+    # -- data plane -------------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "append", key_columns: list[str] | None = None
+              ) -> None:
+        from raise_featurestore_spark.io.writer import write_feature_group
+
+        write_feature_group(df, self.meta.storage_path, mode=mode,
+                            key_columns=key_columns or [self.meta.entity_key])
+        self.store.audit.log("data", f"write_{mode}", self.meta.storage_path)
+
+    def read(self, spark: SparkSession, features: list[str] | None = None) -> DataFrame:
+        """Read the physical table and materialize requested derived/versioned
+        features as computed columns."""
+        df = spark.read.parquet(self.meta.storage_path)
+        want = features or [n for n in self.meta.features] or [
+            c for c in df.columns if c != self.meta.entity_key
+        ]
+        cols = [F.col(self.meta.entity_key)]
+        version_map = self._version_map()
+        for name in want:
+            if name == self.meta.entity_key:
+                continue
+            feat = self.get_feature(name) if name in self.meta.features or "@v" in name else None
+            if feat is None:
+                cols.append(F.col(name))
+            elif feat.is_derived:
+                from raise_featurestore_spark.expressions.compiler import compile_expression
+
+                df, col = compile_expression(
+                    df, feat.derived_from, resolver=self._resolver(spark),
+                    known_features=set(self.meta.features) | set(df.columns),
+                    version_map=version_map,
+                )
+                cols.append(col.alias(name))
+            else:
+                col = F.col(feat.physical_column)
+                if feat.default is not None:
+                    col = F.coalesce(col, F.lit(feat.default))
+                cols.append(col.alias(name))
+        return df.select(*cols)
+
+    def get(self, spark: SparkSession, entity_ids: list, features: list[str] | None = None
+            ) -> DataFrame:
+        """Entity point lookup (reference: feature_group.py:393-439)."""
+        from raise_featurestore_spark.analytics.record_lookup import point_lookup
+
+        return point_lookup(self.read(spark, features), self.meta.entity_key, entity_ids)
+
+    def analyze(self, spark: SparkSession, analysis, **kwargs) -> DataFrame:
+        """Run an Analysis spec against this group (reference:
+        feature_group.py:596-614 → analytics/client.py:46-79)."""
+        from raise_featurestore_spark.analytics.router import compile_analysis
+
+        return compile_analysis(self.read(spark), analysis, **kwargs)
+
+    # -- expression support ------------------------------------------------------
+
+    def _version_map(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for name, versions in self.meta.features.items():
+            for f in versions:
+                out[f"{name}@v{f.version}"] = f.physical_column
+            latest = self.meta.latest(name)
+            if not latest.is_derived:
+                out[name] = latest.physical_column
+        return out
+
+    def _resolver(self, spark: SparkSession):
+        """Cross-group reference resolver: ``group.feature`` joins the other
+        group's table on the shared entity key (SURVEY §2.3)."""
+
+        def resolve(ref: FeatureRef):
+            org = ref.org or self.org
+            domain = ref.domain or self.domain
+            project = ref.project or self.project
+            if ref.group is None:
+                # local versioned ref — same table
+                feat = self.get_feature(f"{ref.feature}@{ref.version}" if ref.version else ref.feature)
+                df = spark.read.parquet(self.meta.storage_path)
+                return df, self.meta.entity_key, self.meta.entity_key, feat.physical_column
+            other = self.store.get_feature_group(ref.group, org=org, domain=domain,
+                                                 project=project)
+            feat = other.get_feature(
+                f"{ref.feature}@{ref.version}" if ref.version else ref.feature
+            )
+            df = other.read(spark, [feat.name])
+            return df, self.meta.entity_key, other.meta.entity_key, feat.name
+
+        return resolve

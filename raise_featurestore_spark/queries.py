@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.aggregation import (
     aggregation_to_sql,
@@ -158,6 +159,133 @@ register(
     ),
     "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer "
     f"WHERE c_custkey IN ({', '.join(str(i) for i in _POINT_IDS)})",
+)
+
+
+# --------------------------------------------------------------------------
+# §2.9 Expression engine: derived features, hoisted aggregates, cross-group
+# joins, vector functions, window functions
+# --------------------------------------------------------------------------
+
+
+def _derived_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.expressions.compiler import compile_expression
+
+    df = load_table(spark, sf_dir, "customer")
+    df, col = compile_expression(
+        df,
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 "
+        "WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END",
+    )
+    return df.select("c_custkey", F.round(col, 4).alias("adj_balance"))
+
+
+register(
+    "expr_case_when",
+    _derived_case,
+    "SELECT c_custkey, ROUND(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 "
+    "WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END, 4) AS adj_balance FROM customer",
+)
+
+
+def _derived_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.expressions.compiler import compile_expression
+
+    df = load_table(spark, sf_dir, "customer")
+    df, col = compile_expression(df, "(c_acctbal - AVG(c_acctbal)) / STDDEV(c_acctbal)")
+    return df.select("c_custkey", F.round(col, 4).alias("acctbal_z"))
+
+
+register(
+    "expr_zscore_hoisted",
+    _derived_zscore,
+    "SELECT c_custkey, ROUND((c_acctbal - (SELECT AVG(c_acctbal) FROM customer)) / "
+    "(SELECT STDDEV_SAMP(c_acctbal) FROM customer), 4) AS acctbal_z FROM customer",
+)
+
+
+def _cross_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders-side derived feature referencing the customer group
+    (cross-group ref → broadcast entity-key join, SURVEY §2.3)."""
+    import tempfile
+
+    from raise_featurestore_spark.catalog.store import FeatureStore
+
+    fs = FeatureStore(tempfile.mkdtemp(prefix="fsq_")).with_context("org", "dom", "proj")
+    fs.create_organization("org", if_exists="skip")
+    fs.create_domain("org", "dom", if_exists="skip")
+    fs.create_project("org", "dom", "proj", if_exists="skip")
+    import os
+
+    cust = fs.create_feature_group(
+        "cust", entity_key="c_custkey",
+        storage_path=os.path.join(sf_dir, "customer.parquet"), if_exists="skip",
+    )
+    cust.create_feature("c_acctbal", "float64", if_exists="skip")
+    ords = fs.create_feature_group(
+        "ords", entity_key="o_custkey",
+        storage_path=os.path.join(sf_dir, "orders.parquet"), if_exists="skip",
+    )
+    ords.create_feature("o_totalprice", "float64", if_exists="skip")
+    ords.create_feature(
+        "price_vs_balance", "float64",
+        derived_from="o_totalprice / NULLIF(cust.c_acctbal, 0)", if_exists="skip",
+    )
+    out = ords.read(spark, ["o_totalprice", "price_vs_balance"])
+    return out.select(
+        F.col("o_custkey"),
+        F.col("o_totalprice"),
+        F.round("price_vs_balance", 4).alias("price_vs_balance"),
+    )
+
+
+register(
+    "expr_cross_group_join",
+    _cross_group_expr,
+    "SELECT o_custkey, o_totalprice, "
+    "ROUND(o_totalprice / NULLIF(c_acctbal, 0), 4) AS price_vs_balance "
+    "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
+)
+
+
+def _vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.functions import vector as V
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id",
+        F.round(V.norm("embedding"), 4).alias("l2_norm"),
+        F.round(V.dot("embedding", "embedding"), 4).alias("self_dot"),
+    )
+
+
+register(
+    "vector_norm_dot",
+    _vector_norms,
+    "SELECT vec_id, "
+    "ROUND(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 4)"
+    " AS l2_norm, "
+    "ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 4)"
+    " AS self_dot FROM embeddings",
+)
+
+
+def _window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.expressions.compiler import compile_expression
+
+    df = load_table(spark, sf_dir, "events")
+    df, col = compile_expression(
+        df, "value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)"
+    )
+    return df.select("event_id", "user_id", F.round(col, 4).alias("value_delta"))
+
+
+register(
+    "expr_window_lag",
+    _window_lag,
+    "SELECT event_id, user_id, "
+    "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS value_delta "
+    "FROM events",
 )
 
 

@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from raise_featurestore_spark.types import (
+    DTypeError,
+    FeatureType,
+    infer_result_type,
+    parse_dtype,
+    to_spark_type,
+)
+
+
+@pytest.mark.parametrize(
+    "spec,kind",
+    [
+        ("int64", "int64"),
+        ("float32", "float32"),
+        ("float64", "float64"),
+        ("bool", "bool"),
+        ("string", "string"),
+        ("bytes", "bytes"),
+        ("timestamp", "timestamp"),
+    ],
+)
+def test_scalars(spec, kind):
+    ft = parse_dtype(spec)
+    assert ft.kind == kind
+
+
+def test_string_bounded():
+    ft = parse_dtype("string[64]")
+    assert ft.kind == "string" and ft.max_length == 64
+    assert to_spark_type(ft) == T.StringType()
+
+
+def test_embedding():
+    ft = parse_dtype("float32[512]")
+    assert ft.kind == "embedding" and ft.dim == 512 and ft.element.kind == "float32"
+    assert to_spark_type(ft) == T.ArrayType(T.FloatType(), containsNull=False)
+    # float16 upcasts (Spark has no half type)
+    assert parse_dtype("float16[8]").element.kind == "float32"
+
+
+def test_arrays():
+    ft = parse_dtype("int64[]")
+    assert ft.kind == "array" and ft.element.kind == "int64" and ft.max_length is None
+    bounded = parse_dtype("string[:10]")
+    assert bounded.kind == "array" and bounded.max_length == 10
+    nested = parse_dtype("float64[][]")
+    assert nested.element.kind == "array"
+
+
+def test_struct():
+    ft = parse_dtype("struct<a: int64, b: struct<c: string, d: float32[4]>>")
+    assert ft.kind == "struct"
+    assert dict(ft.fields)["a"].kind == "int64"
+    inner = dict(ft.fields)["b"]
+    assert dict(inner.fields)["d"].kind == "embedding"
+
+
+def test_blob_ref():
+    ft = parse_dtype("blob_ref<image/png|image/jpeg>")
+    assert ft.kind == "blob_ref" and ft.content_types == ("image/png", "image/jpeg")
+    st = to_spark_type(ft)
+    assert isinstance(st, T.StructType) and "checksum" in st.fieldNames()
+
+
+@pytest.mark.parametrize("bad", ["", "intsixtyfour", "float32[", "struct<>", "struct<a>"])
+def test_bad_dtypes(bad):
+    with pytest.raises(DTypeError):
+        parse_dtype(bad)
+
+
+def test_round_trip_str():
+    for spec in ["int64", "string[10]", "float32[512]", "int64[]", "string[:5]",
+                 "struct<a: int64, b: string>", "blob_ref<image/png>"]:
+        assert str(parse_dtype(spec)) == spec
+
+
+def test_infer_result_type():
+    i, f32, f64 = parse_dtype("int64"), parse_dtype("float32"), parse_dtype("float64")
+    assert infer_result_type("+", i, f32).kind == "float32"
+    assert infer_result_type("*", f32, f64).kind == "float64"
+    assert infer_result_type("/", i, i).kind == "float64"  # division always float64
+    assert infer_result_type(">", i, f64).kind == "bool"
+    assert infer_result_type("||", parse_dtype("string"), parse_dtype("string")).kind == "string"
+    with pytest.raises(DTypeError):
+        infer_result_type("+", i, parse_dtype("string"))
