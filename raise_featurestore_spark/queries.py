@@ -19,7 +19,11 @@ from raise_featurestore_spark.analytics.aggregation import (
     aggregation_to_sql,
     compile_aggregation,
 )
-from raise_featurestore_spark.analytics.analysis import Aggregation, RecordLookup
+from raise_featurestore_spark.analytics.analysis import Aggregation, Distribution, RecordLookup
+from raise_featurestore_spark.analytics.distribution import (
+    compile_distribution,
+    distribution_to_sql,
+)
 from raise_featurestore_spark.analytics.record_lookup import (
     compile_record_lookup,
     point_lookup,
@@ -118,6 +122,57 @@ register_agg(
         filter="value > 10",
     ),
 )
+
+def register_dist(name: str, table: str, spec: Distribution) -> None:
+    register(
+        name,
+        lambda spark, sf_dir, t=table, s=spec: compile_distribution(load_table(spark, sf_dir, t), s),
+        distribution_to_sql(spec, table),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 Distribution: histogram / cdf / percentiles / moments
+# --------------------------------------------------------------------------
+
+register_dist(
+    "dist_histogram_price",
+    "orders",
+    Distribution(feature="o_totalprice", metrics=["histogram"], bins=20),
+)
+
+register_dist(
+    "dist_cdf_segmented",
+    "orders",
+    Distribution(
+        feature="o_totalprice",
+        metrics=["histogram", "cdf"],
+        bins=10,
+        segment_by="o_orderstatus",
+    ),
+)
+
+register_dist(
+    "dist_percentiles_by_segment",
+    "lineitem",
+    Distribution(
+        feature="l_extendedprice",
+        metrics=["percentiles"],
+        segment_by="l_returnflag",
+        percentiles=[0.25, 0.5, 0.75, 0.9, 0.99],
+    ),
+)
+
+register_dist(
+    "dist_moments",
+    "events",
+    Distribution(
+        feature="value",
+        metrics=["skewness", "kurtosis"],
+        filter="value IS NOT NULL",
+    ),
+)
+
 
 # --------------------------------------------------------------------------
 # §2.2 / §2.7 RecordLookup: project/filter/order/limit (top-k) + point lookup
