@@ -247,6 +247,10 @@ class DataQuality(_Spec):
     key_columns: list[str] | None = None
     time_column: str | None = None
     outlier_stddevs: float = 3.0
+    # engine addition: named cross-column predicates for the "consistency"
+    # check (the reference's ConsistencyCheck takes free-form rules,
+    # raise_/transforms/observability.py:240-279)
+    consistency_rules: dict[str, str] | None = None
 
     def __post_init__(self) -> None:
         bad = set(self.checks) - QUALITY_CHECKS

@@ -1,0 +1,160 @@
+"""Correlation compiler: N×N matrix in long form (feature_a, feature_b, corr).
+
+(reference: raise_/analytics/analysis.py:152-195; numpy/scipy semantics
+raise_/PRD.md:1016-1028)
+
+Scale design:
+- **pearson** is a single aggregate pass: all N(N-1)/2 pairwise ``corr(x,y)``
+  expressions in one ``agg`` → one scan, partial+final hash aggregation, no
+  shuffle of raw rows beyond the 1-row result. The long-form pivot runs on
+  that 1-row frame (driver-cheap ``stack``).
+- **spearman** = pearson over average ranks. Ranks need a global sort per
+  feature (``rank() OVER (ORDER BY x)``): exact ranks are a deliberate
+  single-partition cost, so at scale callers set ``sample_size`` (the spec
+  carries it for exactly this reason, reference analysis.py:176). Tie
+  handling is the standard average-rank: ``rank + (ties-1)/2``.
+- **kendall** (tau-b) has no distributed closed form; it runs on a bounded
+  sample via ``applyInPandas`` with an O(n²) numpy kernel (no scipy in the
+  runtime). Rows-only oracle check, as the driver contract allows.
+
+``correlation_to_sql`` emits the same pearson/spearman plan for DuckDB.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.analytics.analysis import Correlation
+
+DEFAULT_ROUND = 4
+KENDALL_MAX_SAMPLE = 5000
+
+
+def _pair_alias(i: int, j: int) -> str:
+    return f"__c_{i}_{j}"
+
+
+def _prepare(df: DataFrame, spec: Correlation, seed: int) -> DataFrame:
+    if spec.filter:
+        df = df.where(F.expr(spec.filter))
+    df = df.select(*spec.features).na.drop(subset=spec.features)
+    if spec.sample_size:
+        df = df.orderBy(F.rand(seed)).limit(spec.sample_size)
+    return df
+
+
+def _rank_cols(df: DataFrame, features: list[str]) -> DataFrame:
+    """Replace each feature with its average rank (spearman prep)."""
+    from pyspark.sql import Window
+
+    for ft in features:
+        r = F.rank().over(Window.orderBy(F.col(ft)))
+        ties = F.count(F.lit(1)).over(Window.partitionBy(F.col(ft)))
+        df = df.withColumn(ft, r + (ties - F.lit(1)) / F.lit(2.0))
+    return df
+
+
+def compile_correlation(
+    df: DataFrame, spec: Correlation, round_to: int | None = DEFAULT_ROUND, seed: int = 42
+) -> DataFrame:
+    df = _prepare(df, spec, seed)
+    feats = spec.features
+
+    if spec.method == "kendall":
+        return _kendall(df, feats, round_to)
+
+    if spec.method == "spearman":
+        df = _rank_cols(df, feats)
+
+    pairs = list(combinations(range(len(feats)), 2))
+    aggs = [
+        F.corr(F.col(feats[i]).cast("double"), F.col(feats[j]).cast("double")).alias(
+            _pair_alias(i, j)
+        )
+        for i, j in pairs
+    ]
+    one_row = df.agg(*aggs)
+
+    # long-form pivot over the 1-row aggregate (diagonal = 1.0 by definition)
+    stack_items = [f"'{ft}', '{ft}', CAST(1.0 AS DOUBLE)" for ft in feats] + [
+        f"'{feats[i]}', '{feats[j]}', {_pair_alias(i, j)}" for i, j in pairs
+    ]
+    n = len(stack_items)
+    out = one_row.selectExpr(
+        f"stack({n}, {', '.join(stack_items)}) AS (feature_a, feature_b, corr)"
+    )
+    if round_to is not None:
+        out = out.withColumn("corr", F.round("corr", round_to))
+    return out
+
+
+def correlation_to_sql(
+    spec: Correlation, table: str, round_to: int | None = DEFAULT_ROUND
+) -> str:
+    """DuckDB SQL for pearson/spearman (kendall is rows-only checked)."""
+    if spec.method == "kendall":
+        raise ValueError("kendall has no SQL oracle")
+    feats = spec.features
+    where = f" WHERE {spec.filter}" if spec.filter else ""
+    notnull = " AND ".join(f"{ft} IS NOT NULL" for ft in feats)
+    where = f"{where} AND {notnull}" if where else f" WHERE {notnull}"
+
+    if spec.method == "spearman":
+        ranked = ", ".join(
+            f"RANK() OVER (ORDER BY {ft}) + (COUNT(*) OVER (PARTITION BY {ft}) - 1) / 2.0 AS {ft}"
+            for ft in feats
+        )
+        src = f"(SELECT {ranked} FROM {table}{where}) __r"
+    else:
+        src = f"(SELECT {', '.join(feats)} FROM {table}{where}) __r"
+
+    pairs = list(combinations(range(len(feats)), 2))
+    sels = [
+        f"SELECT '{ft}' AS feature_a, '{ft}' AS feature_b, 1.0 AS corr FROM (SELECT 1) __d"
+        for ft in feats
+    ] + [
+        f"SELECT '{feats[i]}', '{feats[j]}', "
+        f"ROUND(CORR(CAST({feats[i]} AS DOUBLE), CAST({feats[j]} AS DOUBLE)), {round_to}) "
+        f"FROM {src}"
+        for i, j in pairs
+    ]
+    return " UNION ALL ".join(sels)
+
+
+def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame:
+    """Kendall tau-b on a bounded sample via applyInPandas (numpy kernel)."""
+    import pandas as pd
+
+    df = df.limit(KENDALL_MAX_SAMPLE)
+    schema = "feature_a string, feature_b string, corr double"
+
+    def tau_matrix(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for a in feats:
+            rows.append((a, a, 1.0))
+        for i, j in combinations(range(len(feats)), 2):
+            x = pdf[feats[i]].to_numpy(dtype=float)
+            y = pdf[feats[j]].to_numpy(dtype=float)
+            sx = np.sign(x[:, None] - x[None, :])
+            sy = np.sign(y[:, None] - y[None, :])
+            iu = np.triu_indices(len(x), k=1)
+            sx, sy = sx[iu], sy[iu]
+            concordant_minus_discordant = float(np.sum(sx * sy))
+            tx = float(np.sum(sx != 0))
+            ty = float(np.sum(sy != 0))
+            denom = np.sqrt(tx * ty)
+            tau = concordant_minus_discordant / denom if denom > 0 else float("nan")
+            r = round(tau, round_to) if round_to is not None else tau
+            rows.append((feats[i], feats[j], r))
+        return pd.DataFrame(rows, columns=["feature_a", "feature_b", "corr"])
+
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: tau_matrix(pdf.drop(columns="__g")), schema)
+    )

@@ -19,11 +19,29 @@ from raise_featurestore_spark.analytics.aggregation import (
     aggregation_to_sql,
     compile_aggregation,
 )
-from raise_featurestore_spark.analytics.analysis import Aggregation, Distribution, RecordLookup
+from raise_featurestore_spark.analytics.analysis import (
+    Aggregation,
+    Correlation,
+    DataQuality,
+    Distribution,
+    Drift,
+    RecordLookup,
+    StatTest,
+)
+from raise_featurestore_spark.analytics.correlation import (
+    compile_correlation,
+    correlation_to_sql,
+)
 from raise_featurestore_spark.analytics.distribution import (
     compile_distribution,
     distribution_to_sql,
 )
+from raise_featurestore_spark.analytics.drift import compile_drift, drift_to_sql
+from raise_featurestore_spark.analytics.quality import (
+    compile_data_quality,
+    data_quality_to_sql,
+)
+from raise_featurestore_spark.analytics.stattest import compile_stattest, stattest_to_sql
 from raise_featurestore_spark.analytics.record_lookup import (
     compile_record_lookup,
     point_lookup,
@@ -171,6 +189,113 @@ register_dist(
         metrics=["skewness", "kurtosis"],
         filter="value IS NOT NULL",
     ),
+)
+
+
+# --------------------------------------------------------------------------
+# §2.5 Correlation / StatTest / Drift / DataQuality
+# --------------------------------------------------------------------------
+
+_CORR_P = Correlation(features=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+register(
+    "corr_pearson_matrix",
+    lambda spark, sf_dir: compile_correlation(load_table(spark, sf_dir, "lineitem"), _CORR_P),
+    correlation_to_sql(_CORR_P, "lineitem"),
+)
+
+_CORR_S = Correlation(features=["value", "user_id"], method="spearman")
+register(
+    "corr_spearman",
+    lambda spark, sf_dir: compile_correlation(load_table(spark, sf_dir, "events"), _CORR_S),
+    correlation_to_sql(_CORR_S, "events"),
+)
+
+_CORR_K = Correlation(features=["value", "user_id"], method="kendall", sample_size=2000)
+register(  # no SQL oracle: kendall tau-b (rows-only check per driver contract)
+    "corr_kendall_sampled",
+    lambda spark, sf_dir: compile_correlation(load_table(spark, sf_dir, "events"), _CORR_K),
+)
+
+
+def register_stattest(name: str, table: str, spec: StatTest) -> None:
+    # statistic columns are oracle-checked; p_value comes from our own
+    # special-function lib (no DuckDB equivalent) → separate rows-only entry
+    register(
+        name,
+        lambda spark, sf_dir, t=table, s=spec: compile_stattest(
+            load_table(spark, sf_dir, t), s, include_p=False
+        ),
+        stattest_to_sql(spec, table),
+    )
+
+
+register_stattest(
+    "stattest_ttest",
+    "events",
+    StatTest(feature="value", test="ttest", segment_by="event_type",
+             control="view", treatment="purchase"),
+)
+register_stattest(
+    "stattest_welch",
+    "events",
+    StatTest(feature="value", test="welch", segment_by="event_type",
+             control="click", treatment="purchase"),
+)
+register_stattest(
+    "stattest_anova",
+    "events",
+    StatTest(feature="value", test="anova", segment_by="event_type"),
+)
+register_stattest(
+    "stattest_chi2",
+    "orders",
+    StatTest(feature="o_orderpriority", test="chi2", segment_by="o_orderstatus"),
+)
+register_stattest(
+    "stattest_mannwhitney",
+    "events",
+    StatTest(feature="value", test="mannwhitney", segment_by="event_type",
+             control="view", treatment="error"),
+)
+register_stattest(
+    "stattest_ks",
+    "events",
+    StatTest(feature="value", test="ks", segment_by="event_type",
+             control="view", treatment="purchase"),
+)
+
+_WELCH_P = StatTest(feature="value", test="welch", segment_by="event_type",
+                    control="view", treatment="purchase")
+register(  # rows-only: exercises the p-value path end-to-end
+    "stattest_welch_pvalue",
+    lambda spark, sf_dir: compile_stattest(load_table(spark, sf_dir, "events"), _WELCH_P),
+)
+
+_DRIFT = Drift(
+    feature="o_totalprice",
+    metrics=["psi", "kl_divergence", "js_divergence", "wasserstein", "ks_statistic"],
+    bins=20,
+    baseline_filter="o_orderstatus = 'F'",
+    current_filter="o_orderstatus = 'O'",
+    threshold=0.1,
+)
+register(
+    "drift_order_status",
+    lambda spark, sf_dir: compile_drift(load_table(spark, sf_dir, "orders"), _DRIFT),
+    drift_to_sql(_DRIFT, "orders"),
+)
+
+_QUALITY = DataQuality(
+    features=["o_totalprice", "o_custkey"],
+    checks=["completeness", "validity", "uniqueness", "outliers", "freshness", "consistency"],
+    key_columns=["o_orderkey"],
+    time_column="o_orderdate",
+    consistency_rules={"positive_price": "o_totalprice > 0"},
+)
+register(
+    "quality_orders",
+    lambda spark, sf_dir: compile_data_quality(load_table(spark, sf_dir, "orders"), _QUALITY),
+    data_quality_to_sql(_QUALITY, "orders"),
 )
 
 

@@ -1,0 +1,129 @@
+"""Unit tests for the pure-Python special-function library and the
+statistical operators' numeric behavior (values cross-checked against
+published tables / scipy outputs computed offline)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from raise_featurestore_spark.functions import special as S
+
+
+class TestSpecialFunctions:
+    def test_norm_sf(self):
+        assert S.norm_sf(0.0) == pytest.approx(0.5)
+        assert S.norm_sf(1.959963985) == pytest.approx(0.025, rel=1e-6)
+        assert S.norm_sf(-1.959963985) == pytest.approx(0.975, rel=1e-6)
+
+    def test_t_sf(self):
+        # t-table: P(T > 2.228) = 0.025 at df=10
+        assert S.t_sf(2.228, 10) == pytest.approx(0.025, rel=1e-3)
+        # symmetric
+        assert S.t_sf(-2.228, 10) == pytest.approx(0.975, rel=1e-3)
+        # large df → normal
+        assert S.t_sf(1.96, 1e6) == pytest.approx(S.norm_sf(1.96), rel=1e-3)
+        assert S.t_sf_two_sided(2.228, 10) == pytest.approx(0.05, rel=1e-3)
+
+    def test_f_sf(self):
+        # F-table: P(F > 3.326) = 0.05 at (3, 10) -> critical value 3.7083
+        assert S.f_sf(3.7083, 3, 10) == pytest.approx(0.05, rel=1e-3)
+        assert S.f_sf(0.0, 3, 10) == pytest.approx(1.0)
+
+    def test_chi2_sf(self):
+        # chi2-table: critical value 3.841 at df=1, p=0.05
+        assert S.chi2_sf(3.841459, 1) == pytest.approx(0.05, rel=1e-4)
+        # df=4, critical 9.488
+        assert S.chi2_sf(9.487729, 4) == pytest.approx(0.05, rel=1e-4)
+        assert S.chi2_sf(0.0, 4) == pytest.approx(1.0)
+
+    def test_betainc_bounds(self):
+        assert S.betainc_reg(2, 3, 0.0) == 0.0
+        assert S.betainc_reg(2, 3, 1.0) == 1.0
+        # I_0.5(2,2) = 0.5 by symmetry
+        assert S.betainc_reg(2, 2, 0.5) == pytest.approx(0.5, rel=1e-10)
+
+    def test_gammainc_bounds(self):
+        assert S.gammainc_upper_reg(2.0, 0.0) == 1.0
+        # Q(1, x) = exp(-x)
+        assert S.gammainc_upper_reg(1.0, 2.0) == pytest.approx(math.exp(-2.0), rel=1e-10)
+
+    def test_ks_sf(self):
+        assert S.ks_sf(0.0, 100) == 1.0
+        # large D → tiny p
+        assert S.ks_sf(0.5, 1000) < 1e-10
+        # Q_KS(1.36) ≈ 0.049 → D = 1.36/sqrt(n) at the 5% level
+        n = 10000.0
+        d = 1.358 / (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n))
+        assert S.ks_sf(d, n) == pytest.approx(0.05, rel=0.02)
+
+
+class TestStatTestNumerics:
+    """End-to-end: known small samples through the Spark compilers."""
+
+    def test_welch_known_values(self, spark):
+        import pandas as pd
+
+        from raise_featurestore_spark.analytics.analysis import StatTest
+        from raise_featurestore_spark.analytics.stattest import compile_stattest
+
+        # ground truth by hand: t = 2.581989, df = 5.5385; p two-sided
+        # = 0.0448159 (independent numerical integration of the t pdf)
+        a = [1.0, 2.0, 3.0, 4.0, 5.0]
+        b = [0.0, 1.0, 1.0, 2.0, 1.0]
+        pdf = pd.DataFrame(
+            {"x": a + b, "g": ["a"] * 5 + ["b"] * 5}
+        )
+        df = spark.createDataFrame(pdf)
+        spec = StatTest(feature="x", test="welch", segment_by="g", control="a", treatment="b")
+        row = compile_stattest(df, spec, round_to=6).collect()[0]
+        assert row["statistic"] == pytest.approx(2.581989, rel=1e-4)
+        assert row["df"] == pytest.approx(5.538462, rel=1e-4)
+        assert row["p_value"] == pytest.approx(0.0448159, rel=1e-3)
+
+    def test_chi2_2x2(self, spark):
+        import pandas as pd
+
+        from raise_featurestore_spark.analytics.analysis import StatTest
+        from raise_featurestore_spark.analytics.stattest import compile_stattest
+
+        # classic 2x2: [[10, 20], [20, 10]] → chi2 = 6.6667 (no Yates), p = 0.00982
+        rows = (
+            [("x1", "s1")] * 10 + [("x1", "s2")] * 20 + [("x2", "s1")] * 20 + [("x2", "s2")] * 10
+        )
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["f", "s"]))
+        spec = StatTest(feature="f", test="chi2", segment_by="s")
+        row = compile_stattest(df, spec, round_to=6).collect()[0]
+        assert row["statistic"] == pytest.approx(6.6667, rel=1e-3)
+        assert row["p_value"] == pytest.approx(0.009823, rel=1e-2)
+
+    def test_kendall_perfect_orders(self, spark):
+        import pandas as pd
+
+        from raise_featurestore_spark.analytics.analysis import Correlation
+        from raise_featurestore_spark.analytics.correlation import compile_correlation
+
+        pdf = pd.DataFrame({"a": [1.0, 2, 3, 4, 5], "b": [2.0, 4, 6, 8, 10],
+                            "c": [5.0, 4, 3, 2, 1]})
+        df = spark.createDataFrame(pdf)
+        out = compile_correlation(df, Correlation(features=["a", "b", "c"], method="kendall"))
+        got = {(r["feature_a"], r["feature_b"]): r["corr"] for r in out.collect()}
+        assert got[("a", "b")] == pytest.approx(1.0)
+        assert got[("a", "c")] == pytest.approx(-1.0)
+        assert got[("a", "a")] == pytest.approx(1.0)
+
+    def test_drift_identical_is_zero(self, spark):
+        import pandas as pd
+
+        from raise_featurestore_spark.analytics.analysis import Drift
+        from raise_featurestore_spark.analytics.drift import compile_drift
+
+        pdf = pd.DataFrame({"x": list(range(100)) * 2, "side": ["b"] * 100 + ["c"] * 100})
+        df = spark.createDataFrame(pdf)
+        spec = Drift(feature="x", metrics=["psi", "kl_divergence", "js_divergence",
+                                           "wasserstein", "ks_statistic"],
+                     baseline_filter="side = 'b'", current_filter="side = 'c'")
+        row = compile_drift(df, spec).collect()[0]
+        for m in spec.metrics:
+            assert row[m] == pytest.approx(0.0, abs=1e-9), m
