@@ -1,0 +1,410 @@
+"""Deduplication operators over a (doc_id, text) corpus.
+
+Five strategies, cheapest-first, all deterministic and (except where noted)
+oracle-checkable against DuckDB running the SAME plan:
+
+- **exact**        : md5-groupBy; one shuffle of (hash → id).
+- **ngram jaccard**: inverted-index self-join on character shingles with a
+  document-frequency cap — the classic all-pairs-similarity plan that
+  avoids O(n²) by only pairing docs sharing a (rare) shingle.
+- **minhash + LSH**: k seeded min-hashes per doc (one explode + one groupBy),
+  banded into (band, band-hash) buckets; candidate pairs join only within
+  buckets. The scale path for corpora where even the shingle join is too hot.
+- **simhash**      : 32-bit sign-of-weighted-sums fingerprint; near-dup =
+  hamming ≤ radius among pairs sharing one of four 8-bit bands.
+- **embedding cosine** near-dup lives in similarity.py (same banding trick
+  with random-hyperplane signs).
+
+Scale notes:
+- Shingling multiplies rows by ~|text|; the df-cap (`max_df`) both bounds
+  skew (a stop-shingle appearing in every doc would square the join) and
+  cuts output volume. At 100 TB, raise `ngram_n` and cap `max_df` low.
+- Every join here is an equi-join on a hash/band key → hash-partitioned
+  shuffle, AQE-coalesced; no broadcast needed since both sides are big.
+- All hashes derive from the shared md5-based h32 (see hashing.py), so the
+  DuckDB oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.dataprep import hashing as H
+
+DEFAULT_NGRAM = 5
+DEFAULT_MAX_DF = 100
+DEFAULT_MINHASH_K = 16
+DEFAULT_BANDS = 4
+
+
+def _norm_text(c: Column) -> Column:
+    return F.lower(F.trim(c))
+
+
+def _norm_text_sql(e: str) -> str:
+    return f"LOWER(TRIM({e}))"
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", only_dups: bool = True
+) -> DataFrame:
+    """Group identical (normalized) texts: keeper = min id, plus dup count.
+
+    ``only_dups=False`` returns the full keeper table (the thing you'd
+    anti-join the corpus against to drop duplicates)."""
+    h = F.md5(_norm_text(F.col(text_col)).cast("binary")).alias("content_hash")
+    out = (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return out.where(F.col("n_docs") > 1) if only_dups else out
+
+
+def exact_duplicates_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", only_dups: bool = True
+) -> str:
+    having = " HAVING COUNT(*) > 1" if only_dups else ""
+    return (
+        f"SELECT md5({_norm_text_sql(text_col)}) AS content_hash, "
+        f"MIN({id_col}) AS keeper_id, COUNT(*) AS n_docs "
+        f"FROM {table} GROUP BY 1{having}"
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """(id, shingle-hash) pairs — distinct character n-grams per doc."""
+    t = _norm_text(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
+        lambda i: F.substring(t, F.lit(1) + i, n),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    ).select("id", H.h32(F.col("shingle")).alias("sh"))
+
+
+def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
+    t = _norm_text_sql(text_col)
+    return (
+        f"SELECT {id_col} AS id, {H.h32_sql('shingle')} AS sh FROM ("
+        f"SELECT {id_col}, UNNEST(list_distinct(list_transform("
+        f"range(0, GREATEST(length({t}) - {n}, 0) + 1), "
+        f"i -> substr({t}, i + 1, {n})))) AS shingle FROM {table}) __sh"
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.6,
+    max_df: int = DEFAULT_MAX_DF,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: docs pair up only through shared shingles (with
+    document frequency ≤ max_df), so complexity is Σ df(s)² over rare
+    shingles, not |docs|².
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")).where(F.col("__df") <= max_df)
+    rare = sh.join(df_cap.select("sh"), "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), round_to
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def jaccard_pairs_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.6,
+    max_df: int = DEFAULT_MAX_DF,
+    round_to: int = 4,
+) -> str:
+    sh = _shingles_sql(table, id_col, text_col, n)
+    return (
+        f"WITH __sh AS ({sh}), "
+        f"__rare AS (SELECT sh FROM __sh GROUP BY sh HAVING COUNT(*) <= {max_df}), "
+        f"__r AS (SELECT __sh.id, __sh.sh FROM __sh JOIN __rare USING (sh)), "
+        f"__sz AS (SELECT id, COUNT(*) AS sz FROM __sh GROUP BY id), "
+        f"__i AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter "
+        f"FROM __r a JOIN __r b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2) "
+        f"SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {round_to}) "
+        f"AS jaccard FROM __i "
+        f"JOIN __sz sa ON sa.id = id_a JOIN __sz sb ON sb.id = id_b "
+        f"WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASH_K,
+    seed: int = 7,
+) -> DataFrame:
+    """One row per doc: columns mh_0..mh_{k-1} (k seeded min-hashes).
+
+    Single explode + single groupBy: all k min() aggregates run in the same
+    partial+final hash aggregation over the shingle stream.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    coeffs = H.seeded_coeffs(k, seed)
+    aggs = [
+        F.min(H.affine(F.col("sh"), a, b)).alias(f"mh_{i}") for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASH_K,
+    seed: int = 7,
+) -> str:
+    sh = _shingles_sql(table, id_col, text_col, n)
+    coeffs = H.seeded_coeffs(k, seed)
+    cols = ", ".join(
+        f"MIN({H.affine_sql('sh', a, b)}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    return f"SELECT id, {cols} FROM ({sh}) __s GROUP BY id"
+
+
+def _band_hash(sig_cols: list[Column]) -> Column:
+    return F.md5(F.concat_ws(":", *[c.cast("string") for c in sig_cols]))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 7,
+    min_est: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH, scored by the
+    fraction of matching signature components (the minhash estimate of
+    Jaccard), filtered to ≥ min_est."""
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k, seed)
+    bands_df = sig.select(
+        "id",
+        *[F.col(f"mh_{i}") for i in range(k)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        _band_hash([F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("id", *[f"mh_{i}" for i in range(k)], "__b.band", "__b.bh")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    matches = sum(
+        (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int") for i in range(k)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (matches / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.first("est_jaccard"), round_to).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est)
+    )
+    return pairs
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 7,
+    min_est: float = 0.5,
+    round_to: int = 4,
+) -> str:
+    r = k // bands
+    sig = minhash_signatures_sql(table, id_col, text_col, n, k, seed)
+    sep = " || ':' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {', '.join(f'mh_{i}' for i in range(k))}, {bi} AS band, "
+        f"md5({sep.join(f'CAST(mh_{bi * r + j} AS VARCHAR)' for j in range(r))}) AS bh "
+        f"FROM __sig"
+        for bi in range(bands)
+    )
+    matches = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
+    return (
+        f"WITH __sig AS ({sig}), __bands AS ({band_rows}) "
+        f"SELECT id_a, id_b, est_jaccard FROM ("
+        f"SELECT a.id AS id_a, b.id AS id_b, "
+        f"ROUND(MIN(({matches}) / {float(k)}), {round_to}) AS est_jaccard "
+        f"FROM __bands a JOIN __bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id "
+        f"GROUP BY 1, 2) __p WHERE est_jaccard >= {min_est}"
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over word tokens: bit j = sign(Σ_tokens ±1)."""
+    t = _norm_text(F.col(text_col))
+    toks = F.split(t, r"\W+")
+    th = F.transform(F.filter(toks, lambda w: F.length(w) > 0), lambda w: H.h32(w))
+    def _contrib(j: int) -> Column:
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = []
+    for j in range(bits):
+        bit_cols.append(F.when(_contrib(j) > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0)))
+    sh = sum(bit_cols[1:], bit_cols[0])
+    return df.select(F.col(id_col).alias("id"), sh.alias("simhash"))
+
+
+def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> str:
+    t = _norm_text_sql(text_col)
+    th = (
+        f"list_transform(list_filter(string_split_regex({t}, '\\W+'), w -> length(w) > 0), "
+        f"w -> {H.h32_sql('w')})"
+    )
+    bit_terms = []
+    for j in range(bits):
+        contrib = (
+            f"list_aggregate(list_transform(__th, h -> "
+            f"CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END), 'sum')"
+        )
+        bit_terms.append(f"CASE WHEN {contrib} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END")
+    return (
+        f"SELECT {id_col} AS id, {' + '.join(bit_terms)} AS simhash "
+        f"FROM (SELECT {id_col}, {th} AS __th FROM {table}) __s"
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    radius: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ radius.
+
+    Banding: 4 bytes per hash — pairs must share ≥1 identical byte-band
+    (pigeonhole guarantees this for hamming ≤ 3 over 4 bands), so the join
+    is an equi-join on (band, byte), never a cross product.
+    """
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        (F.shiftright(F.col("simhash"), bi * 8) % 256).alias("byte"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("__b"),
+    ).select("id", "simhash", "__b.band", "__b.byte")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(ham <= radius)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.first(ham).cast("int").alias("hamming"))
+    )
+
+
+def simhash_near_pairs_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", radius: int = 3
+) -> str:
+    sh = simhash_sql(table, id_col, text_col)
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {bi} AS band, (simhash >> {bi * 8}) % 256 AS byte FROM __sh"
+        for bi in range(4)
+    )
+    return (
+        f"WITH __sh AS ({sh}), __bd AS ({bands}) "
+        f"SELECT a.id AS id_a, b.id AS id_b, "
+        f"CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming "
+        f"FROM __bd a JOIN __bd b ON a.band = b.band AND a.byte = b.byte AND a.id < b.id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius} GROUP BY 1, 2"
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute_force_topk**: exact cosine top-k against a literal query vector.
+  One scan; Catalyst turns sort+limit into TakeOrderedAndProject (no global
+  sort materialization). The JVM-side higher-order dot product keeps the
+  hot loop out of Python entirely. This is the correctness baseline.
+- **lsh_bucket_topk**: the scale path — random-hyperplane (sign) LSH.
+  Bucket id = bits of sign(v·h_p) over P hyperplanes; the query prunes to
+  its own bucket (expected n/2^P of the corpus) before exact scoring.
+  Recall can be raised by probing neighbor buckets (bit flips) — the probe
+  list is generated driver-side as literals, still one pruned scan.
+- **embedding_near_dup_pairs**: near-duplicate detection — self-equi-join
+  on bucket id, exact cosine ≥ τ within buckets. The same
+  candidate-generation trick as minhash banding, for dense vectors.
+
+Hyperplanes are ±1 vectors from ``random.Random(seed)`` — embedded as
+literals into both the Spark plan and the DuckDB oracle SQL, so both
+engines compute identical buckets (integer signs; no float RNG drift).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.functions import vector as V
+
+DEFAULT_PLANES = 6
+
+
+def hyperplanes(dim: int, n_planes: int = DEFAULT_PLANES, seed: int = 13) -> list[list[int]]:
+    """n ±1-valued hyperplanes (deterministic, shared with the oracle)."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _lit_array(vals) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _sql_array(vals) -> str:
+    return "[" + ", ".join(str(float(v)) for v in vals) + "]"
+
+
+def bucket_col(emb: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id = Σ 2^p · [v·h_p > 0]."""
+    bits = [
+        F.when(V.dot(emb, _lit_array(p)) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def bucket_sql(emb_expr: str, planes: list[list[int]]) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({emb_expr}, {_sql_array(p)}) > 0 "
+        f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def py_bucket(vec: list[float], planes: list[list[int]]) -> int:
+    return sum(
+        2**i
+        for i, p in enumerate(planes)
+        if sum(x * y for x, y in zip(vec, p)) > 0
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    q = _lit_array(query_vec)
+    cos = V.cosine_similarity(F.col(emb_col), q)
+    return (
+        df.select(F.col(id_col), F.round(cos, round_to).alias("cosine"))
+        .where(F.col("cosine").isNotNull())
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def brute_force_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> str:
+    q = _sql_array(query_vec)
+    cos = f"list_cosine_similarity(CAST({emb_col} AS DOUBLE[]), {q})"
+    return (
+        f"SELECT {id_col}, ROUND({cos}, {round_to}) AS cosine FROM {table} "
+        f"WHERE {cos} IS NOT NULL "
+        f"ORDER BY {cos} DESC, {id_col} LIMIT {k}"
+    )
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: list[list[int]] | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket."""
+    planes = planes or hyperplanes(len(query_vec))
+    qb = py_bucket(query_vec, planes)
+    pruned = df.where(bucket_col(F.col(emb_col), planes) == F.lit(qb))
+    return brute_force_topk(pruned, query_vec, k, id_col, emb_col, round_to)
+
+
+def lsh_bucket_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 10,
+    planes: list[list[int]] | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> str:
+    planes = planes or hyperplanes(len(query_vec))
+    qb = py_bucket(query_vec, planes)
+    q = _sql_array(query_vec)
+    cos = f"list_cosine_similarity(CAST({emb_col} AS DOUBLE[]), {q})"
+    b = bucket_sql(f"CAST({emb_col} AS DOUBLE[])", planes)
+    return (
+        f"SELECT {id_col}, ROUND({cos}, {round_to}) AS cosine FROM {table} "
+        f"WHERE {b} = {qb} AND {cos} IS NOT NULL "
+        f"ORDER BY {cos} DESC, {id_col} LIMIT {k}"
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: list[list[int]] | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold sharing an LSH bucket (candidate
+    pruning: expected pair count shrinks by ~2^planes vs. all-pairs)."""
+    planes = planes or hyperplanes(dim)
+    with_b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("v"),
+        bucket_col(F.col(emb_col), planes).alias("b"),
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    cos = V.cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, round_to).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    table: str,
+    threshold: float = 0.95,
+    planes: list[list[int]] | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> str:
+    planes = planes or hyperplanes(dim)
+    b = bucket_sql(f"CAST({emb_col} AS DOUBLE[])", planes)
+    src = f"(SELECT {id_col} AS id, CAST({emb_col} AS DOUBLE[]) AS v, {b} AS b FROM {table}) "
+    cos = "list_cosine_similarity(a.v, b.v)"
+    return (
+        f"SELECT a.id AS id_a, b.id AS id_b, ROUND({cos}, {round_to}) AS cosine "
+        f"FROM {src} a JOIN {src} b ON a.b = b.b AND a.id < b.id "
+        f"WHERE ROUND({cos}, {round_to}) >= {threshold}"
+    )

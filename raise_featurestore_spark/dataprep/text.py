@@ -1,0 +1,196 @@
+"""Text analysis over a (doc_id, text) corpus: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (split/regexp/higher-order functions)
+— JVM-side, whole-stage-codegen, zero Python in the row path — and each has
+a DuckDB twin built from the same literals, so every operator here is
+oracle-checked, not just smoke-tested.
+
+- **language-ID**: distinct-token overlap against per-language stopword
+  lists (the classic cheap n-gram/stopword heuristic). Deterministic
+  argmax with a fixed tie-break order.
+- **quality score**: length/punctuation/digit/stopword-ratio components
+  combined into a [0,1] score — the usual pre-training heuristic filters.
+- **token counting**: whitespace tokens plus a BPE-ish regex token count
+  (letter runs / digit runs / punctuation runs counted separately).
+- **fingerprint**: min-over-windows of the shared 32-bit hash of character
+  8-grams (winnowing-style witness). A true Rabin-Karp rolling hash needs
+  per-row state Spark can't express declaratively; min-of-window-hashes
+  has the same collision/determinism properties for fingerprint equality
+  and stays engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.dataprep import hashing as H
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "eine", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour", "pas", "sur"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "con", "por", "del", "que", "se"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+PUNCT_RE = r"[^\w\s]"
+DIGIT_RE = "[0-9]"
+BPE_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def _tokens(c: Column) -> Column:
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda w: F.length(w) > 0)
+
+
+def _tokens_sql(e: str) -> str:
+    return f"list_filter(string_split_regex(LOWER({e}), '\\W+'), w -> length(w) > 0)"
+
+
+def _lang_scores(toks: Column) -> dict[str, Column]:
+    d = F.array_distinct(toks)
+    return {
+        lang: F.size(F.array_intersect(d, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def detect_language(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, predicted_lang, stopword_hits) via stopword-overlap argmax."""
+    toks = _tokens(F.col(text_col))
+    scores = _lang_scores(toks)
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties (applied last)
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.cast("int").alias("stopword_hits"),
+    )
+
+
+def detect_language_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = _tokens_sql(text_col)
+    score_cols = ", ".join(
+        f"len(list_intersect(list_distinct(__t), [{', '.join(repr(w) for w in words)}])) "
+        f"AS __s_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    best = f"GREATEST({', '.join(f'__s_{lang}' for lang in STOPWORDS)})"
+    case = "CASE "
+    for lang in LANG_ORDER:
+        case += f"WHEN __s_{lang} = __best AND __best > 0 THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return (
+        f"SELECT {id_col}, {case} AS predicted_lang, CAST(__best AS INT) AS stopword_hits "
+        f"FROM (SELECT {id_col}, {score_cols}, {best} AS __best "
+        f"FROM (SELECT {id_col}, {toks} AS __t FROM {table}) __t0) __s"
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Heuristic [0,1] quality score + its component ratios."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = _tokens(t)
+    n_toks = F.size(toks)
+    punct_ratio = F.regexp_count(t, F.lit(PUNCT_RE)) / F.greatest(n_chars, F.lit(1))
+    digit_ratio = F.regexp_count(t, F.lit(DIGIT_RE)) / F.greatest(n_chars, F.lit(1))
+    stop_ratio = F.size(
+        F.filter(toks, lambda w: w.isin(*STOPWORDS["en"]))
+    ) / F.greatest(n_toks, F.lit(1))
+    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - 5.0 * punct_ratio, F.lit(0.0))
+    digit_score = F.greatest(F.lit(1.0) - 5.0 * digit_ratio, F.lit(0.0))
+    stop_score = F.least(5.0 * stop_ratio, F.lit(1.0))
+    score = 0.25 * (len_score + punct_score + digit_score + stop_score)
+    return df.select(
+        F.col(id_col),
+        n_toks.cast("int").alias("n_tokens"),
+        F.round(punct_ratio, round_to).alias("punct_ratio"),
+        F.round(digit_ratio, round_to).alias("digit_ratio"),
+        F.round(stop_ratio, round_to).alias("stopword_ratio"),
+        F.round(score, round_to).alias("quality_score"),
+    )
+
+
+def quality_score_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+) -> str:
+    t = text_col
+    stop_list = ", ".join(repr(w) for w in STOPWORDS["en"])
+    inner = (
+        f"SELECT {id_col}, "
+        f"len({_tokens_sql(t)}) AS __nt, "
+        f"len(regexp_extract_all({t}, '{PUNCT_RE}')) * 1.0 / GREATEST(length({t}), 1) AS __pr, "
+        f"len(regexp_extract_all({t}, '{DIGIT_RE}')) * 1.0 / GREATEST(length({t}), 1) AS __dr, "
+        f"len(list_filter({_tokens_sql(t)}, w -> w IN ({stop_list}))) * 1.0 "
+        f"/ GREATEST(len({_tokens_sql(t)}), 1) AS __sr "
+        f"FROM {table}"
+    )
+    return (
+        f"SELECT {id_col}, CAST(__nt AS INT) AS n_tokens, "
+        f"ROUND(__pr, {round_to}) AS punct_ratio, "
+        f"ROUND(__dr, {round_to}) AS digit_ratio, "
+        f"ROUND(__sr, {round_to}) AS stopword_ratio, "
+        f"ROUND(0.25 * (LEAST(__nt / 100.0, 1.0) + GREATEST(1.0 - 5.0 * __pr, 0.0) "
+        f"+ GREATEST(1.0 - 5.0 * __dr, 0.0) + LEAST(5.0 * __sr, 1.0)), {round_to}) "
+        f"AS quality_score FROM ({inner}) __q"
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0))
+    bpe = F.regexp_count(t, F.lit(BPE_RE))
+    return df.select(
+        F.col(id_col),
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+    )
+
+
+def token_counts_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    t = text_col
+    return (
+        f"SELECT {id_col}, "
+        f"CAST(len(list_filter(string_split_regex({t}, '\\s+'), w -> length(w) > 0)) AS INT) "
+        f"AS ws_tokens, "
+        f"CAST(len(regexp_extract_all({t}, '{BPE_RE}')) AS INT) AS bpe_tokens "
+        f"FROM {table}"
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min 32-bit hash over character
+    n-gram windows of the normalized text."""
+    t = F.lower(F.trim(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
+        lambda i: F.substring(t, F.lit(1) + i, n),
+    )
+    fp = F.array_min(F.transform(grams, lambda g: H.h32(g)))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def fingerprint_sql(table: str, id_col: str = "doc_id", text_col: str = "text", n: int = 8) -> str:
+    t = f"LOWER(TRIM({text_col}))"
+    grams = (
+        f"list_transform(range(0, GREATEST(length({t}) - {n}, 0) + 1), "
+        f"i -> substr({t}, i + 1, {n}))"
+    )
+    return (
+        f"SELECT {id_col}, list_aggregate(list_transform({grams}, g -> {H.h32_sql('g')}), 'min') "
+        f"AS fingerprint FROM {table}"
+    )

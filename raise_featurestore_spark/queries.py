@@ -469,5 +469,99 @@ register(
 )
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline ops (SURVEY §2 extension): dedup, similarity
+# search, text analysis — all on documents/embeddings
+# --------------------------------------------------------------------------
+
+from raise_featurestore_spark.dataprep import dedup as DD
+from raise_featurestore_spark.dataprep import similarity as SIM
+from raise_featurestore_spark.dataprep import text as TX
+
+register(
+    "dedup_exact_keepers",
+    lambda spark, sf_dir: DD.exact_duplicates(
+        load_table(spark, sf_dir, "documents"), only_dups=False
+    ),
+    DD.exact_duplicates_sql("documents", only_dups=False),
+)
+
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf_dir: DD.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6, max_df=1000
+    ),
+    DD.jaccard_pairs_sql("documents", threshold=0.6, max_df=1000),
+)
+
+register(
+    "dedup_minhash_lsh",
+    lambda spark, sf_dir: DD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=16, bands=4, min_est=0.5
+    ),
+    DD.minhash_lsh_pairs_sql("documents", k=16, bands=4, min_est=0.5),
+)
+
+register(
+    "dedup_simhash_pairs",
+    lambda spark, sf_dir: DD.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), radius=3
+    ),
+    DD.simhash_near_pairs_sql("documents", radius=3),
+)
+
+register(
+    "dedup_embedding_cosine",
+    # demo threshold 0.45: the synthetic embeddings are near-orthogonal
+    # (max pairwise cosine ≈ 0.51); production near-dup would use ~0.95
+    lambda spark, sf_dir: SIM.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    ),
+    SIM.embedding_near_dup_pairs_sql("embeddings", threshold=0.45),
+)
+
+_QUERY_VEC = SIM.hyperplanes(64, 1, seed=99)[0]  # deterministic ±1 query vector
+
+register(
+    "ann_bruteforce_topk",
+    lambda spark, sf_dir: SIM.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10
+    ),
+    SIM.brute_force_topk_sql("embeddings", _QUERY_VEC, k=10),
+)
+
+register(
+    "ann_lsh_bucket_topk",
+    lambda spark, sf_dir: SIM.lsh_bucket_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10
+    ),
+    SIM.lsh_bucket_topk_sql("embeddings", _QUERY_VEC, k=10),
+)
+
+register(
+    "text_language_id",
+    lambda spark, sf_dir: TX.detect_language(load_table(spark, sf_dir, "documents")),
+    TX.detect_language_sql("documents"),
+)
+
+register(
+    "text_quality_score",
+    lambda spark, sf_dir: TX.quality_score(load_table(spark, sf_dir, "documents")),
+    TX.quality_score_sql("documents"),
+)
+
+register(
+    "text_token_counts",
+    lambda spark, sf_dir: TX.token_counts(load_table(spark, sf_dir, "documents")),
+    TX.token_counts_sql("documents"),
+)
+
+register(
+    "text_fingerprint",
+    lambda spark, sf_dir: TX.fingerprint(load_table(spark, sf_dir, "documents")),
+    TX.fingerprint_sql("documents"),
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_aggregation(load_table(spark, sf_dir, "lineitem"), _FLAGSHIP)
