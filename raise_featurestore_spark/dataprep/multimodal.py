@@ -1,0 +1,248 @@
+"""Multimodal plumbing: blob-reference columns, metadata-only scans,
+Arrow-batched decode/feature pipelines with stubbed codecs.
+
+(reference: raise_/transforms/multimodal.py — BlobReference :102-141,
+MultimodalSource scan :577-676, blob validation :482-493 (mocked there),
+derived-blob processor :721-758.)
+
+Design:
+- A blob is an opaque ``binary`` column plus a typed metadata struct
+  (BLOB_REF_SCHEMA). References travel through ordinary DataFrame ops;
+  bytes are only materialized where a decode step needs them.
+- ``scan_blobs`` uses Spark's binaryFile source. Selecting only
+  path/length/modificationTime *prunes the content column* — the scan is
+  metadata-only (no byte reads) unless content is requested, matching the
+  reference's "references, not data" contract.
+- Decode / resize / frame-sample run as ``mapInPandas`` (Arrow batches,
+  N rows → M rows). The container has no image/audio codecs, so the
+  actual decode is STUBBED: ``decode_image`` raises NotImplementedError
+  unless PIL is importable; the deterministic byte-level feature extractor
+  below is REAL computation (moments over raw bytes) exercising the same
+  batch shape, schema, and partitioning a production decoder would use.
+- Integrity checking is an anti-join (refs without files = missing,
+  files without refs = orphans, reference multimodal.py:536-548) plus
+  sampled checksum recomputation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+BLOB_REF_SCHEMA = StructType(
+    [
+        StructField("uri", StringType(), False),
+        StructField("content_type", StringType(), True),
+        StructField("checksum", StringType(), True),
+        StructField("hash_algorithm", StringType(), True),
+        StructField("size_bytes", LongType(), True),
+        StructField("etag", StringType(), True),
+        StructField("version_id", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+    ]
+)
+
+_EXT_CONTENT_TYPES = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "txt": "text/plain",
+    "bin": "application/octet-stream",
+}
+
+
+def content_type_for(path_col) -> "F.Column":
+    """Infer MIME type from the file extension (metadata-only)."""
+    ext = F.lower(F.element_at(F.split(path_col, r"\."), -1))
+    expr = F.lit("application/octet-stream")
+    for e, ct in _EXT_CONTENT_TYPES.items():
+        expr = F.when(ext == e, F.lit(ct)).otherwise(expr)
+    return expr
+
+
+def scan_blobs(
+    spark: SparkSession,
+    uri_prefix: str,
+    glob_pattern: str = "*",
+    recursive: bool = True,
+    with_content: bool = False,
+) -> DataFrame:
+    """MultimodalSource.scan as a Spark plan: blob-ref rows from a path.
+
+    Column pruning keeps this metadata-only: unless ``with_content``,
+    the binaryFile reader never materializes file bytes.
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob_pattern)
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    df = reader.load(uri_prefix)
+    ref = F.struct(
+        F.col("path").alias("uri"),
+        content_type_for(F.col("path")).alias("content_type"),
+        (F.sha2(F.col("content"), 256) if with_content else F.lit(None).cast("string")).alias(
+            "checksum"
+        ),
+        F.lit("sha256" if with_content else None).cast("string").alias("hash_algorithm"),
+        F.col("length").alias("size_bytes"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("version_id"),
+        F.col("modificationTime").alias("created_at"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    cols = [ref.alias("blob_ref")] + ([F.col("content")] if with_content else [])
+    return df.select(*cols)
+
+
+def blob_refs_from_bytes(
+    df: DataFrame, uri_col, content_col, content_type: str = "application/octet-stream"
+) -> DataFrame:
+    """Wrap an existing binary column into (blob_ref, content) rows —
+    checksum/size computed JVM-side (sha2 + octet_length, no UDF)."""
+    content = F.col(content_col).cast("binary")
+    ref = F.struct(
+        F.col(uri_col).cast("string").alias("uri"),
+        F.lit(content_type).alias("content_type"),
+        F.sha2(content, 256).alias("checksum"),
+        F.lit("sha256").alias("hash_algorithm"),
+        F.octet_length(content).cast("long").alias("size_bytes"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("version_id"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    return df.select(ref.alias("blob_ref"), content.alias("content"))
+
+
+def decode_image(data: bytes):  # pragma: no cover - stub by design
+    """Decode an image blob. STUB: the runtime has no codec libraries."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(data))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, not present in this runtime; "
+            "byte-level features below exercise the same Spark plumbing"
+        ) from e
+
+
+def extract_byte_features(
+    df: DataFrame, id_col: str = "uri", content_col: str = "content"
+) -> DataFrame:
+    """Deterministic per-blob features over raw bytes via mapInPandas.
+
+    Stands in for image/audio feature extraction: same Arrow batch flow,
+    same schema discipline; numpy does the per-batch vector math. In
+    production the body would decode and run a model; the plumbing —
+    partition-parallel, batch-at-a-time, bounded memory — is identical.
+    """
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("n_bytes", LongType(), True),
+            StructField("mean_byte", StringType(), True),  # rounded str for stability
+            StructField("entropy_bits", StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    rows.append((str(_id), 0, None, None))
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / max(len(arr), 1)
+                ent = float(-(p * np.log2(p)).sum()) if len(arr) else 0.0
+                rows.append(
+                    (str(_id), int(len(arr)), f"{float(arr.mean()):.4f}" if len(arr) else None,
+                     f"{ent:.4f}")
+                )
+            yield pd.DataFrame(rows, columns=["id", "n_bytes", "mean_byte", "entropy_bits"])
+
+    return df.mapInPandas(batches, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    id_col: str = "uri",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame sampling (1 blob → N frames) via mapInPandas. The STUB
+    "decoder" slices evenly spaced byte windows — deterministic, and the
+    N-rows-out-per-row-in shape is exactly what a video frame sampler
+    produces."""
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                if not blob:
+                    continue
+                step = max(len(blob) // n_frames, 1)
+                for i in range(min(n_frames, len(blob))):
+                    start = i * step
+                    rows.append((str(_id), i, bytes(blob[start : start + frame_bytes])))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
+
+    return df.mapInPandas(batches, schema)
+
+
+def integrity_report(refs: DataFrame, listing: DataFrame) -> DataFrame:
+    """BlobIntegrityCheck: refs missing from storage + orphan files.
+
+    ``refs``: rows with blob_ref struct; ``listing``: rows with blob_ref
+    struct from scan_blobs. Anti-joins on uri both ways (reference
+    multimodal.py:536-548)."""
+    r = refs.select(F.col("blob_ref.uri").alias("uri"))
+    l_ = listing.select(F.col("blob_ref.uri").alias("uri"))
+    missing = r.join(l_, "uri", "left_anti").withColumn("issue", F.lit("missing"))
+    orphans = l_.join(r, "uri", "left_anti").withColumn("issue", F.lit("orphan"))
+    return missing.unionByName(orphans)
+
+
+def verify_checksums(refs_with_content: DataFrame, sample_rate: float = 1.0) -> DataFrame:
+    """Recompute sha256 over content for a sample of refs; emit mismatches."""
+    df = refs_with_content
+    if sample_rate < 1.0:
+        df = df.sample(fraction=sample_rate, seed=7)
+    actual = F.sha2(F.col("content"), 256)
+    return df.select(
+        F.col("blob_ref.uri").alias("uri"),
+        F.col("blob_ref.checksum").alias("expected"),
+        actual.alias("actual"),
+    ).where(F.col("expected") != F.col("actual"))

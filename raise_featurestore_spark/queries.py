@@ -563,5 +563,73 @@ register(
 )
 
 
+# --------------------------------------------------------------------------
+# Multimodal: blob refs, byte-feature extraction, integrity (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+from raise_featurestore_spark.dataprep import multimodal as MM
+
+
+def _doc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as synthetic blobs (the testdata has no binary files;
+    text bytes exercise identical checksum/size/decode plumbing)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("mem://docs/"), F.col("doc_id").cast("string")).alias("uri"),
+        F.col("text"),
+    )
+    return MM.blob_refs_from_bytes(docs, "uri", "text", content_type="text/plain")
+
+
+register(
+    "multimodal_blob_refs",
+    lambda spark, sf_dir: _doc_blobs(spark, sf_dir).select(
+        F.col("blob_ref.uri").alias("uri"),
+        F.col("blob_ref.content_type").alias("content_type"),
+        F.col("blob_ref.checksum").alias("checksum"),
+        F.col("blob_ref.size_bytes").alias("size_bytes"),
+    ),
+    "SELECT 'mem://docs/' || CAST(doc_id AS VARCHAR) AS uri, "
+    "'text/plain' AS content_type, sha256(text) AS checksum, "
+    "octet_length(encode(text)) AS size_bytes FROM documents",
+)
+
+register(  # rows-only: mapInPandas byte-feature extraction (stubbed decoder)
+    "multimodal_byte_features",
+    lambda spark, sf_dir: MM.extract_byte_features(
+        _doc_blobs(spark, sf_dir).select(F.col("blob_ref.uri").alias("uri"), "content")
+    ),
+)
+
+register(  # rows-only: 1 blob → N frames via mapInPandas
+    "multimodal_frame_sample",
+    lambda spark, sf_dir: MM.sample_frames(
+        _doc_blobs(spark, sf_dir).select(F.col("blob_ref.uri").alias("uri"), "content")
+    ),
+)
+
+
+def _mm_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = _doc_blobs(spark, sf_dir)
+    listing = MM.blob_refs_from_bytes(
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 50 != 0")  # simulate files missing from storage
+        .select(
+            F.concat(F.lit("mem://docs/"), F.col("doc_id").cast("string")).alias("uri"),
+            F.col("text"),
+        ),
+        "uri",
+        "text",
+    )
+    return MM.integrity_report(refs, listing)
+
+
+register(
+    "multimodal_integrity",
+    _mm_integrity,
+    "SELECT 'mem://docs/' || CAST(doc_id AS VARCHAR) AS uri, 'missing' AS issue "
+    "FROM documents WHERE doc_id % 50 = 0",
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_aggregation(load_table(spark, sf_dir, "lineitem"), _FLAGSHIP)

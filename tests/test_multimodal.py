@@ -1,0 +1,88 @@
+"""Multimodal plumbing: binaryFile scan, frame sampling, integrity."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def blob_dir(tmp_path):
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake image bytes" * 10)
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8 fake jpeg" * 5)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "c.wav").write_bytes(b"RIFF fake audio" * 20)
+    return str(tmp_path)
+
+
+def test_scan_blobs_metadata_only(spark, blob_dir):
+    from raise_featurestore_spark.dataprep import multimodal as MM
+
+    df = MM.scan_blobs(spark, blob_dir)
+    rows = {r["blob_ref"]["uri"].split("/")[-1]: r["blob_ref"] for r in df.collect()}
+    assert set(rows) == {"a.png", "b.jpg", "c.wav"}
+    assert rows["a.png"]["content_type"] == "image/png"
+    assert rows["b.jpg"]["content_type"] == "image/jpeg"
+    assert rows["c.wav"]["content_type"] == "audio/wav"
+    assert rows["a.png"]["size_bytes"] == 210
+    # metadata-only scan: checksum not computed
+    assert rows["a.png"]["checksum"] is None
+    # the physical plan must not read the content column
+    assert "content" not in df.schema.fieldNames()
+
+
+def test_scan_blobs_with_content_checksums(spark, blob_dir):
+    import hashlib
+
+    from raise_featurestore_spark.dataprep import multimodal as MM
+
+    df = MM.scan_blobs(spark, blob_dir, glob_pattern="*.png", with_content=True)
+    [row] = df.collect()
+    assert row["blob_ref"]["checksum"] == hashlib.sha256(b"\x89PNG fake image bytes" * 10).hexdigest()
+
+
+def test_frame_sampling_shape(spark, blob_dir):
+    from raise_featurestore_spark.dataprep import multimodal as MM
+
+    blobs = MM.scan_blobs(spark, blob_dir, with_content=True).select(
+        "blob_ref.uri", "content"
+    )
+    frames = MM.sample_frames(blobs, n_frames=4, frame_bytes=16)
+    rows = frames.collect()
+    assert len(rows) == 12  # 3 blobs × 4 frames
+    assert all(len(r["frame"]) <= 16 for r in rows)
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_integrity_and_checksums(spark, blob_dir):
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.dataprep import multimodal as MM
+
+    listing = MM.scan_blobs(spark, blob_dir, with_content=True)
+    refs = MM.blob_refs_from_bytes(
+        listing.select(F.col("blob_ref.uri").alias("uri"), F.col("content")),
+        "uri",
+        "content",
+    )
+    # all refs present → no issues
+    assert MM.integrity_report(refs, listing).count() == 0
+    # drop one file from the listing → one missing
+    partial = listing.where(~F.col("blob_ref.uri").endswith("a.png"))
+    issues = {r["issue"] for r in MM.integrity_report(refs, partial).collect()}
+    assert issues == {"missing"}
+    # checksums recomputed over content all match
+    assert MM.verify_checksums(refs).count() == 0
+
+
+def test_decode_image_stub_raises():
+    from raise_featurestore_spark.dataprep import multimodal as MM
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"not an image")
