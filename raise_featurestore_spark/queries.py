@@ -631,5 +631,222 @@ register(
 )
 
 
+# --------------------------------------------------------------------------
+# §2.10 Transforms: SQL templating over multi-source joins, pandas-batch
+# UDTF, incremental checkpoint predicate, upsert MERGE, job quality report,
+# batch inference (§2.12)
+# --------------------------------------------------------------------------
+
+from raise_featurestore_spark.transforms.checkpoint import (
+    Checkpoint,
+    CheckpointType,
+    IncrementalConfig,
+    IncrementalMode,
+    incremental_filter,
+)
+from raise_featurestore_spark.transforms.transform import SQLTransform, TransformContext
+
+
+def _transform_ctx(**params) -> TransformContext:
+    from datetime import datetime
+
+    return TransformContext(
+        job_id="q", run_id="q", execution_date=datetime(2024, 6, 1), params=params
+    )
+
+
+def _sql_job_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source SQLTransform: customer ⋈ orders ⋈ nation revenue rollup.
+
+    nation (tiny) broadcasts; customer⋈orders is a shuffled equi-join that
+    AQE sizes at runtime — the join strategy is Catalyst's, not ours.
+    """
+    t = SQLTransform(
+        "SELECT n.n_name AS nation, COUNT(*) AS orders, "
+        "ROUND(SUM(o.o_totalprice), 2) AS revenue "
+        "FROM ord o JOIN cust c ON o.o_custkey = c.c_custkey "
+        "JOIN nat n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderstatus = '{{status}}' "
+        "GROUP BY n.n_name"
+    )
+    return t.apply(
+        spark,
+        _transform_ctx(status="F"),
+        {
+            "ord": load_table(spark, sf_dir, "orders"),
+            "cust": load_table(spark, sf_dir, "customer"),
+            "nat": load_table(spark, sf_dir, "nation"),
+        },
+    )
+
+
+register(
+    "transform_sql_job",
+    _sql_job_revenue,
+    "SELECT n_name AS nation, COUNT(*) AS orders, "
+    "ROUND(SUM(o_totalprice), 2) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderstatus = 'F' GROUP BY n_name",
+)
+
+
+def _pandas_batch_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas UDTF (row-wise deterministic → oracle-safe)."""
+    from raise_featurestore_spark.transforms.transform import PandasBatchTransform
+
+    t = PandasBatchTransform(
+        fn=lambda pdf: pdf.assign(
+            text_chars=pdf["text"].str.len().astype("int64"),
+            is_long=pdf["text"].str.len() > 500,
+        )[["doc_id", "text_chars", "is_long"]],
+        schema="doc_id bigint, text_chars bigint, is_long boolean",
+    )
+    return t.apply(spark, _transform_ctx(), {"d": load_table(spark, sf_dir, "documents")})
+
+
+register(
+    "transform_pandas_batch",
+    _pandas_batch_doclen,
+    "SELECT doc_id, LENGTH(text) AS text_chars, LENGTH(text) > 500 AS is_long "
+    "FROM documents",
+)
+
+_INC_CONFIG = IncrementalConfig(
+    mode=IncrementalMode.INCREMENTAL, checkpoint_column="ts", lookback="1d"
+)
+_INC_CHK = Checkpoint(CheckpointType.TIMESTAMP, "2024-01-25 00:00:00")
+
+
+def _incremental_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint predicate (chk − lookback) pushed into the scan."""
+    df = incremental_filter(load_table(spark, sf_dir, "events"), _INC_CONFIG, _INC_CHK)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),
+    )
+
+
+register(
+    "job_incremental_checkpoint",
+    _incremental_slice,
+    "SELECT event_type, COUNT(*) AS rows, ROUND(SUM(CAST(value AS DOUBLE)), 4) AS sum_value "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY event_type",
+)
+
+
+def _upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real upsert writer round-trip: initial = orders sans keys divisible
+    by 3; update batch = even keys with doubled price; read the merged table
+    back (equivalent of Delta MERGE, SURVEY §2.1 Target sink)."""
+    import shutil
+    import tempfile
+
+    from raise_featurestore_spark.io.writer import write_feature_group
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    initial = orders.where("o_orderkey % 3 != 0")
+    updates = orders.where("o_orderkey % 2 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    path = tempfile.mkdtemp(prefix="upsert_q_")
+    shutil.rmtree(path)  # writer wants a fresh dir
+    try:
+        write_feature_group(initial, path, mode="overwrite")
+        write_feature_group(updates, path, mode="upsert", key_columns=["o_orderkey"])
+        # localCheckpoint (eager) detaches the plan from the temp files so
+        # they can be removed before the driver collects the result
+        return (
+            spark.read.parquet(path)
+            .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+register(
+    "job_upsert_merge",
+    _upsert_merge,
+    "SELECT o_orderkey, "
+    "ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END, 4) "
+    "AS o_totalprice FROM orders WHERE o_orderkey % 3 != 0 OR o_orderkey % 2 = 0",
+)
+
+
+def _quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-level quality suite — every check fused into ONE aggregate scan."""
+    from raise_featurestore_spark.transforms.observability import (
+        CustomCheck,
+        NullCheck,
+        RangeCheck,
+        UniqueCheck,
+        checks_report_df,
+    )
+
+    return checks_report_df(
+        load_table(spark, sf_dir, "orders"),
+        [
+            NullCheck(column="o_custkey", max_null_rate=0.0),
+            UniqueCheck(columns=["o_orderkey"]),
+            RangeCheck(column="o_totalprice", min_value=0.0),
+            CustomCheck(predicate="o_orderdate <= o_orderdate + INTERVAL 1 DAY", name="sane_date"),
+        ],
+    )
+
+
+register(
+    "job_quality_report",
+    _quality_report,
+    "SELECT 'null' AS \"check\", 'null_o_custkey' AS name, "
+    "ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) = 0 "
+    "AS passed, "
+    "ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) "
+    "AS observed FROM orders "
+    "UNION ALL SELECT 'unique', 'unique_o_orderkey', "
+    "COUNT(*) - COUNT(DISTINCT o_orderkey) = 0, "
+    "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders "
+    "UNION ALL SELECT 'range', 'range_o_totalprice', "
+    "ROUND(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) <= 0, "
+    "ROUND(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) "
+    "FROM orders "
+    "UNION ALL SELECT 'custom', 'sane_date', TRUE, 0.0",
+)
+
+
+def _inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference over embeddings: deterministic linear model through
+    the per-worker-cached, Arrow-batched mapInPandas path (§2.10
+    InferenceTransform)."""
+    from raise_featurestore_spark.transforms.inference import (
+        InferenceTransform,
+        ModelSpec,
+        linear_model,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    weights = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    t = InferenceTransform(
+        model=ModelSpec(uri="mem://linear", loader=lambda uri: linear_model(weights, 0.5)),
+        input_columns=["embedding"],
+        output_column="score",
+    )
+    return t.apply(emb.select("vec_id", "embedding")).select(
+        # + 0.0 canonicalizes IEEE −0.0 → +0.0 (hash-stable across engines)
+        "vec_id", (F.round("score", 4) + F.lit(0.0)).alias("score")
+    )
+
+
+register(
+    "inference_linear_batch",
+    _inference_scores,
+    "SELECT vec_id, ROUND(0.5 + list_aggregate(list_transform(list_zip(embedding, "
+    "list_transform(range(1, len(embedding) + 1), i -> CASE WHEN (i - 1) % 2 = 0 "
+    "THEN 1.0 ELSE -1.0 END)), p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum'), 4) + 0.0 AS score "
+    "FROM embeddings",
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_aggregation(load_table(spark, sf_dir, "lineitem"), _FLAGSHIP)

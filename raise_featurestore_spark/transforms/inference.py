@@ -1,0 +1,217 @@
+"""Batch model inference over DataFrames: ModelSpec + batched Arrow UDF.
+
+(reference: raise_/transforms/inference.py — InferenceTransform :406-531,
+ModelSpec :93-197, AcceleratorConfig :205-299, BatchConfig :307-348,
+RuntimeConfig :356-398, result metrics :539-595, convenience constructors
+embedding/classification/image/llm :647-785, @inference_transform :602-640)
+
+Execution model (SURVEY §2.10): the model loads ONCE PER PYTHON WORKER
+(lazy global inside the UDF), then Arrow-batched pandas Series flow through
+``predict`` — the pattern behind ``pyspark.ml.functions.predict_batch_udf``.
+Never per-row model calls, never a driver-side loop. GPU placement on a
+real cluster is ``spark.task.resource.gpu.amount`` + one task per GPU;
+``batch_size`` maps to Arrow batch sizing
+(``spark.sql.execution.arrow.maxRecordsPerBatch``).
+
+Real frameworks (torch/onnx/tf) aren't in this container, so ModelSpec's
+``loader`` is pluggable and tests use a deterministic linear model — the
+Spark-side plumbing (schema, batching, per-worker caching, pre/post hooks)
+is the real article.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# per-Python-worker model cache: loaded once, reused across batches/tasks
+_MODEL_CACHE: dict[str, Any] = {}
+
+
+@dataclass
+class ModelSpec:
+    """reference: raise_/transforms/inference.py:93-197."""
+
+    uri: str
+    framework: str = "custom"  # pytorch|tensorflow|onnx|custom
+    precision: str = "fp32"  # fp32|fp16|bf16|int8
+    loader: Callable[[str], Any] | None = None  # uri → model with .predict(np.ndarray)
+
+    def load(self) -> Any:
+        if self.loader is None:
+            raise NotImplementedError(
+                f"no loader for framework {self.framework!r}; real frameworks are "
+                "not in this container — inject ModelSpec.loader"
+            )
+        if self.uri not in _MODEL_CACHE:
+            _MODEL_CACHE[self.uri] = self.loader(self.uri)
+        return _MODEL_CACHE[self.uri]
+
+
+@dataclass
+class AcceleratorConfig:
+    """reference: raise_/transforms/inference.py:205-299. On a cluster these
+    become ``spark.task.resource.gpu.amount`` / executor-conf settings;
+    recorded here so plans are portable."""
+
+    accelerator: str = "cpu"  # cpu|gpu|tpu
+    count_per_task: float = 0.0
+
+    def spark_confs(self) -> dict[str, str]:
+        if self.accelerator == "gpu" and self.count_per_task > 0:
+            return {"spark.task.resource.gpu.amount": str(self.count_per_task)}
+        return {}
+
+
+@dataclass
+class BatchConfig:
+    """reference: raise_/transforms/inference.py:307-348."""
+
+    batch_size: int = 1024
+    max_concurrency: int = 1  # per-worker; Spark tasks already parallelize
+    dynamic: bool = False
+
+
+@dataclass
+class InferenceResultMetrics:
+    """reference: raise_/transforms/inference.py:539-595."""
+
+    rows: int = 0
+    batches: int = 0
+    seconds: float = 0.0
+
+
+@dataclass
+class InferenceTransform:
+    """reference: raise_/transforms/inference.py:406-531.
+
+    input_columns → model input matrix; output gets ``output_column``.
+    ``preprocess``/``postprocess`` are numpy-level hooks composed into the
+    same batch UDF (no extra pass) — reference :448-449.
+    """
+
+    model: ModelSpec
+    input_columns: list[str]
+    output_column: str = "prediction"
+    output_type: str = "double"  # Spark DDL type of the prediction
+    batch: BatchConfig = field(default_factory=BatchConfig)
+    accelerator: AcceleratorConfig = field(default_factory=AcceleratorConfig)
+    preprocess: Callable[[np.ndarray], np.ndarray] | None = None
+    postprocess: Callable[[np.ndarray], np.ndarray] | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Append predictions via mapInPandas (all original columns kept)."""
+        spec = self.model
+        in_cols = list(self.input_columns)
+        out_col = self.output_column
+        out_type = self.output_type
+        batch_size = self.batch.batch_size
+        pre, post = self.preprocess, self.postprocess
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + f", {out_col} {out_type}"
+
+        def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            model = spec.load()  # once per worker (module-level cache)
+            for pdf in batches:
+                for lo in range(0, len(pdf), batch_size):
+                    chunk = pdf.iloc[lo : lo + batch_size]
+                    mat = _to_matrix(chunk, in_cols)
+                    if pre is not None:
+                        mat = pre(mat)
+                    preds = np.asarray(model.predict(mat))
+                    if post is not None:
+                        preds = post(preds)
+                    out = chunk.copy()
+                    out[out_col] = list(preds) if preds.ndim > 1 else preds
+                    yield out
+
+        return df.mapInPandas(infer, schema=schema)
+
+
+def _to_matrix(pdf: pd.DataFrame, cols: list[str]) -> np.ndarray:
+    if len(cols) == 1 and len(pdf) and isinstance(pdf[cols[0]].iloc[0], (list, np.ndarray)):
+        return np.stack(pdf[cols[0]].to_numpy())  # one array column → matrix
+    return pdf[cols].to_numpy(dtype=np.float64)
+
+
+def inference_transform(
+    *, model_uri: str, input_columns: list[str], output_column: str = "prediction", **kw
+):
+    """Decorator: the function IS the model loader
+    (reference: raise_/transforms/inference.py:602-640)."""
+
+    def wrap(loader: Callable[[str], Any]) -> InferenceTransform:
+        return InferenceTransform(
+            model=ModelSpec(uri=model_uri, loader=loader),
+            input_columns=input_columns,
+            output_column=output_column,
+            **kw,
+        )
+
+    return wrap
+
+
+# convenience constructors (reference: raise_/transforms/inference.py:647-785)
+
+def embedding_inference(model_uri: str, text_column: str, dim: int,
+                        loader: Callable[[str], Any] | None = None) -> InferenceTransform:
+    return InferenceTransform(
+        model=ModelSpec(uri=model_uri, loader=loader),
+        input_columns=[text_column],
+        output_column="embedding",
+        output_type=f"array<float>",
+        batch=BatchConfig(batch_size=256),
+    )
+
+
+def classification_inference(model_uri: str, input_columns: list[str],
+                             loader: Callable[[str], Any] | None = None) -> InferenceTransform:
+    return InferenceTransform(
+        model=ModelSpec(uri=model_uri, loader=loader),
+        input_columns=input_columns,
+        output_column="label_score",
+        output_type="double",
+    )
+
+
+def image_inference(model_uri: str, blob_column: str = "content",
+                    loader: Callable[[str], Any] | None = None) -> InferenceTransform:
+    return InferenceTransform(
+        model=ModelSpec(uri=model_uri, loader=loader),
+        input_columns=[blob_column],
+        output_column="image_features",
+        output_type="array<float>",
+        accelerator=AcceleratorConfig("gpu", 1.0),
+        batch=BatchConfig(batch_size=64),
+    )
+
+
+def llm_inference(model_uri: str, prompt_column: str,
+                  loader: Callable[[str], Any] | None = None) -> InferenceTransform:
+    return InferenceTransform(
+        model=ModelSpec(uri=model_uri, loader=loader),
+        input_columns=[prompt_column],
+        output_column="completion",
+        output_type="string",
+        accelerator=AcceleratorConfig("gpu", 1.0),
+        batch=BatchConfig(batch_size=8, dynamic=True),
+    )
+
+
+def linear_model(weights: list[float], bias: float = 0.0):
+    """Deterministic reference model for tests/oracles: ŷ = Xw + b."""
+
+    class _Linear:
+        def predict(self, mat: np.ndarray) -> np.ndarray:
+            w = np.asarray(weights, dtype=np.float64)
+            return mat.astype(np.float64) @ w + bias
+
+    return _Linear()

@@ -1,0 +1,393 @@
+"""Transforms/jobs: sources, SQL templating, incremental checkpoints,
+upsert targets, quality checks, inference, schedules, Airflow codegen."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.transforms import (
+    Checkpoint,
+    CheckpointStore,
+    CheckpointType,
+    ColumnarSource,
+    CustomCheck,
+    FileSystemSource,
+    FreshnessCheck,
+    IncrementalConfig,
+    IncrementalMode,
+    Job,
+    NullCheck,
+    ObjectStorageSource,
+    PandasBatchTransform,
+    PythonTransform,
+    RangeCheck,
+    RowCountCheck,
+    SQLTransform,
+    Target,
+    TransformContext,
+    UniqueCheck,
+    python_transform,
+    run_checks,
+)
+from raise_featurestore_spark.transforms.inference import (
+    InferenceTransform,
+    ModelSpec,
+    linear_model,
+)
+from raise_featurestore_spark.transforms.observability import BlobIntegrityCheck
+from raise_featurestore_spark.transforms.orchestrator import (
+    InternalOrchestrator,
+    generate_airflow_dag,
+)
+from raise_featurestore_spark.transforms.schedule import (
+    CronSchedule,
+    IntervalSchedule,
+    OnceSchedule,
+    OnChangeSchedule,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _ctx(**params):
+    return TransformContext(
+        job_id="j1",
+        run_id="r1",
+        execution_date=datetime(2024, 6, 1, 12, 0, 0),
+        checkpoint="2024-05-31 00:00:00",
+        params=params,
+    )
+
+
+# ---------------------------------------------------------------- sources
+
+def test_object_storage_source_partition_path():
+    src = ObjectStorageSource(path="s3://bucket/data", format="parquet")
+    p = src.with_partition("dt", "2024-01-01").with_partition("hr", "03")
+    assert p.resolved_path == "s3://bucket/data/dt=2024-01-01/hr=03"
+    assert src.resolved_path == "s3://bucket/data"  # immutable builder
+
+
+def test_object_storage_bad_format():
+    with pytest.raises(ValueError, match="unsupported format"):
+        ObjectStorageSource(path="/x", format="xml").read(None)
+
+
+def test_filesystem_and_columnar_source_read(spark):
+    fs = FileSystemSource(path=os.path.join(SF_DIR, "region.parquet"))
+    assert fs.read(spark).count() == 5
+    col = ColumnarSource(
+        table=os.path.join(SF_DIR, "nation.parquet"),
+        columns=["n_name", "n_regionkey"],
+        filter="n_regionkey = 0",
+    )
+    df = col.read(spark)
+    assert df.columns == ["n_name", "n_regionkey"]
+    assert df.count() == 5
+
+
+# ------------------------------------------------------------- templating
+
+def test_sql_transform_templating():
+    t = SQLTransform(
+        "SELECT * FROM ev WHERE ts >= '{{checkpoint}}' "
+        "AND dt = '{{execution_date}}' AND kind = '{{kind}}' -- {{run_id}}"
+    )
+    sql = t.get_sql(_ctx(kind="purchase"))
+    assert "'2024-05-31 00:00:00'" in sql
+    assert "'2024-06-01 12:00:00'" in sql
+    assert "'purchase'" in sql
+    assert "r1" in sql
+
+
+def test_sql_transform_unknown_param():
+    with pytest.raises(KeyError, match="nope"):
+        SQLTransform("SELECT {{nope}}").get_sql(_ctx())
+
+
+def test_sql_transform_executes_join(spark):
+    t = SQLTransform(
+        "SELECT r.r_name, COUNT(*) AS n FROM nat n JOIN reg r "
+        "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    )
+    nat = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    reg = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    out = t.apply(spark, _ctx(), {"nat": nat, "reg": reg})
+    assert out.count() == 5
+    assert out.agg(F.sum("n")).collect()[0][0] == 25
+
+
+def test_python_transform_decorator(spark):
+    @python_transform
+    def double_balance(ctx, df):
+        return df.withColumn("bal2", F.col("c_acctbal") * 2)
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    out = double_balance.apply(spark, _ctx(), {"c": cust})
+    row = out.select("c_acctbal", "bal2").first()
+    assert row["bal2"] == pytest.approx(row["c_acctbal"] * 2)
+
+
+def test_pandas_batch_transform(spark):
+    t = PandasBatchTransform(
+        fn=lambda pdf: pdf.assign(name_len=pdf["c_name"].str.len())[
+            ["c_custkey", "name_len"]
+        ],
+        schema="c_custkey bigint, name_len int",
+    )
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    out = t.apply(spark, _ctx(), {"c": cust})
+    assert out.columns == ["c_custkey", "name_len"]
+    assert out.where("name_len <= 0").count() == 0
+
+
+# ------------------------------------------------------------ checkpoints
+
+def test_checkpoint_store_roundtrip(tmp_path):
+    store = CheckpointStore(str(tmp_path / "chk.json"))
+    empty = store.get("job1")
+    assert empty.value is None
+    store.put("job1", Checkpoint(CheckpointType.TIMESTAMP, "2024-06-01 00:00:00"))
+    back = store.get("job1")
+    assert back.value == "2024-06-01 00:00:00"
+    assert back.type == CheckpointType.TIMESTAMP
+
+
+def test_checkpoint_lookback():
+    chk = Checkpoint(CheckpointType.TIMESTAMP, "2024-06-01 12:00:00")
+    assert chk.effective_lower_bound("2h") == "2024-06-01 10:00:00"
+    seq = Checkpoint(CheckpointType.SEQUENCE, 500)
+    assert seq.effective_lower_bound("2h") == 500  # lookback n/a for sequences
+
+
+def test_incremental_config_validation():
+    with pytest.raises(ValueError, match="checkpoint_column"):
+        IncrementalConfig(mode=IncrementalMode.INCREMENTAL)
+
+
+# ------------------------------------------------------- end-to-end jobs
+
+def test_job_full_run_with_metrics(spark, tmp_path):
+    out_path = str(tmp_path / "out")
+    job = Job(
+        job_id="agg_nation",
+        sources={
+            "nat": FileSystemSource(path=os.path.join(SF_DIR, "nation.parquet")),
+            "reg": FileSystemSource(path=os.path.join(SF_DIR, "region.parquet")),
+        },
+        transform=SQLTransform(
+            "SELECT r.r_name AS region, COUNT(*) AS nations FROM nat n "
+            "JOIN reg r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+        ),
+        target=Target(path=out_path, write_mode="overwrite"),
+        quality_checks=[
+            RowCountCheck(expected=5),
+            NullCheck(column="region"),
+            UniqueCheck(columns=["region"]),
+        ],
+    )
+    job.deploy()
+    run = job.run(spark)
+    assert run.status == "completed", run.error
+    assert run.rows_read == 30  # 25 nations + 5 regions
+    assert run.rows_written == 5
+    assert run.quality is not None and run.quality.passed
+    assert spark.read.parquet(out_path).count() == 5
+
+
+def test_job_incremental_upsert_advances_checkpoint(spark, tmp_path):
+    """Two incremental runs: second run sees only rows after the first
+    checkpoint (minus lookback) and MERGEs them idempotently."""
+    src_path = str(tmp_path / "src")
+    out_path = str(tmp_path / "out")
+    store = CheckpointStore(str(tmp_path / "chk.json"))
+
+    base = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    rows1 = [(i, base + timedelta(hours=i), float(i)) for i in range(10)]
+    spark.createDataFrame(rows1, "id long, ts timestamp, v double").write.parquet(src_path)
+
+    def make_job():
+        return Job(
+            job_id="inc1",
+            sources={"src": FileSystemSource(path=src_path)},
+            transform=PythonTransform(lambda ctx, df: df.withColumn("v2", F.col("v") * 2)),
+            target=Target(path=out_path, write_mode="upsert", key_columns=["id"]),
+            incremental=IncrementalConfig(
+                mode=IncrementalMode.UPSERT,
+                checkpoint_column="ts",
+                lookback="1h",
+            ),
+            checkpoint_store=store,
+        )
+
+    run1 = make_job().run(spark)
+    assert run1.status == "completed", run1.error
+    assert run1.rows_written == 10
+    assert store.get("inc1").value == "2024-06-01 09:00:00"
+
+    # append 5 newer rows + re-deliver row 9 with a changed value
+    rows2 = [(i, base + timedelta(hours=i), float(i) * 10) for i in range(9, 15)]
+    spark.createDataFrame(rows2, "id long, ts timestamp, v double").write.mode(
+        "append"
+    ).parquet(src_path)
+
+    run2 = make_job().run(spark)
+    assert run2.status == "completed", run2.error
+    # checkpoint 09:00 - lookback 1h → reads ts >= 08:00: old ids 8,9 + new 9..14
+    assert run2.rows_read == 8
+    out = spark.read.parquet(out_path)
+    assert out.count() == 15  # upsert dedup on id
+    assert out.where("id = 9").select("v").collect()[0][0] == 90.0  # update won
+    assert store.get("inc1").value == "2024-06-01 14:00:00"
+
+
+def test_job_quality_gate_fails_job(spark, tmp_path):
+    job = Job(
+        job_id="bad",
+        sources={"n": FileSystemSource(path=os.path.join(SF_DIR, "nation.parquet"))},
+        transform=PythonTransform(lambda ctx, df: df),
+        target=Target(path=str(tmp_path / "o"), write_mode="overwrite"),
+        quality_checks=[RowCountCheck(expected=1)],  # 25 rows → fail
+    )
+    run = job.run(spark)
+    assert run.status == "failed"
+    assert "quality checks failed" in run.error
+
+
+# -------------------------------------------------------- quality checks
+
+def test_quality_checks_single_pass(spark):
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    rep = run_checks(
+        orders,
+        [
+            NullCheck(column="o_orderkey"),
+            UniqueCheck(columns=["o_orderkey"]),
+            RangeCheck(column="o_totalprice", min_value=0.0),
+            CustomCheck(predicate="o_totalprice > 0", name="pos_price"),
+            RowCountCheck(expected=orders.count()),
+        ],
+    )
+    assert rep.passed, [r.detail for r in rep.failures()]
+
+
+def test_quality_range_check_detects_violations(spark):
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    rep = run_checks(orders, [RangeCheck(column="o_totalprice", max_value=100.0)])
+    assert not rep.passed
+    assert rep.results[0].observed > 0.9  # nearly all orders cost > 100
+
+
+def test_freshness_check_injectable_now(spark):
+    df = spark.createDataFrame(
+        [(datetime(2024, 6, 1, 12, 0, 0),)], "ts timestamp"
+    )
+    fresh = FreshnessCheck(column="ts", max_age="1h")
+    fresh._now = datetime(2024, 6, 1, 12, 30, 0, tzinfo=timezone.utc)
+    assert run_checks(df, [fresh]).passed
+    stale = FreshnessCheck(column="ts", max_age="1h")
+    stale._now = datetime(2024, 6, 2, tzinfo=timezone.utc)
+    assert not run_checks(df, [stale]).passed
+
+
+def test_blob_integrity_check(spark):
+    refs = spark.createDataFrame([(f"u{i}",) for i in range(10)], "uri string")
+    listing = spark.createDataFrame([(f"u{i}",) for i in range(8)], "uri string")
+    res = BlobIntegrityCheck().run(refs, listing)
+    assert not res.passed
+    assert res.observed == pytest.approx(0.2)
+
+
+# -------------------------------------------------------------- inference
+
+def test_inference_linear_model(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 3.0, 4.0)], "id long, x double, y double"
+    )
+    t = InferenceTransform(
+        model=ModelSpec(uri="mem://lin", loader=lambda uri: linear_model([2.0, 0.5], 1.0)),
+        input_columns=["x", "y"],
+        output_column="score",
+    )
+    rows = {r["id"]: r["score"] for r in t.apply(df).collect()}
+    assert rows[1] == pytest.approx(2 * 1.0 + 0.5 * 2.0 + 1.0)
+    assert rows[2] == pytest.approx(2 * 3.0 + 0.5 * 4.0 + 1.0)
+
+
+def test_inference_array_column_and_hooks(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0]), (2, [0.0, 2.0, 0.0])], "id long, emb array<double>"
+    )
+    t = InferenceTransform(
+        model=ModelSpec(uri="mem://lin3", loader=lambda uri: linear_model([1.0, 1.0, 1.0])),
+        input_columns=["emb"],
+        output_column="s",
+        preprocess=lambda m: m * 2,
+        postprocess=lambda p: p + 100,
+    )
+    rows = {r["id"]: r["s"] for r in t.apply(df).collect()}
+    assert rows[1] == pytest.approx(104.0)
+    assert rows[2] == pytest.approx(104.0)
+
+
+def test_inference_missing_loader():
+    with pytest.raises(NotImplementedError, match="loader"):
+        ModelSpec(uri="s3://m", framework="pytorch").load()
+
+
+# ----------------------------------------------------- schedules / DAGs
+
+def test_schedules():
+    c = CronSchedule("30 2 * * *")
+    nxt = c.next_run(datetime(2024, 6, 1, 3, 0))
+    assert nxt == datetime(2024, 6, 2, 2, 30)
+    assert CronSchedule("*/15 * * * *").next_run(datetime(2024, 6, 1, 3, 7)) == datetime(
+        2024, 6, 1, 3, 15
+    )
+    with pytest.raises(ValueError):
+        CronSchedule("1 2 3")
+    i = IntervalSchedule("6h")
+    assert i.next_run(datetime(2024, 6, 1)) == datetime(2024, 6, 1, 6)
+    o = OnceSchedule(at=datetime(2024, 6, 5))
+    assert o.next_run(datetime(2024, 6, 1)) == datetime(2024, 6, 5)
+    assert o.next_run(datetime(2024, 6, 6)) is None
+
+
+def test_on_change_debounce():
+    s = OnChangeSchedule(debounce_seconds=60, max_delay_seconds=3600)
+    now = datetime(2024, 6, 1, 12, 0, 0)
+    assert not s.should_trigger(now, None, None)
+    # changes still arriving (10s ago) → hold
+    assert not s.should_trigger(now, now - timedelta(seconds=30), now - timedelta(seconds=10))
+    # quiet for 2 min → fire
+    assert s.should_trigger(now, now - timedelta(seconds=300), now - timedelta(seconds=120))
+    # never quiet but oldest change 2h old → max_delay fires
+    assert s.should_trigger(now, now - timedelta(hours=2), now - timedelta(seconds=5))
+
+
+def test_orchestrator_and_airflow_codegen(spark, tmp_path):
+    job = Job(
+        job_id="daily_rollup",
+        sources={"n": FileSystemSource(path=os.path.join(SF_DIR, "nation.parquet"))},
+        transform=SQLTransform("SELECT n_regionkey, COUNT(*) AS n FROM n GROUP BY 1"),
+        target=Target(path=str(tmp_path / "o"), write_mode="overwrite"),
+        max_retries=1,
+    )
+    orch = InternalOrchestrator()
+    orch.deploy(job, CronSchedule("0 4 * * *"))
+    assert job.status.value == "active"
+    run = orch.trigger(spark, "daily_rollup")
+    assert run.status == "completed"
+    assert orch.due_jobs(datetime(2024, 6, 2, 5, 0), {"daily_rollup": datetime(2024, 6, 1)}) == [
+        "daily_rollup"
+    ]
+
+    dag = generate_airflow_dag(job, CronSchedule("0 4 * * *"))
+    assert "featurestore_daily_rollup" in dag
+    assert "'0 4 * * *'" in dag
+    assert '"retries": 1' in dag
+    compile(dag, "<dag>", "exec")  # generated module must be valid Python
