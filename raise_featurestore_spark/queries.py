@@ -848,5 +848,58 @@ register(
 )
 
 
+# --------------------------------------------------------------------------
+# §2.11 Streaming windows (batch parity form; the same specs compile to
+# watermarked Structured Streaming plans — see streaming/windows.py and
+# tests/test_streaming.py)
+# --------------------------------------------------------------------------
+
+from raise_featurestore_spark.streaming.windows import (
+    SessionWindowSpec,
+    SlidingWindowSpec,
+    TumblingWindowSpec,
+    compile_window_agg,
+    window_agg_to_sql,
+)
+
+
+def register_window(name: str, table: str, spec) -> None:
+    register(
+        name,
+        lambda spark, sf_dir, t=table, s=spec: compile_window_agg(
+            load_table(spark, sf_dir, t), s
+        ),
+        window_agg_to_sql(spec, table),
+    )
+
+
+register_window(
+    "window_tumbling_daily",
+    "events",
+    TumblingWindowSpec(
+        time_column="ts", size="1d", feature="value",
+        metrics=["count", "sum", "avg"], keys=["event_type"],
+    ),
+)
+
+register_window(
+    "window_sliding_6h",
+    "events",
+    SlidingWindowSpec(
+        time_column="ts", size="6h", slide="3h", feature="value",
+        metrics=["count", "sum"],
+    ),
+)
+
+register_window(
+    "window_session_user",
+    "events",
+    SessionWindowSpec(
+        time_column="ts", gap="30m", feature="value",
+        metrics=["count", "sum"], keys=["user_id"],
+    ),
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_aggregation(load_table(spark, sf_dir, "lineitem"), _FLAGSHIP)

@@ -1,0 +1,199 @@
+"""Streaming: windowed aggregation specs (batch parity with DuckDB via the
+registry), true Structured Streaming execution with watermarks, and
+LiveTable refresh/on_change/query."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.streaming import (
+    LiveTable,
+    RefreshPolicy,
+    SessionWindowSpec,
+    SlidingWindowSpec,
+    TumblingWindowSpec,
+    compile_window_agg,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_window_spec_validation():
+    with pytest.raises(ValueError, match="multiple of slide"):
+        SlidingWindowSpec(time_column="ts", size="90m", slide="1h", feature="v")
+    with pytest.raises(ValueError, match="key column"):
+        SessionWindowSpec(time_column="ts", gap="10m", feature="v")
+    with pytest.raises(ValueError, match="unknown window metrics"):
+        TumblingWindowSpec(time_column="ts", size="1h", feature="v", metrics=["median"])
+
+
+def test_sliding_window_row_multiplicity(spark):
+    """Each event must land in exactly size/slide windows."""
+    rows = [(datetime(2024, 1, 1, 10, 37), 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    spec = SlidingWindowSpec(time_column="ts", size="2h", slide="1h", feature="v",
+                             metrics=["count", "sum"])
+    out = compile_window_agg(df, spec).collect()
+    assert len(out) == 2
+    starts = sorted(r["window_start"] for r in out)
+    assert starts == ["2024-01-01 09:00:00", "2024-01-01 10:00:00"]
+
+
+def test_session_window_merge_semantics(spark):
+    """Events < gap apart merge; a gap ≥ gap starts a new session."""
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", base, 1.0),
+        ("u1", base + timedelta(minutes=5), 2.0),  # merges (5m < 10m gap)
+        ("u1", base + timedelta(minutes=20), 3.0),  # 15m gap → new session
+        ("u2", base, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, v double")
+    spec = SessionWindowSpec(time_column="ts", gap="10m", feature="v",
+                             metrics=["count", "sum"], keys=["user"])
+    out = {(r["user"], r["window_start"]): (r["count_v"], r["sum_v"])
+           for r in compile_window_agg(df, spec).collect()}
+    assert out[("u1", "2024-01-01 12:00:00")] == (2, 3.0)
+    assert out[("u1", "2024-01-01 12:20:00")] == (1, 3.0)
+    assert out[("u2", "2024-01-01 12:00:00")] == (1, 4.0)
+
+
+def test_streaming_tumbling_with_watermark(spark, tmp_path):
+    """The SAME spec runs as a real Structured Streaming query: file source
+    → watermarked tumbling agg → memory sink."""
+    src = str(tmp_path / "stream_src")
+    rows = [
+        (datetime(2024, 1, 1, 10, 5), "a", 1.0),
+        (datetime(2024, 1, 1, 10, 55), "a", 2.0),
+        (datetime(2024, 1, 1, 11, 5), "b", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    df.coalesce(1).write.parquet(src)
+
+    spec = TumblingWindowSpec(time_column="ts", size="1h", feature="v",
+                              metrics=["count", "sum"], keys=["k"])
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = compile_window_agg(stream, spec, watermark="30m")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window_start"], r["k"]): (r["count_v"], r["sum_v"])
+        for r in spark.sql("SELECT * FROM win_test").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "a")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "b")] == (1, 3.0)
+
+
+def test_live_table_refresh_and_query(spark, tmp_path):
+    mat = str(tmp_path / "live_mat")
+    calls = {"n": 0}
+
+    def compute(s):
+        calls["n"] += 1
+        return (
+            s.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        )
+
+    lt = LiveTable("order_stats", compute, mat)
+    ev = lt.refresh(spark)
+    assert ev.status == "completed"
+    assert ev.rows_affected == 3
+    assert calls["n"] == 1
+
+    top = lt.query(spark, order_by="-rev", limit=1).collect()
+    assert len(top) == 1
+    filt = lt.query(spark, filter="o_orderstatus = 'F'").collect()
+    assert len(filt) == 1
+
+    # second refresh swaps atomically and appends history
+    ev2 = lt.refresh(spark)
+    assert ev2.status == "completed"
+    assert len(lt.refresh_history()) == 2
+
+    # history survives a new handle (JSONL sidecar)
+    lt2 = LiveTable("order_stats", compute, mat)
+    assert len(lt2.refresh_history()) == 2
+
+
+def test_live_table_on_change_stream(spark, tmp_path):
+    """New files under the watched dir trigger a real streaming refresh."""
+    watch = str(tmp_path / "watch")
+    mat = str(tmp_path / "mat")
+    chk = str(tmp_path / "chk")
+    os.makedirs(watch)
+
+    schema = "id long, v double"
+    spark.createDataFrame([(1, 10.0)], schema).coalesce(1).write.mode("append").parquet(watch)
+
+    def compute(s):
+        return s.read.parquet(watch).agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("total")
+        )
+
+    lt = LiveTable(
+        "stream_mat",
+        compute,
+        mat,
+        RefreshPolicy(mode="on_change", debounce_seconds=1, batch_size=10),
+    )
+    q = lt.start_on_change(spark, watch, schema, chk)
+    try:
+        deadline = time.time() + 60
+        while not os.path.exists(mat) and time.time() < deadline:
+            time.sleep(0.5)
+        assert os.path.exists(mat), "initial refresh never materialized"
+
+        def poll(expect_n: int):
+            """Read the materialization, tolerating the instant mid-swap
+            where the dir is being renamed."""
+            deadline = time.time() + 60
+            last = None
+            while time.time() < deadline:
+                try:
+                    rows = lt.query(spark).collect()
+                except Exception:
+                    rows = []
+                if rows:
+                    last = rows[0]
+                    if last["n"] == expect_n:
+                        return last
+                time.sleep(0.5)
+            return last
+
+        assert poll(1)["n"] == 1
+
+        spark.createDataFrame([(2, 5.0), (3, 2.5)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(watch)
+        final = poll(3)
+        assert final["n"] == 3
+        assert final["total"] == pytest.approx(17.5)
+        triggers = [e.trigger for e in lt.refresh_history()]
+        assert "on_change" in triggers
+    finally:
+        lt.stop()
+
+
+def test_live_table_refresh_failure_recorded(spark, tmp_path):
+    def boom(s):
+        raise RuntimeError("compute exploded")
+
+    lt = LiveTable("bad", boom, str(tmp_path / "m"))
+    ev = lt.refresh(spark)
+    assert ev.status == "failed"
+    assert "compute exploded" in ev.error
+    with pytest.raises(ValueError, match="on_change"):
+        lt.start_on_change(spark, "/tmp/x", "id long", "/tmp/c")
