@@ -1,0 +1,135 @@
+"""Dashboards: chart + parameter specs rendered over real analysis results.
+
+(reference: raise_/analytics/dashboard.py:19-593 — 12 chart types :19-33,
+7 parameter types :36-44, Dashboard/Chart wiring and render; the reference
+renders over mocked results, here ``render`` pulls each chart's analysis
+through the freshness-policied cache and emits a JSON-able payload.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+import pandas as pd
+
+from raise_featurestore_spark.analytics.freshness import CACHED, Freshness, ResultCache
+
+# reference: raise_/analytics/dashboard.py:19-33
+CHART_TYPES = frozenset(
+    {
+        "line",
+        "bar",
+        "area",
+        "scatter",
+        "pie",
+        "histogram",
+        "heatmap",
+        "table",
+        "metric",
+        "gauge",
+        "box",
+        "funnel",
+    }
+)
+
+# reference: raise_/analytics/dashboard.py:36-44
+PARAMETER_TYPES = frozenset(
+    {"string", "number", "date", "date_range", "select", "multi_select", "boolean"}
+)
+
+
+@dataclass
+class Parameter:
+    """Dashboard-level input substituted into chart filters
+    (reference: raise_/analytics/dashboard.py:330-420)."""
+
+    name: str
+    type: str = "string"
+    default: Any = None
+    options: list[Any] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.type not in PARAMETER_TYPES:
+            raise ValueError(f"unknown parameter type {self.type!r}")
+        if self.type in ("select", "multi_select") and not self.options:
+            raise ValueError(f"{self.type} parameter needs options")
+
+    def resolve(self, overrides: dict[str, Any]) -> Any:
+        value = overrides.get(self.name, self.default)
+        if self.type == "select" and value is not None and value not in self.options:
+            raise ValueError(f"{value!r} not in options for {self.name}")
+        return value
+
+
+@dataclass
+class Chart:
+    """One visual: an analysis spec + a compute callable + display hints.
+
+    ``compute(params)`` returns the (small) result frame; the spec rides
+    along for cache keying so two charts over the same analysis share one
+    computation.
+    """
+
+    title: str
+    chart_type: str
+    spec: Any  # analysis spec (has cache_key()) or any hashable descriptor
+    compute: Callable[[dict[str, Any]], pd.DataFrame]
+    x: str | None = None
+    y: str | list[str] | None = None
+    width: int = 6  # 12-column grid
+    height: int = 4
+
+    def __post_init__(self) -> None:
+        if self.chart_type not in CHART_TYPES:
+            raise ValueError(f"unknown chart type {self.chart_type!r}")
+
+
+@dataclass
+class Dashboard:
+    """reference: raise_/analytics/dashboard.py (Dashboard + render)."""
+
+    name: str
+    charts: list[Chart] = field(default_factory=list)
+    parameters: list[Parameter] = field(default_factory=list)
+    cache: ResultCache = field(default_factory=ResultCache)
+
+    def add_chart(self, chart: Chart) -> "Dashboard":
+        self.charts.append(chart)
+        return self
+
+    def render(
+        self,
+        params: dict[str, Any] | None = None,
+        freshness: Freshness = CACHED,
+    ) -> dict[str, Any]:
+        """Compute (or cache-hit) every chart; returns a JSON-able payload.
+        Fails soft per chart — one broken analysis doesn't blank the page."""
+        overrides = params or {}
+        resolved = {p.name: p.resolve(overrides) for p in self.parameters}
+        out: dict[str, Any] = {
+            "name": self.name,
+            "rendered_at": datetime.now(timezone.utc).isoformat(),
+            "parameters": resolved,
+            "charts": [],
+        }
+        for chart in self.charts:
+            entry: dict[str, Any] = {
+                "title": chart.title,
+                "type": chart.chart_type,
+                "x": chart.x,
+                "y": chart.y,
+                "layout": {"w": chart.width, "h": chart.height},
+            }
+            try:
+                frame = self.cache.get_or_compute(
+                    chart.spec, lambda c=chart: c.compute(resolved), freshness
+                )
+                entry["data"] = frame.to_dict(orient="records")
+                entry["status"] = "ok"
+            except Exception as ex:
+                entry["status"] = "error"
+                entry["error"] = f"{type(ex).__name__}: {ex}"[:300]
+            out["charts"].append(entry)
+        return out

@@ -1,0 +1,203 @@
+"""Metadata-plane analytics: alert conditions, freshness cache, dashboards
+— wired to REAL Spark-computed results."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.analytics.alert import (
+    AnalyticsAlert,
+    Condition,
+    Op,
+)
+from raise_featurestore_spark.analytics.analysis import Aggregation, Drift
+from raise_featurestore_spark.analytics.dashboard import (
+    Chart,
+    Dashboard,
+    Parameter,
+)
+from raise_featurestore_spark.analytics.freshness import (
+    CACHED,
+    REAL_TIME,
+    Freshness,
+    ResultCache,
+    within,
+)
+
+from tests.conftest import SF_DIR
+
+
+# -------------------------------------------------------------- conditions
+
+def test_condition_operators():
+    r = {"psi": 0.3, "p_value": 0.01, "count": 5, "tags": ["a", "b"]}
+    assert Condition("psi", Op.GT, 0.2).evaluate(r)
+    assert not Condition("psi", Op.LT, 0.2).evaluate(r)
+    assert Condition("count", Op.EQ, 5).evaluate(r)
+    assert Condition("count", Op.NE, 4).evaluate(r)
+    assert Condition("count", Op.GTE, 5).evaluate(r)
+    assert Condition("count", Op.LTE, 5).evaluate(r)
+    assert Condition("psi", Op.BETWEEN, 0.2, upper=0.4).evaluate(r)
+    assert Condition("psi", Op.OUTSIDE, 0.4, upper=0.9).evaluate(r)
+    assert Condition("tags", Op.CONTAINS, "a").evaluate(r)
+    # domain shortcuts auto-bind their metric
+    assert Condition(None, Op.PSI_GT, 0.2).evaluate(r)
+    assert Condition(None, Op.P_VALUE_LT, 0.05).evaluate(r)
+    with pytest.raises(ValueError, match="both"):
+        Condition("psi", Op.BETWEEN, 0.2)
+    with pytest.raises(KeyError):
+        Condition("missing", Op.GT, 1).evaluate(r)
+
+
+def test_alert_fires_on_real_drift(spark):
+    """Alert over the real Drift analysis (orders F vs O)."""
+    from raise_featurestore_spark.analytics.drift import compile_drift
+
+    drift = Drift(
+        feature="o_totalprice",
+        metrics=["psi", "kl_divergence"],
+        bins=10,
+        baseline_filter="o_orderstatus = 'F'",
+        current_filter="o_orderstatus = 'O'",
+    )
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+
+    def fetch():
+        return compile_drift(orders, drift).first().asDict()
+
+    fired_events = []
+    alert = AnalyticsAlert(
+        name="order_drift",
+        conditions=[Condition(None, Op.PSI_GT, -1.0)],  # any psi fires
+        fetch=fetch,
+        notify=fired_events.append,
+    )
+    ev = alert.check()
+    assert ev.fired
+    assert len(fired_events) == 1
+    assert "psi" in ev.observed
+
+    quiet = AnalyticsAlert(
+        name="no_fire", conditions=[Condition(None, Op.PSI_GT, 1e9)], fetch=fetch
+    )
+    assert not quiet.check().fired
+
+
+# ---------------------------------------------------------------- freshness
+
+def test_freshness_policies():
+    assert not REAL_TIME.accepts(0.0)
+    assert CACHED.accepts(1e9)
+    w = within("1h")
+    assert w.accepts(3599)
+    assert not w.accepts(3601)
+    with pytest.raises(ValueError):
+        Freshness("sometimes")
+    with pytest.raises(ValueError):
+        Freshness("within")
+
+
+def test_result_cache_hit_miss_expiry():
+    clock = {"t": 1000.0}
+    cache = ResultCache(_now=lambda: clock["t"])
+    spec = Aggregation(features=["x"], metrics=["count"])
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return pd.DataFrame({"count_x": [calls["n"]]})
+
+    r1 = cache.get_or_compute(spec, compute, within("1h"))
+    r2 = cache.get_or_compute(spec, compute, within("1h"))
+    assert calls["n"] == 1 and r2.equals(r1)  # hit
+
+    clock["t"] += 7200
+    cache.get_or_compute(spec, compute, within("1h"))
+    assert calls["n"] == 2  # expired → recompute
+
+    cache.get_or_compute(spec, compute, REAL_TIME)
+    assert calls["n"] == 3  # real_time never accepts
+
+    cache.get_or_compute(spec, compute, CACHED)
+    assert calls["n"] == 3  # cached always accepts
+    assert cache.stats()["hits"] == 2
+
+    # different spec → different key
+    other = Aggregation(features=["y"], metrics=["count"])
+    cache.get_or_compute(other, compute, CACHED)
+    assert calls["n"] == 4
+
+    cache.invalidate(spec)
+    cache.get_or_compute(spec, compute, CACHED)
+    assert calls["n"] == 5
+
+
+def test_cache_key_stability():
+    a = Aggregation(features=["x"], metrics=["count"], group_by="g")
+    b = Aggregation(features=["x"], metrics=["count"], group_by="g")
+    c = Aggregation(features=["x"], metrics=["sum"], group_by="g")
+    assert a.cache_key() == b.cache_key()
+    assert a.cache_key() != c.cache_key()
+
+
+# ---------------------------------------------------------------- dashboard
+
+def test_dashboard_render_with_cache_and_params(spark):
+    from raise_featurestore_spark.analytics.aggregation import compile_aggregation
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    spec = Aggregation(features=["o_totalprice"], metrics=["count", "sum"],
+                       group_by="o_orderstatus")
+    calls = {"n": 0}
+
+    def compute(params):
+        calls["n"] += 1
+        df = orders
+        if params.get("status"):
+            df = df.where(F.col("o_orderstatus") == params["status"])
+        return compile_aggregation(df, spec).toPandas()
+
+    dash = Dashboard(
+        name="orders",
+        parameters=[Parameter("status", "select", default=None, options=["F", "O", "P"])],
+    ).add_chart(
+        Chart(title="Revenue by status", chart_type="bar", spec=spec,
+              compute=compute, x="o_orderstatus", y="sum_o_totalprice")
+    )
+
+    page = dash.render()
+    assert page["charts"][0]["status"] == "ok"
+    assert len(page["charts"][0]["data"]) == 3
+    assert calls["n"] == 1
+
+    page2 = dash.render()  # cache hit: same spec
+    assert calls["n"] == 1
+    assert page2["charts"][0]["data"] == page["charts"][0]["data"]
+
+    with pytest.raises(ValueError, match="not in options"):
+        dash.render(params={"status": "Z"})
+
+
+def test_dashboard_fails_soft():
+    def boom(params):
+        raise RuntimeError("backend down")
+
+    dash = Dashboard(name="d").add_chart(
+        Chart(title="x", chart_type="metric", spec="k1", compute=boom)
+    )
+    page = dash.render()
+    assert page["charts"][0]["status"] == "error"
+    assert "backend down" in page["charts"][0]["error"]
+
+
+def test_chart_and_parameter_validation():
+    with pytest.raises(ValueError, match="chart type"):
+        Chart(title="x", chart_type="sankey", spec="s", compute=lambda p: None)
+    with pytest.raises(ValueError, match="parameter type"):
+        Parameter("p", "decimal")
+    with pytest.raises(ValueError, match="options"):
+        Parameter("p", "select")
