@@ -23,8 +23,30 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _latest_per_key(updates: DataFrame, key_columns: list[str],
+                    sequence_column: str | None) -> DataFrame:
+    """One row per key from the update batch.
+
+    With ``sequence_column`` the winner is the row with the greatest
+    sequence value (deterministic — the semantics of a sequenced MERGE,
+    ties broken arbitrarily). Without it, ``dropDuplicates`` picks an
+    ARBITRARY row per key: fine when a batch can't contain two versions of
+    one key (e.g. keyed CDC compaction upstream), nondeterministic
+    otherwise — an incremental batch whose lookback window re-reads an old
+    row alongside its correction MUST pass a sequence column.
+    """
+    if sequence_column is None:
+        return updates.dropDuplicates(key_columns)
+    w = Window.partitionBy(*key_columns).orderBy(F.col(sequence_column).desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def write_feature_group(
@@ -33,6 +55,7 @@ def write_feature_group(
     mode: str = "append",
     key_columns: list[str] | None = None,
     partition_by: list[str] | None = None,
+    sequence_column: str | None = None,
 ) -> None:
     writer = df.write
     if partition_by:
@@ -46,23 +69,23 @@ def write_feature_group(
     if mode == "upsert":
         if not key_columns:
             raise ValueError("upsert requires key_columns")
-        _upsert(df, path, key_columns, partition_by)
+        _upsert(df, path, key_columns, partition_by, sequence_column)
         return
     raise ValueError(f"unknown write mode {mode!r}")
 
 
 def _upsert(updates: DataFrame, path: str, key_columns: list[str],
-            partition_by: list[str] | None) -> None:
+            partition_by: list[str] | None, sequence_column: str | None = None) -> None:
     spark = updates.sparkSession
     if not os.path.exists(path):
-        w = updates.write
+        w = _latest_per_key(updates, key_columns, sequence_column).write
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.mode("overwrite").parquet(path)
         return
     # updates win on key collision; dedupe the batch itself first so the
     # anti-join and union are deterministic
-    deduped = updates.dropDuplicates(key_columns)
+    deduped = _latest_per_key(updates, key_columns, sequence_column)
     old = spark.read.parquet(path)
     kept = old.join(F.broadcast(deduped.select(*key_columns)), on=key_columns, how="left_anti")
     merged = kept.unionByName(deduped, allowMissingColumns=True)

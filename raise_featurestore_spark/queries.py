@@ -487,11 +487,18 @@ register(
 )
 
 register(
+    # n=12/max_df=200: the synthetic corpus has a tiny 5-gram vocabulary
+    # (2k shingles over 5k docs at sf0.1), so short shingles make every
+    # shingle a stop-shingle — the inverted index degenerates to ~n² (285M
+    # intermediate pairs for 0 results, measured). 12-gram vocabulary is
+    # 131k, the df-cap actually prunes (18.7M pairs), and the 242 planted
+    # near-dup pairs ARE found. Same lesson at 100 TB: size the shingle to
+    # the corpus so rare shingles exist.
     "dedup_ngram_jaccard",
     lambda spark, sf_dir: DD.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.6, max_df=1000
+        load_table(spark, sf_dir, "documents"), n=12, threshold=0.5, max_df=200
     ),
-    DD.jaccard_pairs_sql("documents", threshold=0.6, max_df=1000),
+    DD.jaccard_pairs_sql("documents", n=12, threshold=0.5, max_df=200),
 )
 
 register(

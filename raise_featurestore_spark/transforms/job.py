@@ -66,6 +66,9 @@ class Target:
     key_columns: list[str] = field(default_factory=list)
     column_mapping: dict[str, str] = field(default_factory=dict)
     partition_by: list[str] = field(default_factory=list)
+    # deterministic upsert conflict winner = max(sequence_column) per key;
+    # REQUIRED when an incremental lookback can re-read old versions
+    sequence_column: str | None = None
 
     def __post_init__(self) -> None:
         if self.write_mode not in ("append", "overwrite", "upsert"):
@@ -210,6 +213,7 @@ class Job:
                 mode=mode,
                 key_columns=self.target.key_columns or None,
                 partition_by=self.target.partition_by or None,
+                sequence_column=self.target.sequence_column,
             )
 
             run.rows_written = int(write_obs.get["n"])

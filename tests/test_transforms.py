@@ -215,7 +215,11 @@ def test_job_incremental_upsert_advances_checkpoint(spark, tmp_path):
             job_id="inc1",
             sources={"src": FileSystemSource(path=src_path)},
             transform=PythonTransform(lambda ctx, df: df.withColumn("v2", F.col("v") * 2)),
-            target=Target(path=out_path, write_mode="upsert", key_columns=["id"]),
+            # sequence_column makes the conflict winner deterministic: the
+            # lookback re-read puts BOTH the old row 9 and its correction
+            # in the same batch
+            target=Target(path=out_path, write_mode="upsert", key_columns=["id"],
+                          sequence_column="ts"),
             incremental=IncrementalConfig(
                 mode=IncrementalMode.UPSERT,
                 checkpoint_column="ts",
@@ -229,19 +233,21 @@ def test_job_incremental_upsert_advances_checkpoint(spark, tmp_path):
     assert run1.rows_written == 10
     assert store.get("inc1").value == "2024-06-01 09:00:00"
 
-    # append 5 newer rows + re-deliver row 9 with a changed value
-    rows2 = [(i, base + timedelta(hours=i), float(i) * 10) for i in range(9, 15)]
+    # 5 newer rows + a late correction of row 9 (newer ts, changed value)
+    rows2 = [(9, base + timedelta(hours=10), 90.0)] + [
+        (i, base + timedelta(hours=i), float(i) * 10) for i in range(10, 15)
+    ]
     spark.createDataFrame(rows2, "id long, ts timestamp, v double").write.mode(
         "append"
     ).parquet(src_path)
 
     run2 = make_job().run(spark)
     assert run2.status == "completed", run2.error
-    # checkpoint 09:00 - lookback 1h → reads ts >= 08:00: old ids 8,9 + new 9..14
+    # checkpoint 09:00 - lookback 1h → reads ts >= 08:00: old ids 8,9 + new batch
     assert run2.rows_read == 8
     out = spark.read.parquet(out_path)
     assert out.count() == 15  # upsert dedup on id
-    assert out.where("id = 9").select("v").collect()[0][0] == 90.0  # update won
+    assert out.where("id = 9").select("v").collect()[0][0] == 90.0  # max(ts) won
     assert store.get("inc1").value == "2024-06-01 14:00:00"
 
 
