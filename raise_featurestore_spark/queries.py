@@ -856,6 +856,33 @@ register(
 
 
 # --------------------------------------------------------------------------
+# §2.5 VersionDiff: v1-vs-v2 statistics deltas + shared-bin drift
+# --------------------------------------------------------------------------
+
+from raise_featurestore_spark.analytics.analysis import VersionDiff
+from raise_featurestore_spark.analytics.version_diff import (
+    compile_version_diff,
+    version_diff_to_sql,
+)
+
+_VDIFF = VersionDiff(
+    feature="value", from_version="v1", to_version="v2",
+    compare=["statistics", "distribution"], bins=12,
+)
+# v1 = the physical column; v2 = a recalibrated derived version (the
+# catalog-resolution path is exercised in tests/test_version_diff.py)
+_VDIFF_TO = "value * 1.1 + 2"
+
+register(
+    "version_diff_value",
+    lambda spark, sf_dir: compile_version_diff(
+        load_table(spark, sf_dir, "events"), _VDIFF, F.col("value"), F.expr(_VDIFF_TO)
+    ),
+    version_diff_to_sql(_VDIFF, "events", "value", _VDIFF_TO),
+)
+
+
+# --------------------------------------------------------------------------
 # §2.11 Streaming windows (batch parity form; the same specs compile to
 # watermarked Structured Streaming plans — see streaming/windows.py and
 # tests/test_streaming.py)
