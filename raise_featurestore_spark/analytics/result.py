@@ -1,0 +1,175 @@
+"""AnalysisResult + async AnalysisJob + the analyze client path.
+
+(reference: raise_/analytics/result.py — AnalysisResult :21-96 with typed
+accessors and export :102-162; AnalysisJob pending→running→completed with
+wait()/result()/cancel() :202-308; client orchestration
+raise_/analytics/client.py:46-115 with the freshness cache at :61-79.
+The reference executes nothing; here ``analyze`` compiles the spec through
+the router, collects the (small) result, and caches it under the
+freshness policy.)
+
+Async model: analyses are Spark jobs driven from the driver, so the async
+variant is a daemon thread per job (the reference's job-queue boundary,
+PRD.md:1064-1082, maps to a real queue in production). ``cancel`` uses a
+thread-local Spark job tag (``addTag``/``interruptTag``) so a running
+distributed job is actually interrupted, not just abandoned.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from raise_featurestore_spark.analytics.freshness import CACHED, Freshness, ResultCache
+from raise_featurestore_spark.analytics.router import compile_analysis
+
+
+@dataclass
+class AnalysisResult:
+    """Collected analysis output with typed accessors + export
+    (reference: raise_/analytics/result.py:21-162)."""
+
+    spec: Any
+    data: pd.DataFrame
+    created_at: str = field(
+        default_factory=lambda: datetime.now(timezone.utc).isoformat()
+    )
+
+    def to_dataframe(self) -> pd.DataFrame:
+        return self.data.copy()
+
+    def to_json(self, path: str | None = None) -> str:
+        payload = json.dumps(
+            {
+                "created_at": self.created_at,
+                "rows": self.data.to_dict(orient="records"),
+            },
+            default=str,
+        )
+        if path:
+            with open(path, "w") as f:
+                f.write(payload)
+        return payload
+
+    def to_csv(self, path: str | None = None) -> str:
+        text = self.data.to_csv(index=False)
+        if path:
+            with open(path, "w") as f:
+                f.write(text)
+        return text
+
+    def value(self, metric: str, default: Any = None) -> Any:
+        """Scalar accessor for 1-row results (e.g. ``result.value('psi')``)."""
+        if metric in self.data.columns and len(self.data):
+            return self.data[metric].iloc[0]
+        return default
+
+    @property
+    def row_count(self) -> int:
+        return len(self.data)
+
+
+class AnalysisJob:
+    """Async analysis handle (reference: raise_/analytics/result.py:202-308)."""
+
+    def __init__(self, spark: SparkSession, run: Callable[[], AnalysisResult]) -> None:
+        self.job_id = uuid.uuid4().hex[:12]
+        self.status = "pending"
+        self.error: str | None = None
+        self._result: AnalysisResult | None = None
+        self._spark = spark
+        self._group = f"analysis-{self.job_id}"
+        self._done = threading.Event()
+
+        def target() -> None:
+            self.status = "running"
+            try:
+                # thread-local job tag → cancel() interrupts exactly this
+                # job's stages (PySpark ≥3.5 tag API; clearJobGroup is gone
+                # in PySpark 4)
+                try:
+                    self._spark.addTag(self._group)
+                except Exception:
+                    pass  # tag API unavailable (e.g. mocked session)
+                self._result = run()
+                if self.status != "cancelled":
+                    self.status = "completed"
+            except Exception as ex:
+                if self.status != "cancelled":
+                    self.status = "failed"
+                    self.error = f"{type(ex).__name__}: {ex}"[:500]
+            finally:
+                try:
+                    self._spark.clearTags()
+                except Exception:
+                    pass
+                self._done.set()
+
+        self._thread = threading.Thread(target=target, daemon=True)
+        self._thread.start()
+
+    def wait(self, timeout: float | None = None) -> str:
+        self._done.wait(timeout)
+        return self.status
+
+    def result(self, timeout: float | None = None) -> AnalysisResult:
+        status = self.wait(timeout)
+        if status == "completed":
+            return self._result  # type: ignore[return-value]
+        if status in ("pending", "running"):
+            raise TimeoutError(f"analysis {self.job_id} still {status}")
+        raise RuntimeError(f"analysis {self.job_id} {status}: {self.error}")
+
+    def cancel(self) -> bool:
+        """Interrupts the distributed job via its Spark job tag."""
+        if self._done.is_set():
+            return False
+        self.status = "cancelled"
+        try:
+            self._spark.interruptTag(self._group)
+        except Exception:
+            pass
+        return True
+
+
+class AnalyticsClient:
+    """The ``group.analyze`` execution path with freshness-cached results
+    (reference: raise_/analytics/client.py:46-115)."""
+
+    def __init__(self, cache: ResultCache | None = None) -> None:
+        self.cache = cache or ResultCache()
+        self.results: list[AnalysisResult] = []
+
+    def analyze(
+        self,
+        df: DataFrame,
+        spec: Any,
+        freshness: Freshness = CACHED,
+        **kwargs: Any,
+    ) -> AnalysisResult:
+        def compute() -> pd.DataFrame:
+            return compile_analysis(df, spec, **kwargs).toPandas()
+
+        data = self.cache.get_or_compute(spec, compute, freshness)
+        result = AnalysisResult(spec=spec, data=data)
+        self.results.append(result)
+        return result
+
+    def analyze_async(
+        self,
+        df: DataFrame,
+        spec: Any,
+        freshness: Freshness = CACHED,
+        **kwargs: Any,
+    ) -> AnalysisJob:
+        return AnalysisJob(
+            df.sparkSession, lambda: self.analyze(df, spec, freshness, **kwargs)
+        )
