@@ -77,6 +77,23 @@ def test_object_storage_bad_format():
         ObjectStorageSource(path="/x", format="xml").read(None)
 
 
+def test_source_csv_json_formats(spark, tmp_path):
+    """Non-parquet formats round-trip through the same source specs."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    csv_dir, json_dir = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", "true").csv(csv_dir)
+    df.write.json(json_dir)
+
+    csv_src = FileSystemSource(path=csv_dir, format="csv",
+                               options={"header": "true", "inferSchema": "true"})
+    got_csv = {(r["id"], r["s"]) for r in csv_src.read(spark).collect()}
+    assert got_csv == {(1, "a"), (2, "b")}
+
+    json_src = ObjectStorageSource(path=json_dir, format="jsonl")
+    got_json = {(r["id"], r["s"]) for r in json_src.read(spark).collect()}
+    assert got_json == {(1, "a"), (2, "b")}
+
+
 def test_filesystem_and_columnar_source_read(spark):
     fs = FileSystemSource(path=os.path.join(SF_DIR, "region.parquet"))
     assert fs.read(spark).count() == 5
