@@ -380,6 +380,10 @@ def simhash_near_pairs(
     (pigeonhole guarantees this for hamming ≤ 3 over 4 bands), so the join
     is an equi-join on (band, byte), never a cross product.
     """
+    # NOTE: the self-join recomputes the signature subplan on both sides;
+    # measured, that beats a .cache() here (the InMemoryRelation barrier
+    # costs more than the recompute at this signature width). At 100 TB,
+    # materialize signatures to a table instead.
     sh = simhash(df, id_col, text_col)
     banded = sh.select(
         "id",

@@ -104,6 +104,18 @@ register_agg(
 )
 
 register_agg(
+    # events.value contains real nulls → exercises null_rate/null_count on
+    # data where they are non-trivial
+    "agg_null_profile",
+    "events",
+    Aggregation(
+        features=["value"],
+        metrics=["count", "null_count", "null_rate", "avg"],
+        group_by="event_type",
+    ),
+)
+
+register_agg(
     "agg_window_7d",
     "events",
     Aggregation(
@@ -189,6 +201,12 @@ register_dist(
         metrics=["skewness", "kurtosis"],
         filter="value IS NOT NULL",
     ),
+)
+
+register_dist(
+    "dist_density",
+    "lineitem",
+    Distribution(feature="l_discount", metrics=["density"], bins=11),
 )
 
 

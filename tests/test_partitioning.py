@@ -1,0 +1,50 @@
+"""Physical layout: Hive-partitioned feature-group writes give partition
+pruning on read (SURVEY §4 layout decisions; reference partition_columns
+surface raise_/transforms/source.py:90,124-134)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.io.writer import write_feature_group
+from raise_featurestore_spark.transforms.source import ObjectStorageSource
+
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    write_feature_group(events, out, mode="overwrite", partition_by=["event_type"])
+
+    # layout: one dir per event_type value
+    parts = sorted(d for d in os.listdir(out) if d.startswith("event_type="))
+    assert len(parts) >= 3
+
+    df = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the partition predicate must land in PartitionFilters (dir-level
+    # pruning: non-matching partitions are never listed, let alone read)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    got = {r["event_type"] for r in df.select("event_type").distinct().collect()}
+    assert got == {"purchase"}
+
+
+def test_partition_path_source_skips_listing(spark, tmp_path):
+    """with_partition narrows the scan path itself — object-store prefix
+    pruning before any file is opened."""
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "dt string, v int"
+    )
+    df.write.partitionBy("dt").parquet(out)
+
+    src = ObjectStorageSource(path=out).with_partition("dt", "2024-01-02")
+    rows = src.read(spark).collect()
+    assert [r["v"] for r in rows] == [2]
