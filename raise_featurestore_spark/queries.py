@@ -457,6 +457,38 @@ def _vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vector_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE_SIMILARITY / L1_DISTANCE / NORMALIZE between each embedding
+    and the next row's (self-join on vec_id+1) — §2.9 vector whitelist."""
+    from raise_featurestore_spark.functions import vector as V
+
+    df = load_table(spark, sf_dir, "embeddings")
+    a = df.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = df.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    pair = a.join(b, "vec_id")
+    return pair.select(
+        "vec_id",
+        F.round(V.cosine_similarity("ea", "eb"), 4).alias("cos_next"),
+        F.round(V.l1_distance("ea", "eb"), 4).alias("l1_next"),
+        F.round(F.element_at(V.normalize("ea"), 1), 4).alias("unit_first"),
+    )
+
+
+register(
+    "vector_similarity_pairs",
+    _vector_similarity,
+    "WITH p AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb "
+    "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1) "
+    "SELECT vec_id, "
+    "ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') "
+    "/ (SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')) * "
+    "SQRT(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * x), 'sum'))), 4) AS cos_next, "
+    "ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> ABS(CAST(x[1] AS DOUBLE) - x[2])), 'sum'), 4) AS l1_next, "
+    "ROUND(CAST(ea[1] AS DOUBLE) / SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')), 4) AS unit_first "
+    "FROM p",
+)
+
+
 register(
     "vector_norm_dot",
     _vector_norms,
