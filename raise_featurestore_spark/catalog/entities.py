@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any
 
+from raise_featurestore_spark.catalog.acl import ExternalGrant
 from raise_featurestore_spark.types import FeatureType, parse_dtype
 
 
@@ -106,6 +107,9 @@ class FeatureGroupMeta:
     features: dict[str, list[Feature]] = field(default_factory=dict)
     storage_path: str | None = None
     created_at: float = field(default_factory=time.time)
+    # cross-org grants (reference: feature_group.py:529-579); list of
+    # catalog.acl.ExternalGrant
+    grants: list = field(default_factory=list)
 
     def latest(self, name: str) -> Feature:
         versions = self.features.get(name)
@@ -130,6 +134,15 @@ class FeatureGroupMeta:
             "features": {n: [f.to_dict() for f in vs] for n, vs in self.features.items()},
             "storage_path": self.storage_path,
             "created_at": self.created_at,
+            "grants": [
+                {
+                    "grantee_org": g.grantee_org,
+                    "features": list(g.features),
+                    "role": g.role,
+                    "expires_at": g.expires_at,
+                }
+                for g in self.grants
+            ],
         }
 
     @classmethod
@@ -145,6 +158,15 @@ class FeatureGroupMeta:
             },
             storage_path=d.get("storage_path"),
             created_at=d.get("created_at", 0.0),
+            grants=[
+                ExternalGrant(
+                    grantee_org=g["grantee_org"],
+                    features=g.get("features", ["*"]),
+                    role=g.get("role", "reader"),
+                    expires_at=g.get("expires_at"),
+                )
+                for g in d.get("grants", [])
+            ],
         )
 
 

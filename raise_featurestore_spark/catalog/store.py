@@ -396,9 +396,40 @@ class BoundFeatureGroup:
                 out[name] = latest.physical_column
         return out
 
+    def grant_access(self, grantee_org: str, features: list[str] | None = None,
+                     role: str = "reader", expires_at: float | None = None):
+        """Cross-org grant with wildcard feature patterns and expiry
+        (reference: feature_group.py:529-579)."""
+        from raise_featurestore_spark.catalog.acl import ExternalGrant
+
+        g = ExternalGrant(grantee_org=grantee_org, features=features or ["*"],
+                          role=role, expires_at=expires_at)
+        self.meta.grants.append(g)
+        self.store.audit.log("acl", "grant_access",
+                             f"{self.qualified_name()}:{grantee_org}")
+        self.store._save()
+        return g
+
+    def revoke_access(self, grantee_org: str) -> int:
+        before = len(self.meta.grants)
+        self.meta.grants = [g for g in self.meta.grants if g.grantee_org != grantee_org]
+        self.store.audit.log("acl", "revoke_access",
+                             f"{self.qualified_name()}:{grantee_org}")
+        self.store._save()
+        return before - len(self.meta.grants)
+
+    def qualified_name(self) -> str:
+        return f"{self.org}/{self.domain}/{self.project}/{self.meta.name}"
+
     def _resolver(self, spark: SparkSession):
         """Cross-group reference resolver: ``group.feature`` joins the other
-        group's table on the shared entity key (SURVEY §2.3)."""
+        group's table on the shared entity key (SURVEY §2.3).
+
+        Cross-ORG references are permission-checked at plan time, before
+        any plan is built (SURVEY §7 hard-item 5; reference PRD.md:591):
+        the reading context's org must hold a valid, unexpired grant
+        covering the referenced feature.
+        """
 
         def resolve(ref: FeatureRef):
             org = ref.org or self.org
@@ -411,6 +442,11 @@ class BoundFeatureGroup:
                 return df, self.meta.entity_key, self.meta.entity_key, feat.physical_column
             other = self.store.get_feature_group(ref.group, org=org, domain=domain,
                                                  project=project)
+            if org != self.org:
+                from raise_featurestore_spark.catalog.acl import ACL, check_access
+
+                check_access(ACL(), other.meta.grants, principal_org=self.org,
+                             owner_org=org, feature=ref.feature, role="reader")
             feat = other.get_feature(
                 f"{ref.feature}@{ref.version}" if ref.version else ref.feature
             )
