@@ -28,6 +28,14 @@ def test_example_derived_features(spark):
     assert out["version"] == 2
 
 
+def test_example_cross_org(spark):
+    out = _load("04_cross_org_access.py").main(SF_DIR)
+    assert out["before_grant"] == "denied"
+    assert out["after_grant"] == "allowed"
+    assert out["after_revoke"] == "denied"
+    assert out["acl_audit_events"] >= 2
+
+
 def test_example_analytics(spark):
     out = _load("06_analytics.py").main(SF_DIR)
     assert out["aggregation_rows"] == 3
