@@ -1,0 +1,54 @@
+"""Skew helpers: salted join and two-stage distinct must equal their
+unsalted forms exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.functions.skew import salted_count_distinct, salted_join
+
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+
+    plain = orders.join(cust, "o_custkey").agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    salted = salted_join(orders, cust, "o_custkey", salt=8).agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (9, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "A"), (2, "B")], "k long, w string")
+    out = {(r["k"], r["w"]) for r in salted_join(big, small, "k", how="left").collect()}
+    assert out == {(1, "A"), (2, "B"), (9, None)}
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+
+
+def test_salted_count_distinct_exact(spark):
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    plain = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["distinct_user_id"]
+        for r in salted_count_distinct(events, "event_type", "user_id", salt=8).collect()
+    }
+    assert salted == plain
