@@ -202,7 +202,8 @@ def _anova_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         f"FROM {table}{where} GROUP BY {spec.segment_by}"
     )
     s = (
-        "SELECT SUM(__n) AS N, COUNT(*) AS k, SUM(__n * __m) AS S1, "
+        # CAST: DuckDB SUM(int) is HUGEINT; Spark's is bigint — align output types
+        "SELECT CAST(SUM(__n) AS BIGINT) AS N, COUNT(*) AS k, SUM(__n * __m) AS S1, "
         "SUM(__n * __m * __m) AS S2, SUM((__n - 1) * __v) AS ssw FROM ({}) __g"
     ).format(g)
     ssb = "(S2 - S1 * S1 / N)"
@@ -251,7 +252,7 @@ def _chi2_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         f"WITH __ct AS (SELECT {f_}, {s_}, COUNT(*) AS o FROM {table}{where} GROUP BY {f_}, {s_}), "
         f"__rt AS (SELECT {f_}, COUNT(*) AS rt FROM {table}{where} GROUP BY {f_}), "
         f"__cl AS (SELECT {s_}, COUNT(*) AS ct FROM {table}{where} GROUP BY {s_}), "
-        f"__s AS (SELECT SUM(o) AS N, SUM(CAST(o AS DOUBLE) * o / (rt * ct)) AS q, "
+        f"__s AS (SELECT CAST(SUM(o) AS BIGINT) AS N, SUM(CAST(o AS DOUBLE) * o / (rt * ct)) AS q, "
         f"COUNT(DISTINCT __ct.{f_}) AS r, COUNT(DISTINCT __ct.{s_}) AS c "
         f"FROM __ct JOIN __rt USING ({f_}) JOIN __cl USING ({s_})) "
         f"SELECT 'chi2' AS test, N AS n_total, r AS r_levels, c AS c_levels, "
@@ -323,7 +324,8 @@ def _mannwhitney_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         "__v AS (SELECT __x, SUM(CASE WHEN __is_c THEN 1 ELSE 0 END) AS tc, COUNT(*) AS t "
         "FROM __b GROUP BY __x), "
         "__r AS (SELECT tc, t, SUM(t) OVER (ORDER BY __x) - (t - 1) / 2.0 AS __avg_rank FROM __v), "
-        "__s AS (SELECT SUM(tc * __avg_rank) AS R1, SUM(tc) AS n1, SUM(t - tc) AS n2, "
+        "__s AS (SELECT SUM(tc * __avg_rank) AS R1, CAST(SUM(tc) AS BIGINT) AS n1, "
+        "CAST(SUM(t - tc) AS BIGINT) AS n2, "
         "SUM(CAST(t AS DOUBLE) * t * t - t) AS tie3 FROM __r) "
         "SELECT 'mannwhitney' AS test, n1 AS n_control, n2 AS n_treatment, "
         f"ROUND(R1 - n1 * (n1 + 1) / 2.0, {round_to}) AS statistic, "
@@ -380,7 +382,8 @@ def _ks_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         "SUM(CASE WHEN __is_c THEN 0 ELSE 1 END) AS c2 FROM __b GROUP BY __x), "
         "__c AS (SELECT SUM(c1) OVER (ORDER BY __x) AS cum1, SUM(c2) OVER (ORDER BY __x) AS cum2, "
         "SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM __v) "
-        "SELECT 'ks' AS test, MAX(n1) AS n_control, MAX(n2) AS n_treatment, "
+        "SELECT 'ks' AS test, CAST(MAX(n1) AS BIGINT) AS n_control, "
+        "CAST(MAX(n2) AS BIGINT) AS n_treatment, "
         f"ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)), {round_to}) "
         "AS statistic FROM __c"
     )

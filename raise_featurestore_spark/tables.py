@@ -41,6 +41,11 @@ _NANO_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's parquet stores some columns as TIMESTAMP(NANOS), which
+    # Spark can't represent natively; this runtime-settable, idempotent conf
+    # makes the scan surface them as long nanos (converted to a µs timestamp
+    # below). Set here so it holds in any session, including the driver's.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
@@ -56,7 +61,7 @@ def load_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
