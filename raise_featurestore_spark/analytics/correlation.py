@@ -8,11 +8,13 @@ Scale design:
   expressions in one ``agg`` → one scan, partial+final hash aggregation, no
   shuffle of raw rows beyond the 1-row result. The long-form pivot runs on
   that 1-row frame (driver-cheap ``stack``).
-- **spearman** = pearson over average ranks. Ranks need a global sort per
-  feature (``rank() OVER (ORDER BY x)``): exact ranks are a deliberate
-  single-partition cost, so at scale callers set ``sample_size`` (the spec
-  carries it for exactly this reason, reference analysis.py:176). Tie
-  handling is the standard average-rank: ``rank + (ties-1)/2``.
+- **spearman** = pearson over average ranks. Ranks are computed per feature
+  from the distinct-value frame with a distributed range-partitioned prefix
+  sum (``functions/prefix.py``) and joined back — exact, and no
+  single-partition global-sort window even on continuous features.
+  ``sample_size`` (reference analysis.py:176) remains available to bound
+  cost further. Tie handling is the standard average-rank
+  ``rank + (ties-1)/2``.
 - **kendall** (tau-b) has no distributed closed form; it runs on a bounded
   sample via ``applyInPandas`` with an O(n²) numpy kernel (no scipy in the
   runtime). Rows-only oracle check, as the driver contract allows.
@@ -47,14 +49,30 @@ def _prepare(df: DataFrame, spec: Correlation, seed: int) -> DataFrame:
 
 
 def _rank_cols(df: DataFrame, features: list[str]) -> DataFrame:
-    """Replace each feature with its average rank (spearman prep)."""
-    from pyspark.sql import Window
+    """Replace each feature with its average rank (spearman prep).
 
+    Scale-safe: melt all features to long form (one scan), group to distinct
+    (feature, value) with tie counts, then ONE grouped range-partitioned
+    prefix sum gives every feature's cumulative counts — no
+    ``rank() OVER (ORDER BY x)`` single-partition sort, and one range
+    shuffle total instead of one per feature. Average-of-tied-ranks is
+    ``cum - (t-1)/2``; ranks join back per feature on the exact value."""
+    from raise_featurestore_spark.functions.prefix import grouped_range_prefix_sums
+
+    n = len(features)
+    stack_expr = ", ".join(f"'{ft}', CAST({ft} AS DOUBLE)" for ft in features)
+    melted = df.selectExpr(f"stack({n}, {stack_expr}) AS (__ft, __val)")
+    byval = melted.groupBy("__ft", "__val").agg(F.count(F.lit(1)).alias("__t"))
+    cum = grouped_range_prefix_sums(byval, ["__ft"], "__val", {"__cum": "__t"})
+    ranks = cum.withColumn(
+        "__rk", F.col("__cum") - (F.col("__t") - F.lit(1)) / F.lit(2.0)
+    )
     for ft in features:
-        r = F.rank().over(Window.orderBy(F.col(ft)))
-        ties = F.count(F.lit(1)).over(Window.partitionBy(F.col(ft)))
-        df = df.withColumn(ft, r + (ties - F.lit(1)) / F.lit(2.0))
-    return df
+        r = ranks.where(F.col("__ft") == ft).select(
+            F.col("__val").alias(f"__v_{ft}"), F.col("__rk").alias(f"__rk_{ft}")
+        )
+        df = df.join(r, F.col(ft).cast("double") == F.col(f"__v_{ft}"))
+    return df.select(*[F.col(f"__rk_{ft}").alias(ft) for ft in features])
 
 
 def compile_correlation(

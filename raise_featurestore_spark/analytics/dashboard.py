@@ -123,8 +123,13 @@ class Dashboard:
                 "layout": {"w": chart.width, "h": chart.height},
             }
             try:
+                # key on spec AND resolved params — the same chart rendered
+                # under different parameter bindings is a different result
                 frame = self.cache.get_or_compute(
-                    chart.spec, lambda c=chart: c.compute(resolved), freshness
+                    chart.spec,
+                    lambda c=chart: c.compute(resolved),
+                    freshness,
+                    extra_key=repr(sorted(resolved.items())),
                 )
                 entry["data"] = frame.to_dict(orient="records")
                 entry["status"] = "ok"

@@ -78,10 +78,17 @@ class ResultCache:
         spec: Any,
         compute: Callable[[], pd.DataFrame],
         freshness: Freshness = CACHED,
+        extra_key: str | None = None,
     ) -> pd.DataFrame:
         """Return the cached result if the policy accepts its age, else run
-        ``compute`` (a collected/toPandas analysis) and cache it."""
+        ``compute`` (a collected/toPandas analysis) and cache it.
+
+        ``extra_key`` distinguishes computations whose spec alone doesn't
+        capture every input (e.g. a dashboard chart rendered under different
+        parameter bindings)."""
         key = spec.cache_key() if hasattr(spec, "cache_key") else str(spec)
+        if extra_key is not None:
+            key = f"{key}|{extra_key}"
         entry = self.entries.get(key)
         if entry is not None and freshness.accepts(self._now() - entry.created_at):
             self.hits += 1

@@ -277,14 +277,17 @@ def _two_arm_frame(df: DataFrame, spec: StatTest) -> DataFrame:
 
 
 def _mannwhitney(df: DataFrame, spec: StatTest, round_to: int | None) -> DataFrame:
+    from raise_featurestore_spark.functions.prefix import range_prefix_sums
+
     base = _two_arm_frame(df, spec)
-    # collapse ties first: windows then run over distinct values only
+    # collapse ties first (one row per distinct value), then a distributed
+    # range-partitioned prefix sum — no unpartitioned cumulative window, so
+    # this stays parallel even when the feature is continuous (distinct ≈ n)
     byval = base.groupBy("__x").agg(
         F.sum(F.col("__is_c").cast("long")).alias("tc"),
         F.count(F.lit(1)).alias("t"),
     )
-    w = Window.orderBy("__x")
-    ranked = byval.withColumn("__cum", F.sum("t").over(w)).withColumn(
+    ranked = range_prefix_sums(byval, "__x", {"__cum": "t"}).withColumn(
         "__avg_rank", F.col("__cum") - (F.col("t") - 1) / 2.0
     )
     s = ranked.agg(
@@ -341,22 +344,25 @@ def _mannwhitney_sql(spec: StatTest, table: str, round_to: int | None) -> str:
 
 
 def _ks(df: DataFrame, spec: StatTest, round_to: int | None) -> DataFrame:
+    from raise_featurestore_spark.functions.prefix import range_prefix_sums
+
     base = _two_arm_frame(df, spec)
     byval = base.groupBy("__x").agg(
         F.sum(F.col("__is_c").cast("long")).alias("c1"),
         F.sum((~F.col("__is_c")).cast("long")).alias("c2"),
     )
-    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = byval.select(
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c2").over(w).alias("cum2"),
-        F.sum("c1").over(Window.partitionBy()).alias("n1"),
-        F.sum("c2").over(Window.partitionBy()).alias("n2"),
-    )
-    s = cum.agg(
-        F.max(F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))).alias("D"),
-        F.first("n1").alias("n1"),
-        F.first("n2").alias("n2"),
+    # distributed ECDFs: range-partitioned prefix sums over distinct values
+    # (no unpartitioned window); arm totals via a 1-row broadcast cross join
+    # instead of SUM() OVER () on every row
+    cum = range_prefix_sums(byval, "__x", {"cum1": "c1", "cum2": "c2"})
+    tot = byval.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))).alias("D"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
     )
     return s.select(
         F.lit("ks").alias("test"),

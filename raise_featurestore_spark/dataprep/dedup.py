@@ -118,14 +118,23 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_df: int = DEFAULT_MAX_DF,
     round_to: int = 4,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold.
 
     Inverted-index plan: docs pair up only through shared shingles (with
     document frequency ≤ max_df), so complexity is Σ df(s)² over rare
     shingles, not |docs|².
+
+    The shingle frame is consumed three times (df-cap, index join, sizes);
+    ``persist_shingles`` caches it for interactive/local use. At 100 TB pass
+    ``False`` and materialize ``shingles(...)`` to a parquet table first —
+    an executor-memory cache of a corpus-sized exploded frame is the wrong
+    tool there (same pattern as the simhash note below).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if persist_shingles:
+        sh = sh.persist()
     df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")).where(F.col("__df") <= max_df)
     rare = sh.join(df_cap.select("sh"), "sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

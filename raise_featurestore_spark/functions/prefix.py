@@ -1,0 +1,116 @@
+"""Distributed prefix sums: the scale-safe replacement for
+``Window.orderBy(x)`` with no partition spec.
+
+An unpartitioned cumulative window funnels the whole relation through ONE
+task (Spark logs ``WARN WindowExec: No Partition Defined``) — fine on 10⁴
+distinct values, a straggler at 10⁹. ``range_prefix_sums`` computes the
+same inclusive running totals with the classic distributed scan:
+
+1. ``repartitionByRange`` on (group cols, order col) → P range-ordered
+   partitions (RangePartitioning assigns ascending key ranges to ascending
+   partition ids, and equal keys always land in the same partition).
+2. A *partitioned* window per (group, range partition) → local cumulative
+   sums run in parallel, each over ~1/P of the rows.
+3. Per-(group, partition) totals (≤ P·|groups| rows — metadata scale) get
+   an exclusive prefix via a triangular broadcast self-join on partition id
+   within the group, and are joined back as offsets. (A window over the
+   totals would re-introduce the unpartitioned-window warning; the
+   triangular join never concentrates data.)
+
+Total cost: one range shuffle + one broadcast join; no single-task sort of
+the full relation. Both consumers of the repartitioned frame (local sums,
+totals) hang off the same Exchange, which Spark reuses within one action —
+the upstream is scanned once. Determinism note: the range partitioner
+samples boundaries with a partition-id-derived seed, so recomputation over
+the same immutable source yields identical placement.
+
+Rows are expected to be UNIQUE in (group cols, order col) — call after a
+``groupBy`` on them, which is how every caller here uses it; ties within a
+partition would make the local window's frame order nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_range_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    sums: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add inclusive running-total columns ordered by ``order_col`` within
+    each group. ``sums`` maps output column name -> source column name;
+    each entry is equivalent to
+    ``F.sum(src).over(Window.partitionBy(*group_cols).orderBy(order_col))``
+    but a hot group never collapses onto a single task: the range shuffle
+    spreads (group, order) jointly, so one group's values span many
+    partitions and the offset join stitches them back."""
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    range_cols = [F.col(c) for c in group_cols] + [F.col(order_col)]
+    part = df.repartitionByRange(num_partitions, *range_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy(*group_cols, "__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.select(
+        "*", *[F.sum(src).over(w_local).alias(f"__loc_{out}") for out, src in sums.items()]
+    )
+    totals = part.groupBy(*group_cols, "__pid").agg(
+        *[F.sum(src).alias(f"__tot_{out}") for out, src in sums.items()]
+    )
+    lower = totals.select(
+        *[F.col(c).alias(f"__b_{c}") for c in group_cols],
+        F.col("__pid").alias("__bpid"),
+        *[F.col(f"__tot_{out}").alias(f"__btot_{out}") for out in sums],
+    )
+    cond = F.col("__bpid") < F.col("__pid")
+    for c in group_cols:
+        cond = cond & (F.col(f"__b_{c}") == F.col(c))
+    offsets = (
+        totals.join(F.broadcast(lower), cond, "left")
+        .groupBy(*group_cols, "__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__btot_{out}"), F.lit(0)).alias(f"__off_{out}")
+                for out in sums
+            ]
+        )
+    )
+    out_cols = [c for c in df.columns] + [
+        (F.col(f"__loc_{out}") + F.col(f"__off_{out}")).alias(out) for out in sums
+    ]
+    return local.join(F.broadcast(offsets), [*group_cols, "__pid"]).select(*out_cols)
+
+
+def range_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sums: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Ungrouped form: inclusive running totals ordered by ``order_col``,
+    equivalent to ``F.sum(src).over(Window.orderBy(order_col))`` per entry,
+    without the single-partition bottleneck."""
+    return grouped_range_prefix_sums(df, [], order_col, sums, num_partitions)
+
+
+def ranked_by_value(
+    df: DataFrame, value_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Distinct values of ``value_col`` with tie counts ``t`` and the
+    average rank each value would get in the full frame (standard
+    average-of-tied-ranks: ``cum_count - (t - 1)/2``). One groupBy + one
+    distributed prefix sum — no global-sort window."""
+    byval = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("t"))
+    cum = range_prefix_sums(byval, value_col, {"__cum": "t"}, num_partitions)
+    return cum.withColumn("avg_rank", F.col("__cum") - (F.col("t") - F.lit(1)) / F.lit(2.0)).drop(
+        "__cum"
+    )

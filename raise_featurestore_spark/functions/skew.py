@@ -42,7 +42,11 @@ def salted_join(
 
     # big side: deterministic pseudo-random salt from the full row hash —
     # spreads a hot key's rows across `salt` partitions
-    big_s = big.withColumn("__salt", (F.abs(F.hash(*[F.col(c) for c in big.columns])) % salt))
+    # pmod, not abs(hash) % salt: hash can return Int.MinValue, whose abs
+    # overflows negative and would silently drop rows for non-power-of-two salts
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -59,7 +63,7 @@ def salted_count_distinct(
     per-bucket distinct counts (buckets partition the value space, so the
     sum is exact)."""
     bucketed = df.select(
-        F.col(group), F.col(value), (F.abs(F.hash(F.col(value))) % salt).alias("__b")
+        F.col(group), F.col(value), F.pmod(F.hash(F.col(value)), F.lit(salt)).alias("__b")
     )
     stage1 = bucketed.groupBy(group, "__b").agg(
         F.countDistinct(value).alias("__d")

@@ -878,14 +878,14 @@ def _inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raise_featurestore_spark.transforms.inference import (
         InferenceTransform,
         ModelSpec,
-        linear_model,
+        alternating_sign_model,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    weights = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    # dim-agnostic model: weights derive from each Arrow batch's vector
+    # width, so no driver-side .first() at plan-build time
     t = InferenceTransform(
-        model=ModelSpec(uri="mem://linear", loader=lambda uri: linear_model(weights, 0.5)),
+        model=ModelSpec(uri="mem://linear", loader=lambda uri: alternating_sign_model(0.5)),
         input_columns=["embedding"],
         output_column="score",
     )

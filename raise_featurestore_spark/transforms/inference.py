@@ -215,3 +215,17 @@ def linear_model(weights: list[float], bias: float = 0.0):
             return mat.astype(np.float64) @ w + bias
 
     return _Linear()
+
+
+def alternating_sign_model(bias: float = 0.0):
+    """Linear model with ±1 alternating weights derived from each batch's
+    vector width — dim-agnostic, so callers never need a driver-side action
+    (``.first()``) to discover the embedding dimension at plan time."""
+
+    class _AltLinear:
+        def predict(self, mat: np.ndarray) -> np.ndarray:
+            m = mat.astype(np.float64)
+            w = np.where(np.arange(m.shape[1]) % 2 == 0, 1.0, -1.0)
+            return m @ w + bias
+
+    return _AltLinear()

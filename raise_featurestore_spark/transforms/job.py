@@ -43,6 +43,12 @@ from raise_featurestore_spark.transforms.observability import (
 from raise_featurestore_spark.transforms.transform import TransformContext
 
 
+class QualityGateError(RuntimeError):
+    """Deterministic quality-check failure: the same inputs produce the same
+    report, so retrying re-runs the whole pipeline — and for append targets
+    re-appends the already-written batch. Never retried."""
+
+
 class JobStatus(str, Enum):
     # reference: raise_/PRD.md:1577-1591
     DRAFT = "draft"
@@ -98,6 +104,7 @@ class JobRun:
     checkpoint_after: Any = None
     quality: QualityReport | None = None
     error: str | None = None
+    retryable: bool = True
 
     def metrics(self) -> dict[str, Any]:
         return {
@@ -151,6 +158,8 @@ class Job:
             last = self._run_once(spark, execution_date)
             if last.status == "completed":
                 return last
+            if not last.retryable:
+                break
         self.status = JobStatus.FAILED
         return last  # type: ignore[return-value]
 
@@ -224,7 +233,7 @@ class Job:
                 written = spark.read.parquet(self.target.path)
                 run.quality = run_checks(written, self.quality_checks)
                 if run.quality.should_fail_job():
-                    raise RuntimeError(
+                    raise QualityGateError(
                         "quality checks failed: "
                         + "; ".join(r.name for r in run.quality.failures())
                     )
@@ -245,6 +254,8 @@ class Job:
         except Exception as ex:
             run.status = "failed"
             run.error = f"{type(ex).__name__}: {ex}"[:500]
+            if isinstance(ex, QualityGateError):
+                run.retryable = False
         run.duration_seconds = time.perf_counter() - t0
         self.runs.append(run)
         return run

@@ -174,9 +174,18 @@ def test_dashboard_render_with_cache_and_params(spark):
     assert len(page["charts"][0]["data"]) == 3
     assert calls["n"] == 1
 
-    page2 = dash.render()  # cache hit: same spec
+    page2 = dash.render()  # cache hit: same spec, same params
     assert calls["n"] == 1
     assert page2["charts"][0]["data"] == page["charts"][0]["data"]
+
+    # regression: different parameter bindings must MISS the cache — the key
+    # includes resolved params, not just the chart spec
+    page3 = dash.render(params={"status": "F"})
+    assert calls["n"] == 2
+    assert len(page3["charts"][0]["data"]) == 1
+    page4 = dash.render(params={"status": "F"})  # hit under the same binding
+    assert calls["n"] == 2
+    assert page4["charts"][0]["data"] == page3["charts"][0]["data"]
 
     with pytest.raises(ValueError, match="not in options"):
         dash.render(params={"status": "Z"})

@@ -1,0 +1,42 @@
+"""Distributed prefix sums must equal the single-partition window exactly."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.functions.prefix import range_prefix_sums, ranked_by_value
+
+
+def test_range_prefix_sums_matches_global_window(spark):
+    rng = random.Random(7)
+    rows = [(float(v), rng.randint(1, 5), rng.randint(0, 3)) for v in rng.sample(range(10000), 500)]
+    df = spark.createDataFrame(rows, "x double, a long, b long")
+
+    got = {
+        r["x"]: (r["ca"], r["cb"])
+        for r in range_prefix_sums(df, "x", {"ca": "a", "cb": "b"}, num_partitions=7).collect()
+    }
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["x"]: (r["ca"], r["cb"])
+        for r in df.select("x", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")).collect()
+    }
+    assert got == want
+
+
+def test_range_prefix_sums_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([(1.0, 2), (2.0, 3)], "x double, a long")
+    got = sorted(
+        (r["x"], r["c"]) for r in range_prefix_sums(df, "x", {"c": "a"}, num_partitions=16).collect()
+    )
+    assert got == [(1.0, 2), (2.0, 5)]
+
+
+def test_ranked_by_value_average_ranks(spark):
+    # values: 3,1,1,2,2,2 -> ranks 1..6; avg ranks: 1->1.5, 2->4.0, 3->6.0
+    df = spark.createDataFrame([(3,), (1,), (1,), (2,), (2,), (2,)], "v long")
+    got = {r["v"]: (r["t"], r["avg_rank"]) for r in ranked_by_value(df, "v", 4).collect()}
+    assert got == {1: (2, 1.5), 2: (3, 4.0), 3: (1, 6.0)}

@@ -39,6 +39,34 @@ def test_salted_left_join_keeps_unmatched(spark):
         salted_join(big, small, "k", how="full")
 
 
+def test_salt_expression_nonnegative_on_int_min_value(spark):
+    """Regression: the salt must be pmod(hash, salt), not abs(hash) % salt.
+    abs(Int.MinValue) overflows to Int.MinValue, so the old expression gave a
+    NEGATIVE salt for non-power-of-two salts — the big-side row then matched
+    no replicated small-side salt (0..salt-1) and was silently dropped."""
+    row = spark.range(1).select(F.pmod(F.lit(-2147483648), F.lit(7)).alias("p")).collect()[0]
+    assert 0 <= row["p"] < 7
+    # the old abs-based expression is broken either way: ANSI mode (Spark 4
+    # default) throws on abs(Int.MinValue); legacy mode silently returns a
+    # negative salt that drops the row
+    try:
+        old = spark.range(1).select((F.abs(F.lit(-2147483648)) % 7).alias("o")).collect()[0]["o"]
+        assert old < 0
+    except Exception:
+        pass  # ANSI overflow error — equally fatal for a join key
+
+
+def test_salted_join_non_power_of_two_salt(spark):
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").count()
+    assert salted_join(orders, cust, "o_custkey", salt=7).count() == plain
+
+
 def test_salted_count_distinct_exact(spark):
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
     plain = {

@@ -281,6 +281,25 @@ def test_job_quality_gate_fails_job(spark, tmp_path):
     assert "quality checks failed" in run.error
 
 
+def test_job_quality_failure_not_retried_no_double_append(spark, tmp_path):
+    """Regression: a deterministic quality failure must NOT be retried —
+    with an append target each retry re-appended the same batch."""
+    out_path = str(tmp_path / "o")
+    job = Job(
+        job_id="bad-retry",
+        sources={"n": FileSystemSource(path=os.path.join(SF_DIR, "nation.parquet"))},
+        transform=PythonTransform(lambda ctx, df: df),
+        target=Target(path=out_path, write_mode="append"),
+        quality_checks=[RowCountCheck(expected=1)],  # 25 rows → deterministic fail
+        max_retries=3,
+    )
+    run = job.run(spark)
+    assert run.status == "failed"
+    assert run.retryable is False
+    assert len(job.runs) == 1  # no retry attempts
+    assert spark.read.parquet(out_path).count() == 25  # batch written exactly once
+
+
 # -------------------------------------------------------- quality checks
 
 def test_quality_checks_single_pass(spark):
