@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any
 
-from raise_featurestore_spark.catalog.acl import ExternalGrant
+from raise_featurestore_spark.catalog.acl import ACL, ExternalGrant
 from raise_featurestore_spark.types import FeatureType, parse_dtype
 
 
@@ -110,6 +110,8 @@ class FeatureGroupMeta:
     # cross-org grants (reference: feature_group.py:529-579); list of
     # catalog.acl.ExternalGrant
     grants: list = field(default_factory=list)
+    # same-org role ACL (reference: feature_group.py:509-527); catalog.acl.ACL
+    acl: "ACL" = field(default_factory=lambda: ACL())
 
     def latest(self, name: str) -> Feature:
         versions = self.features.get(name)
@@ -143,6 +145,11 @@ class FeatureGroupMeta:
                 }
                 for g in self.grants
             ],
+            "acl": {
+                "readers": sorted(self.acl.readers),
+                "writers": sorted(self.acl.writers),
+                "admins": sorted(self.acl.admins),
+            },
         }
 
     @classmethod
@@ -167,6 +174,11 @@ class FeatureGroupMeta:
                 )
                 for g in d.get("grants", [])
             ],
+            acl=ACL(
+                readers=set(d.get("acl", {}).get("readers", [])),
+                writers=set(d.get("acl", {}).get("writers", [])),
+                admins=set(d.get("acl", {}).get("admins", [])),
+            ),
         )
 
 

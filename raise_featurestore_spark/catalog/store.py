@@ -51,6 +51,9 @@ class _Node:
     children: dict[str, "_Node"] = field(default_factory=dict)
     groups: dict[str, FeatureGroupMeta] = field(default_factory=dict)
     created_at: float = field(default_factory=time.time)
+    # org-level audit retention/immutability settings (reference:
+    # models/audit.py:256-285 AuditConfig; examples/05)
+    audit_config: dict | None = None
 
 
 class FeatureStore:
@@ -145,6 +148,8 @@ class FeatureStore:
                 raise AlreadyExistsError(f"feature group {name!r} already exists")
             if if_exists == "skip":
                 return self.get_feature_group(name, org=org, domain=domain, project=project)
+        if isinstance(tags, (list, tuple, set)):
+            tags = {t: "" for t in tags}
         meta = FeatureGroupMeta(
             name=name,
             entity_key=entity_key,
@@ -171,6 +176,25 @@ class FeatureStore:
                             project: str | None = None) -> list[str]:
         org, domain, project = self._resolve_ctx(org, domain, project)
         return sorted(self._project(org, domain, project).groups)
+
+    # -- path syntax + org handle (reference: client.py:214-262, examples/01) --
+
+    def create_feature(self, path: str, dtype: str, **kwargs) -> Feature:
+        """``"group/feature"`` path-syntax creation (reference: client.py:214)."""
+        group_name, _, feat = path.partition("/")
+        if not feat:
+            raise CatalogError(f"expected 'group/feature', got {path!r}")
+        return self.get_feature_group(group_name).create_feature(feat, dtype, **kwargs)
+
+    def feature(self, path: str) -> Feature:
+        """``"group/feature"`` or ``"group/feature@v2"`` retrieval."""
+        group_name, _, feat = path.partition("/")
+        if not feat:
+            raise CatalogError(f"expected 'group/feature', got {path!r}")
+        return self.get_feature_group(group_name).get_feature(feat)
+
+    def organization(self, name: str) -> "OrganizationHandle":
+        return OrganizationHandle(self, self._org(name))
 
     def _resolve_ctx(self, org, domain, project) -> tuple[str, str, str]:
         org = org or self._ctx[0]
@@ -220,6 +244,7 @@ class FeatureStore:
                 "description": n.description,
                 "children": {k: node_dict(v) for k, v in n.children.items()},
                 "groups": {k: g.to_dict() for k, g in n.groups.items()},
+                "audit_config": n.audit_config,
             }
 
         state = {
@@ -240,10 +265,40 @@ class FeatureStore:
             n = _Node(name=d["name"], description=d.get("description", ""))
             n.children = {k: node_from(v) for k, v in d.get("children", {}).items()}
             n.groups = {k: FeatureGroupMeta.from_dict(v) for k, v in d.get("groups", {}).items()}
+            n.audit_config = d.get("audit_config")
             return n
 
         self._orgs = {k: node_from(v) for k, v in state.get("orgs", {}).items()}
         self.lineage.upstream = {k: set(v) for k, v in state.get("lineage", {}).items()}
+
+
+class OrganizationHandle:
+    """Org-scoped settings surface (reference: examples/05 audit config;
+    models/audit.py:256-285)."""
+
+    def __init__(self, store: FeatureStore, node: _Node):
+        self.store = store
+        self._node = node
+
+    @property
+    def name(self) -> str:
+        return self._node.name
+
+    def set_audit_config(self, retention_days: int = 365, immutable: bool = False,
+                         export_destination: str | None = None):
+        from raise_featurestore_spark.catalog.audit import AuditConfig
+
+        cfg = AuditConfig(retention_days=retention_days, immutable=immutable,
+                          export_destination=export_destination)
+        self._node.audit_config = cfg.to_dict()
+        self.store.audit.log("catalog", "set_audit_config", self._node.name)
+        self.store._save()
+        return cfg
+
+    def get_audit_config(self):
+        from raise_featurestore_spark.catalog.audit import AuditConfig
+
+        return AuditConfig.from_dict(self._node.audit_config or {})
 
 
 def _dtype_matches(actual: str, pattern: str) -> bool:
@@ -273,7 +328,7 @@ class BoundFeatureGroup:
         derived_from: str | None = None,
         nullable: bool = True,
         default: Any = None,
-        tags: dict[str, str] | None = None,
+        tags: dict[str, str] | list[str] | None = None,
         if_exists: str = "error",
         validation_level: str = "standard",
     ) -> Feature:
@@ -298,6 +353,9 @@ class BoundFeatureGroup:
                 raise ExpressionError(result)
             refs = result.references
 
+        # the reference accepts both list-style and mapping tags
+        if isinstance(tags, (list, tuple, set)):
+            tags = {t: "" for t in tags}
         feature = Feature(
             name=name,
             dtype=parse_dtype(dtype),
@@ -325,6 +383,85 @@ class BoundFeatureGroup:
             base, _, v = name.partition("@v")
             return self.meta.get_version(base, int(v))
         return self.meta.latest(name)
+
+    # feature() is the reference's accessor name (feature_group.py:346)
+    feature = get_feature
+
+    def get_or_create_feature(self, name: str, dtype: str, **kwargs) -> Feature:
+        """Idempotent creation (reference: feature_group.py:216-224)."""
+        kwargs["if_exists"] = "skip"
+        return self.create_feature(name, dtype, **kwargs)
+
+    # -- bulk creation (reference: feature_group.py:226-344; examples/03) -----
+
+    def create_features(self, specs: list[dict], if_exists: str = "error") -> list[Feature]:
+        """Bulk creation from a list of spec dicts (name/dtype + any
+        create_feature kwarg). Specs are validated before any is created so a
+        bad spec fails the batch atomically."""
+        for spec in specs:
+            if "name" not in spec or "dtype" not in spec:
+                raise CatalogError(f"feature spec needs name+dtype: {spec!r}")
+        out: list[Feature] = []
+        for spec in specs:
+            s = dict(spec)
+            out.append(
+                self.create_feature(s.pop("name"), s.pop("dtype"), if_exists=if_exists, **s)
+            )
+        return out
+
+    def create_features_from_schema(self, schema: dict[str, str],
+                                    if_exists: str = "error") -> list[Feature]:
+        """Bulk creation from a flat ``{name: dtype}`` mapping."""
+        return self.create_features(
+            [{"name": n, "dtype": d} for n, d in schema.items()], if_exists=if_exists
+        )
+
+    def create_features_from_file(self, path: str, if_exists: str = "error") -> list[Feature]:
+        """Bulk creation from a YAML/JSON manifest with a top-level
+        ``features:`` list (reference: feature_group.py:300-344)."""
+        with open(path) as fh:
+            text = fh.read()
+        if path.endswith((".yaml", ".yml")):
+            try:
+                import yaml
+            except ImportError as e:  # pragma: no cover - yaml is in the env
+                raise CatalogError("pyyaml not available for YAML manifests") from e
+            doc = yaml.safe_load(text)
+        else:
+            doc = json.loads(text)
+        specs = doc.get("features", []) if isinstance(doc, dict) else doc
+        return self.create_features(specs, if_exists=if_exists)
+
+    def list_features(self, tags: list[str] | None = None) -> list[Feature]:
+        """Latest active version of every feature, optionally tag-filtered."""
+        feats = [self.meta.latest(n) for n in sorted(self.meta.features)]
+        if tags:
+            want = set(tags)
+            feats = [f for f in feats if want & set(f.tags)]
+        return feats
+
+    def list_versions(self, name: str) -> list[Feature]:
+        if name not in self.meta.features:
+            raise NotFoundError(f"feature {name!r} not found")
+        return list(self.meta.features[name])
+
+    # -- same-org ACL (reference: feature_group.py:509-527) -------------------
+
+    def set_acl(self, acl) -> None:
+        self.meta.acl = acl
+        self.store.audit.log("acl", "update_acl", self.qualified_name())
+        self.store._save()
+
+    def get_acl(self):
+        return self.meta.acl
+
+    @property
+    def entity_key(self) -> str:
+        return self.meta.entity_key
+
+    @property
+    def entity_dtype(self) -> str:
+        return str(self.meta.entity_dtype)
 
     def qualified_feature_name(self, f: Feature) -> str:
         return f"{self.org}/{self.domain}/{self.project}/{self.meta.name}/{f.versioned_name}"

@@ -81,9 +81,10 @@ def test_search_features(fs):
 def test_audit_log(fs):
     g = fs.create_feature_group("users", entity_key="user_id")
     g.create_feature("spend", "float64")
-    page, _ = fs.audit.query(category="catalog", resource="*users*")
+    page = fs.audit.query(category="catalog", resource="*users*")
     actions = {e.action for e in page}
     assert "create_feature_group" in actions and "create_feature" in actions
+    assert page.total_count >= 2 and not page.has_more
 
 
 def test_acl():
@@ -154,3 +155,128 @@ def test_cross_group_join_expression(fs, spark):
     )
     rows = users.read(spark, ["affinity"]).orderBy("uid").collect()
     assert [r.affinity for r in rows] == [1.0, 0.0]
+
+
+# -- bulk creation + listing (reference: examples/03) -----------------------
+
+
+def test_bulk_create_from_schema_and_list(fs):
+    g = fs.create_feature_group("emb", entity_key="id")
+    feats = g.create_features_from_schema(
+        {"e1": "float32[8]", "e2": "float32[16]"}, if_exists="skip"
+    )
+    assert [f.name for f in feats] == ["e1", "e2"]
+    # idempotent re-run returns existing
+    again = g.create_features_from_schema({"e1": "float32[8]"}, if_exists="skip")
+    assert again[0].version == 1
+    assert [f.name for f in g.list_features()] == ["e1", "e2"]
+
+
+def test_bulk_create_from_specs_with_derived_and_tags(fs):
+    g = fs.create_feature_group("user-features", entity_key="uid")
+    feats = g.create_features(
+        [
+            {"name": "total_revenue", "dtype": "float64", "default": 0.0},
+            {"name": "total_purchases", "dtype": "int64", "tags": ["core"]},
+            {
+                "name": "revenue_per_purchase",
+                "dtype": "float64",
+                "derived_from": "total_revenue / NULLIF(total_purchases, 0)",
+                "tags": ["derived"],
+            },
+        ]
+    )
+    assert len(feats) == 3 and feats[2].is_derived
+    assert [f.name for f in g.list_features(tags=["derived"])] == ["revenue_per_purchase"]
+    # bad spec fails before anything is created
+    g2 = fs.create_feature_group("other", entity_key="uid")
+    with pytest.raises(Exception):
+        g2.create_features([{"name": "ok", "dtype": "int64"}, {"dtype": "int64"}])
+    assert g2.list_features() == []
+
+
+def test_bulk_create_from_yaml_file(fs, tmp_path):
+    manifest = tmp_path / "features.yaml"
+    manifest.write_text(
+        "features:\n"
+        "  - name: click_count\n    dtype: int64\n    tags: [engagement]\n"
+        "  - name: impression_count\n    dtype: int64\n"
+        "  - name: ctr\n    dtype: float64\n"
+        "    derived_from: click_count / NULLIF(impression_count, 0)\n"
+    )
+    g = fs.create_feature_group("engagement", entity_key="uid")
+    feats = g.create_features_from_file(str(manifest), if_exists="skip")
+    assert [f.name for f in feats] == ["click_count", "impression_count", "ctr"]
+    assert g.get_feature("ctr").is_derived
+
+
+def test_path_syntax_and_get_or_create(fs):
+    fs.create_feature_group("signals", entity_key="uid")
+    f = fs.create_feature("signals/score", dtype="float64")
+    assert fs.feature("signals/score").name == "score"
+    same = fs.get_feature_group("signals").get_or_create_feature("score", "float64")
+    assert same.version == f.version
+    versions = fs.get_feature_group("signals").list_versions("score")
+    assert [v.version for v in versions] == [1]
+
+
+def test_group_acl_persistence(fs, tmp_path):
+    g = fs.create_feature_group("guarded", entity_key="uid")
+    acl = ACL(readers={"ml-engineers"}, writers={"ml-team"})
+    g.set_acl(acl)
+    # reload from disk: acl round-trips
+    fs2 = FeatureStore(fs.path).with_context("acme", "ml", "recsys")
+    g2 = fs2.get_feature_group("guarded")
+    assert g2.get_acl().allows("ml-engineers", "reader")
+    assert g2.get_acl().allows("ml-team", "reader")  # writer implies reader
+    assert not g2.get_acl().allows("stranger", "reader")
+
+
+# -- audit alerts / streaming / pagination / config (reference: examples/05) --
+
+
+def test_audit_alerts_and_stream(fs):
+    from raise_featurestore_spark.catalog.audit import AuditQuery
+
+    alert = fs.audit.create_alert(
+        "acl-changes",
+        AuditQuery(category="acl"),
+        notify=["security@example.invalid"],
+        channels=["email"],
+    )
+    g = fs.create_feature_group("watched", entity_key="uid")
+    g.grant_access("partner")
+    g.revoke_access("partner")
+    assert len(alert.fired) == 2
+    assert {e.action for e in alert.fired} == {"grant_access", "revoke_access"}
+    assert fs.audit.get_alert("acl-changes") is alert
+    assert [a.name for a in fs.audit.list_alerts()] == ["acl-changes"]
+    assert fs.audit.delete_alert("acl-changes") is True
+    assert fs.audit.delete_alert("acl-changes") is False
+
+    with fs.audit.stream(AuditQuery(category="catalog")) as stream:
+        batches = list(stream.batches(size=2))
+    flat = [e for b in batches for e in b]
+    assert all(len(b) <= 2 for b in batches)
+    assert {e.category for e in flat} == {"catalog"}
+
+
+def test_audit_pagination_and_actions_filter(fs):
+    for i in range(7):
+        fs.audit.log("data", "write_append", f"t{i}")
+    page1 = fs.audit.query(category="data", actions=["write_*"], limit=3)
+    assert len(page1) == 3 and page1.has_more and page1.total_count == 7
+    page2 = fs.audit.query(category="data", actions=["write_*"], limit=99,
+                           cursor=page1.next_cursor)
+    assert len(page2) == 4 and not page2.has_more
+
+
+def test_org_audit_config_roundtrip(fs):
+    org = fs.organization("acme")
+    cfg = org.set_audit_config(retention_days=30, immutable=True,
+                               export_destination="/tmp/audit-archive")
+    assert cfg.retention_days == 30
+    fs2 = FeatureStore(fs.path)
+    got = fs2.organization("acme").get_audit_config()
+    assert got.retention_days == 30 and got.immutable is True
+    assert got.export_destination == "/tmp/audit-archive"
