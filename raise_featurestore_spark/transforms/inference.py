@@ -62,20 +62,70 @@ class AcceleratorConfig:
 
     accelerator: str = "cpu"  # cpu|gpu|tpu
     count_per_task: float = 0.0
+    gpu_type: str | None = None  # e.g. nvidia-t4, nvidia-a100
+    multi_gpu_strategy: str | None = None  # data_parallel | tensor_parallel
+
+    @classmethod
+    def gpu(cls, gpu_type: str = "nvidia-t4", count: float = 1.0) -> "AcceleratorConfig":
+        """Single-GPU task placement (reference: :232-252)."""
+        return cls(accelerator="gpu", count_per_task=count, gpu_type=gpu_type)
+
+    @classmethod
+    def multi_gpu(cls, gpu_type: str = "nvidia-a100", count: int = 4,
+                  strategy: str = "data_parallel") -> "AcceleratorConfig":
+        """Multi-GPU placement (reference: :254-276). With data_parallel each
+        Spark task pins one GPU and parallelism comes from tasks; with
+        tensor_parallel one task owns all ``count`` GPUs."""
+        per_task = 1.0 if strategy == "data_parallel" else float(count)
+        return cls(accelerator="gpu", count_per_task=per_task, gpu_type=gpu_type,
+                   multi_gpu_strategy=strategy)
 
     def spark_confs(self) -> dict[str, str]:
         if self.accelerator == "gpu" and self.count_per_task > 0:
-            return {"spark.task.resource.gpu.amount": str(self.count_per_task)}
+            return {
+                "spark.task.resource.gpu.amount": str(self.count_per_task),
+                "spark.executor.resource.gpu.amount": str(
+                    max(int(self.count_per_task), 1)
+                ),
+            }
         return {}
 
 
 @dataclass
 class BatchConfig:
-    """reference: raise_/transforms/inference.py:307-348."""
+    """reference: raise_/transforms/inference.py:307-348.
+
+    ``dynamic=True`` sizes chunks from measured bytes/row so wide rows
+    (embeddings, blobs) get small batches and narrow rows get big ones —
+    bounded memory per predict() call regardless of schema."""
 
     batch_size: int = 1024
     max_concurrency: int = 1  # per-worker; Spark tasks already parallelize
     dynamic: bool = False
+    min_batch_size: int = 32
+    max_batch_size: int = 4096
+    target_batch_mb: float = 16.0
+
+    def effective_batch_size(self, sample: "pd.DataFrame") -> int:
+        if not self.dynamic or sample.empty:
+            return self.batch_size
+        row_bytes = max(
+            int(sample.memory_usage(deep=True).sum()) // max(len(sample), 1), 1
+        )
+        n = int(self.target_batch_mb * 1024 * 1024) // row_bytes
+        return max(self.min_batch_size, min(self.max_batch_size, n))
+
+
+@dataclass
+class RuntimeConfig:
+    """reference: raise_/transforms/inference.py:356-398. ``warmup`` runs one
+    throwaway predict per worker before the timed stream (JIT/CUDA-context
+    priming); ``fail_on_error=False`` degrades failed batches to null
+    predictions instead of failing the task."""
+
+    warmup: bool = False
+    warmup_rows: int = 8
+    fail_on_error: bool = True
 
 
 @dataclass
@@ -102,6 +152,7 @@ class InferenceTransform:
     output_type: str = "double"  # Spark DDL type of the prediction
     batch: BatchConfig = field(default_factory=BatchConfig)
     accelerator: AcceleratorConfig = field(default_factory=AcceleratorConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
     preprocess: Callable[[np.ndarray], np.ndarray] | None = None
     postprocess: Callable[[np.ndarray], np.ndarray] | None = None
 
@@ -111,27 +162,46 @@ class InferenceTransform:
         in_cols = list(self.input_columns)
         out_col = self.output_column
         out_type = self.output_type
-        batch_size = self.batch.batch_size
+        batch_cfg = self.batch
+        runtime = self.runtime
         pre, post = self.preprocess, self.postprocess
 
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         ) + f", {out_col} {out_type}"
 
+        def predict_chunk(model, chunk: pd.DataFrame) -> pd.DataFrame:
+            mat = _to_matrix(chunk, in_cols)
+            if pre is not None:
+                mat = pre(mat)
+            preds = np.asarray(model.predict(mat))
+            if post is not None:
+                preds = post(preds)
+            out = chunk.copy()
+            out[out_col] = list(preds) if preds.ndim > 1 else preds
+            return out
+
         def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             model = spec.load()  # once per worker (module-level cache)
+            warmed = not runtime.warmup
+            batch_size = batch_cfg.batch_size
             for pdf in batches:
+                if not warmed and len(pdf):
+                    # throwaway predict primes JIT/CUDA before the real stream
+                    predict_chunk(model, pdf.iloc[: runtime.warmup_rows])
+                    warmed = True
+                if batch_cfg.dynamic:
+                    batch_size = batch_cfg.effective_batch_size(pdf)
                 for lo in range(0, len(pdf), batch_size):
                     chunk = pdf.iloc[lo : lo + batch_size]
-                    mat = _to_matrix(chunk, in_cols)
-                    if pre is not None:
-                        mat = pre(mat)
-                    preds = np.asarray(model.predict(mat))
-                    if post is not None:
-                        preds = post(preds)
-                    out = chunk.copy()
-                    out[out_col] = list(preds) if preds.ndim > 1 else preds
-                    yield out
+                    try:
+                        yield predict_chunk(model, chunk)
+                    except Exception:
+                        if runtime.fail_on_error:
+                            raise
+                        out = chunk.copy()
+                        out[out_col] = None
+                        yield out
 
         return df.mapInPandas(infer, schema=schema)
 

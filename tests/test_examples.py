@@ -56,3 +56,55 @@ def test_example_transformations(spark):
     assert out["checkpoint_advanced"] is True
     assert out["quality_gate"] == "failed"
     assert out["airflow_dag_lines"] > 10
+
+
+def test_example_basic_feature_creation(spark):
+    out = _load("01_basic_feature_creation.py").main(SF_DIR)
+    assert out["n_features"] == 6
+    assert out["lookup_rows"] == 3
+    assert out["idempotent_version"] == 1
+    assert out["entity_key"] == "user_id"
+
+
+def test_example_bulk_operations(spark):
+    out = _load("03_bulk_operations.py").main(SF_DIR)
+    assert out["schema_features"] == 4
+    assert out["list_features"] == 5
+    assert out["yaml_features"] == 3
+    assert out["derived_count"] == 2
+    assert out["embedding_hits"] >= 4
+    assert out["dim512_hits"] == 2
+    assert out["versions"] == [1, 2]
+
+
+def test_example_audit_logging(spark):
+    out = _load("05_audit_logging.py").main(SF_DIR)
+    assert out["total_entries"] > 0
+    assert out["schema_changes"] >= 6
+    assert out["acl_changes"] >= 2
+    assert out["alert_fired"] >= 1
+    assert out["alerts_after_delete"] == 1
+    assert out["exported"] > 0
+    assert all(b <= 3 for b in out["stream_batches"])
+    assert out["page1"] == 5 and out["page2"] == 5
+    assert out["retention_days"] == 365
+
+
+def test_example_multimodal(spark):
+    out = _load("08_multimodal.py").main(SF_DIR)
+    assert out["typed_blob_ref"] == "blob_ref<image/png|image/jpeg>"
+    assert out["scanned"] == 6
+    assert out["byte_feature_rows"] == 20
+    assert out["frame_rows"] == 60
+    assert out["decode_stubbed"] is True
+    assert out["integrity_issues"] == {"missing": 2}
+    assert out["checksum_mismatches"] == 0
+
+
+def test_example_bulk_inference(spark):
+    out = _load("09_bulk_inference.py").main(SF_DIR)
+    assert out["scored"] == 500
+    assert out["degraded_nulls"] == 500
+    assert out["max_abs_normed"] <= 1.0 + 1e-9
+    assert out["decorated"] == 500
+    assert out["gpu_confs"]["spark.task.resource.gpu.amount"] == "1.0"

@@ -433,3 +433,65 @@ def test_orchestrator_and_airflow_codegen(spark, tmp_path):
     assert "'0 4 * * *'" in dag
     assert '"retries": 1' in dag
     compile(dag, "<dag>", "exec")  # generated module must be valid Python
+
+
+def test_batchconfig_dynamic_sizing():
+    import numpy as np
+    import pandas as pd
+
+    from raise_featurestore_spark.transforms.inference import BatchConfig
+
+    cfg = BatchConfig(dynamic=True, min_batch_size=8, max_batch_size=256,
+                      target_batch_mb=1.0)
+    wide = pd.DataFrame({"v": [np.zeros(65536).tolist()] * 4})  # ~0.5 MB rows
+    narrow = pd.DataFrame({"v": [1.0] * 1000})
+    assert cfg.effective_batch_size(wide) == 8  # clamped at min
+    assert cfg.effective_batch_size(narrow) == 256  # clamped at max
+    static = BatchConfig(batch_size=64)
+    assert static.effective_batch_size(wide) == 64
+
+
+def test_accelerator_config_strategies():
+    from raise_featurestore_spark.transforms.inference import AcceleratorConfig
+
+    dp = AcceleratorConfig.multi_gpu(count=4, strategy="data_parallel")
+    tp = AcceleratorConfig.multi_gpu(count=8, strategy="tensor_parallel")
+    assert dp.count_per_task == 1.0 and tp.count_per_task == 8.0
+    assert AcceleratorConfig().spark_confs() == {}
+    confs = AcceleratorConfig.gpu(count=0.5).spark_confs()
+    assert confs["spark.task.resource.gpu.amount"] == "0.5"
+    assert confs["spark.executor.resource.gpu.amount"] == "1"
+
+
+def test_inference_warmup_and_error_degradation(spark):
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.transforms.inference import (
+        InferenceTransform,
+        ModelSpec,
+        RuntimeConfig,
+        linear_model,
+    )
+
+    df = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(10)],
+                               ["id", "vec"])
+    out = InferenceTransform(
+        model=ModelSpec(uri="mem://warm", loader=lambda uri: linear_model([2.0, 1.0])),
+        input_columns=["vec"],
+        output_column="y",
+        runtime=RuntimeConfig(warmup=True, warmup_rows=2),
+    ).apply(df)
+    rows = {r.id: r.y for r in out.collect()}
+    assert rows[3] == 7.0 and len(rows) == 10  # warmup rows not duplicated
+
+    class _Boom:
+        def predict(self, mat):
+            raise ValueError("nope")
+
+    degraded = InferenceTransform(
+        model=ModelSpec(uri="mem://boom2", loader=lambda uri: _Boom()),
+        input_columns=["vec"],
+        output_column="y",
+        runtime=RuntimeConfig(fail_on_error=False),
+    ).apply(df)
+    assert degraded.where(F.col("y").isNull()).count() == 10
