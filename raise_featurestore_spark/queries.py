@@ -985,5 +985,104 @@ register_window(
 )
 
 
+# --------------------------------------------------------------------------
+# §2.1 Source matrix: ColumnarSource projection+filter pushdown,
+# ObjectStorage CSV scan, FileSystem JSONL glob scan
+# --------------------------------------------------------------------------
+
+
+def _columnar_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnarSource: projection + SQL filter land on the parquet scan
+    node (PushedFilters / pruned ReadSchema — verified by plan_audit)."""
+    from raise_featurestore_spark.transforms.source import ColumnarSource
+
+    src = ColumnarSource(
+        table=f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filter="o_orderstatus = 'F' AND o_totalprice > 150000.0",
+    )
+    return src.read(spark)
+
+
+register(
+    "source_columnar_pushdown",
+    _columnar_pushdown,
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0",
+)
+
+
+def _objectstorage_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ObjectStorageSource round-trip: write nation as headered CSV (local
+    stand-in for an s3:// prefix), scan it back through the source spec,
+    aggregate. localCheckpoint detaches the plan from the temp files."""
+    import shutil
+    import tempfile
+
+    from raise_featurestore_spark.transforms.source import ObjectStorageSource
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="src_csv_")
+    shutil.rmtree(path)  # Spark writer wants a fresh dir
+    try:
+        nation.coalesce(1).write.option("header", "true").csv(path)
+        src = ObjectStorageSource(
+            path=path, format="csv",
+            options={"header": "true", "inferSchema": "true"},
+        )
+        return (
+            src.read(spark)
+            .groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+            .agg(F.count(F.lit(1)).alias("nations"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+register(
+    "source_objectstorage_csv",
+    _objectstorage_csv,
+    "SELECT n_regionkey, COUNT(*) AS nations FROM nation GROUP BY n_regionkey",
+)
+
+
+def _filesystem_jsonl_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileSystemSource: JSONL directory scan with a glob that must skip a
+    decoy non-matching file."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+
+    region = load_table(spark, sf_dir, "region")
+    path = tempfile.mkdtemp(prefix="src_jsonl_")
+    shutil.rmtree(path)
+    try:
+        region.coalesce(1).write.json(path)  # part-*.json
+        with open(_os.path.join(path, "README.txt"), "w") as fh:
+            fh.write("decoy: the glob below must not read this file\n")
+        src = FileSystemSource(path=path, format="jsonl", glob="part-*.json")
+        return (
+            src.read(spark)
+            .select(
+                F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+                "r_name",
+                F.length("r_name").cast("bigint").alias("name_len"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+register(
+    "source_filesystem_jsonl",
+    _filesystem_jsonl_glob,
+    "SELECT r_regionkey, r_name, LENGTH(r_name) AS name_len FROM region",
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_aggregation(load_table(spark, sf_dir, "lineitem"), _FLAGSHIP)
