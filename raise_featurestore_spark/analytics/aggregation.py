@@ -181,9 +181,16 @@ def compile_aggregation(
                 aggs.append(col)
         if pct_metrics:
             fracs = F.array(*[F.lit(p) for p in pct_metrics.values()])
-            aggs.append(
-                F.percentile(F.col(feature).cast("double"), fracs).alias(f"__pcts_{safe}")
+            d = F.col(feature).cast("double")
+            # approx path: bounded-memory mergeable sketch instead of
+            # buffering every group value — the right default at 100 TB
+            # (spec.approx_percentiles); exact stays default for oracles.
+            pcts = (
+                F.approx_percentile(d, fracs, F.lit(spec.percentile_accuracy))
+                if spec.approx_percentiles
+                else F.percentile(d, fracs)
             )
+            aggs.append(pcts.alias(f"__pcts_{safe}"))
 
     grouped = df.groupBy(spec.group_by).agg(*aggs) if spec.group_by else df.agg(*aggs)
     if distinct_aggs:

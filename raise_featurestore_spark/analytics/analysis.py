@@ -108,6 +108,12 @@ class Aggregation(_Spec):
     rolling: bool = False
     periods: int = 7
     time_column: str | None = None  # engine addition: which ts drives window/rolling
+    # engine addition, the 100 TB posture for percentile-family metrics:
+    # exact percentile buffers every group value; approx_percentile keeps a
+    # bounded GK sketch per group (error ≤ 1/accuracy of rank) and stays
+    # mergeable map-side. Default exact so oracles are bit-checkable.
+    approx_percentiles: bool = False
+    percentile_accuracy: int = 10_000
 
     def __post_init__(self) -> None:
         bad = set(self.metrics) - AGGREGATION_METRICS

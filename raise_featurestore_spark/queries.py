@@ -1084,5 +1084,29 @@ register(
 )
 
 
+# --------------------------------------------------------------------------
+# Registry ordering: harnesses that process queries in registration order
+# should reach the least-proven entries first. Push the weaker rows-only
+# checks (no oracle by design) and the longest-standing green queries to
+# the end; everything new or previously unverified stays up front.
+# --------------------------------------------------------------------------
+
+_DEPRIORITIZED = [
+    "expr_case_when",
+    "expr_zscore_hoisted",
+    "point_lookup_customer",
+    "text_language_id",
+    "text_token_counts",
+    "vector_norm_dot",
+    "corr_kendall_sampled",
+    "stattest_welch_pvalue",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+]
+for _name in _DEPRIORITIZED:
+    if _name in QUERIES:
+        QUERIES[_name] = QUERIES.pop(_name)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_aggregation(load_table(spark, sf_dir, "lineitem"), _FLAGSHIP)

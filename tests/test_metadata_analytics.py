@@ -210,3 +210,29 @@ def test_chart_and_parameter_validation():
         Parameter("p", "decimal")
     with pytest.raises(ValueError, match="options"):
         Parameter("p", "select")
+
+
+def test_approx_percentiles_match_exact_within_tolerance(spark):
+    from raise_featurestore_spark.analytics.aggregation import compile_aggregation
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    df = spark.range(0, 5000).selectExpr(
+        "id % 4 AS seg", "CAST(id AS DOUBLE) AS v"
+    )
+    exact_spec = Aggregation(features=["v"], metrics=["median", "p90"], group_by="seg")
+    approx_spec = Aggregation(
+        features=["v"], metrics=["median", "p90"], group_by="seg",
+        approx_percentiles=True, percentile_accuracy=10_000,
+    )
+    exact = {r.seg: (r.median_v, r.p90_v)
+             for r in compile_aggregation(df, exact_spec).collect()}
+    approx = {r.seg: (r.median_v, r.p90_v)
+              for r in compile_aggregation(df, approx_spec).collect()}
+    assert set(exact) == set(approx)
+    for seg in exact:
+        for e, a in zip(exact[seg], approx[seg]):
+            # rank error <= n/accuracy = 5000/10000 => neighbouring values
+            assert abs(e - a) <= 8.0
+    # the sketch path must actually be approx_percentile in the plan
+    plan = compile_aggregation(df, approx_spec)._jdf.queryExecution().toString()
+    assert "approx_percentile" in plan
