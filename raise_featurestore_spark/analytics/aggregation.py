@@ -276,10 +276,13 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
         *[p for ft in spec.features for p in _rolling_partials(ft)]
     )
 
+    # ungrouped: constant partition key — the input here is already the
+    # daily-bucketed aggregate (≤ one row per day), so single-partition is
+    # the intended, bounded plan, not an accident.
     w = (
         Window.partitionBy(spec.group_by).orderBy("period_start")
         if spec.group_by
-        else Window.orderBy("period_start")
+        else Window.partitionBy(F.lit(0)).orderBy("period_start")
     ).rowsBetween(-(spec.periods - 1), 0)
 
     out_cols: list[Column] = ([F.col(spec.group_by)] if spec.group_by else []) + [

@@ -91,8 +91,15 @@ def _histogram(df, spec, x, seg, round_to):
         F.col("bucket_count"),
     )
     if "cdf" in spec.metrics or "density" in spec.metrics:
-        w = Window.partitionBy(*seg).orderBy("bucket") if seg else Window.orderBy("bucket")
-        total = Window.partitionBy(*seg) if seg else Window.partitionBy()
+        # unsegmented: constant partition key — the window runs over the
+        # bucketed aggregate (≤ spec.bins rows), so single-partition is the
+        # intended, bounded plan.
+        w = (
+            Window.partitionBy(*seg).orderBy("bucket")
+            if seg
+            else Window.partitionBy(F.lit(0)).orderBy("bucket")
+        )
+        total = Window.partitionBy(*seg) if seg else Window.partitionBy(F.lit(0))
         out = out.withColumn(
             "cdf",
             F.round(

@@ -52,13 +52,17 @@ def compile_drift(df: DataFrame, spec: Drift, round_to: int | None = DEFAULT_ROU
             F.sum(is_c.cast("long")).alias("nc"),
         )
     )
-    tot = Window.partitionBy()
+    # constant partition key: these windows run over the bucketed aggregate
+    # (≤ spec.bins rows), so single-partition is the intended, bounded plan.
+    tot = Window.partitionBy(F.lit(0))
     probs = bucketed.select(
         F.col("bucket"),
         F.greatest(F.col("nb") / F.sum("nb").over(tot), F.lit(EPS)).alias("p"),
         F.greatest(F.col("nc") / F.sum("nc").over(tot), F.lit(EPS)).alias("q"),
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     cum = probs.select(
         "p",
         "q",

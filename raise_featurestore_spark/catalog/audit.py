@@ -203,6 +203,36 @@ class AuditLog:
     def stream(self, query: AuditQuery | None = None) -> "AuditStream":
         return AuditStream(self, query or AuditQuery())
 
+    # -- retention (reference: audit.py:256-285 + examples/05 config) --------
+
+    def prune(self, config: AuditConfig, now: float | None = None) -> int:
+        """Enforce the retention policy: drop entries older than
+        ``retention_days``, archiving them to ``export_destination`` first.
+        An immutable log with no archive destination refuses to prune —
+        records may never be silently destroyed."""
+        import os
+        import time as _time
+
+        cutoff = (now or _time.time()) - config.retention_days * 86400
+        old = [e for e in self.entries if e.timestamp < cutoff]
+        if not old:
+            return 0
+        if config.immutable and not config.export_destination:
+            raise ValueError(
+                "immutable audit log has no export_destination; refusing to "
+                "destroy records"
+            )
+        if config.export_destination:
+            os.makedirs(config.export_destination, exist_ok=True)
+            dest = os.path.join(
+                config.export_destination, f"audit_pruned_{int(cutoff)}.jsonl"
+            )
+            with open(dest, "w") as fh:
+                for e in old:
+                    fh.write(json.dumps(e.to_dict(), default=str) + "\n")
+        self.entries = [e for e in self.entries if e.timestamp >= cutoff]
+        return len(old)
+
     def export(self, path: str, fmt: str = "jsonl",
                query: AuditQuery | None = None) -> int:
         """jsonl / csv / parquet export, optionally query-filtered

@@ -234,6 +234,50 @@ register(  # no SQL oracle: kendall tau-b (rows-only check per driver contract)
     lambda spark, sf_dir: compile_correlation(load_table(spark, sf_dir, "events"), _CORR_K),
 )
 
+_CORR_X = Correlation(features=["o_totalprice", "cust_balance"])
+
+
+def _cross_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation ACROSS feature groups (§2.3 + §2.5): the orders group's
+    derived feature resolves cust.c_acctbal through the catalog's
+    entity-key join, then the standard pearson operator runs on the joined
+    frame."""
+    import os
+    import tempfile
+
+    from raise_featurestore_spark.catalog.store import FeatureStore
+
+    fs = FeatureStore(tempfile.mkdtemp(prefix="fscc_")).with_context("org", "dom", "proj")
+    fs.create_organization("org", if_exists="skip")
+    fs.create_domain("org", "dom", if_exists="skip")
+    fs.create_project("org", "dom", "proj", if_exists="skip")
+    cust = fs.create_feature_group(
+        "cust", entity_key="c_custkey",
+        storage_path=os.path.join(sf_dir, "customer.parquet"), if_exists="skip",
+    )
+    cust.create_feature("c_acctbal", "float64", if_exists="skip")
+    ords = fs.create_feature_group(
+        "ords", entity_key="o_custkey",
+        storage_path=os.path.join(sf_dir, "orders.parquet"), if_exists="skip",
+    )
+    ords.create_feature("o_totalprice", "float64", if_exists="skip")
+    ords.create_feature(
+        "cust_balance", "float64", derived_from="cust.c_acctbal", if_exists="skip"
+    )
+    joined = ords.read(spark, ["o_totalprice", "cust_balance"])
+    return compile_correlation(joined, _CORR_X)
+
+
+register(
+    "corr_cross_group",
+    _cross_group_corr,
+    correlation_to_sql(
+        _CORR_X,
+        "(SELECT o_totalprice, c_acctbal AS cust_balance "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey) __j",
+    ),
+)
+
 
 def register_stattest(name: str, table: str, spec: StatTest) -> None:
     # statistic columns are oracle-checked; p_value comes from our own

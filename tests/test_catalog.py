@@ -280,3 +280,32 @@ def test_org_audit_config_roundtrip(fs):
     got = fs2.organization("acme").get_audit_config()
     assert got.retention_days == 30 and got.immutable is True
     assert got.export_destination == "/tmp/audit-archive"
+
+
+def test_audit_retention_prune(fs, tmp_path):
+    from raise_featurestore_spark.catalog.audit import AuditConfig
+
+    now = 1_000_000.0
+    for i in range(5):
+        fs.audit.log("data", "write_append", f"t{i}")
+    # age three of the five data entries past retention (the fixture's own
+    # catalog entries stay recent)
+    for e in fs.audit.entries:
+        e.timestamp = now - 1 * 86400
+    for e in fs.audit.entries:
+        if e.resource in ("t0", "t1", "t2"):
+            e.timestamp = now - 10 * 86400
+
+    archive = tmp_path / "archive"
+    cfg = AuditConfig(retention_days=7, immutable=True,
+                      export_destination=str(archive))
+    assert fs.audit.prune(cfg, now=now) == 3
+    remaining = [e for e in fs.audit.entries if e.resource.startswith("t")]
+    assert sorted(e.resource for e in remaining) == ["t3", "t4"]
+    dumped = list(archive.glob("audit_pruned_*.jsonl"))
+    assert len(dumped) == 1
+    assert len(dumped[0].read_text().splitlines()) == 3
+    # immutable without archive refuses to destroy records
+    fs.audit.entries[0].timestamp = now - 10 * 86400
+    with pytest.raises(ValueError):
+        fs.audit.prune(AuditConfig(retention_days=7, immutable=True), now=now)
