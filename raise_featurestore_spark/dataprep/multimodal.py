@@ -222,6 +222,49 @@ def sample_frames(
     return df.mapInPandas(batches, schema)
 
 
+def derive_blobs(
+    df: DataFrame,
+    processor,
+    uri_suffix: str = ".derived",
+    content_type: str = "application/octet-stream",
+) -> DataFrame:
+    """Distributed derived-blob creation (reference: multimodal.py:721-758
+    ``MultimodalContext.create_derived`` — there a per-ref driver call; here
+    one Arrow-batched pass over (blob_ref, content) rows).
+
+    ``processor: bytes -> bytes`` (thumbnail, transcode, redact...) runs in
+    a pandas UDF; the new ref is rebuilt JVM-side (sha2 checksum,
+    octet_length size — no Python in the metadata path) with provenance
+    recorded as ``derived_from`` + ``source_checksum`` metadata.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _proc(s):  # pd.Series[bytes] -> pd.Series[bytes]
+        return s.map(lambda b: None if b is None else processor(bytes(b)))
+
+    out = df.select(
+        F.col("blob_ref.uri").alias("__src_uri"),
+        F.col("blob_ref.checksum").alias("__src_ck"),
+        _proc(F.col("content")).alias("content"),
+    )
+    ref = F.struct(
+        F.concat(F.col("__src_uri"), F.lit(uri_suffix)).alias("uri"),
+        F.lit(content_type).alias("content_type"),
+        F.sha2(F.col("content"), 256).alias("checksum"),
+        F.lit("sha256").alias("hash_algorithm"),
+        F.octet_length("content").cast("long").alias("size_bytes"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("version_id"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.map_from_arrays(
+            F.array(F.lit("derived_from"), F.lit("source_checksum")),
+            F.array(F.col("__src_uri"), F.coalesce(F.col("__src_ck"), F.lit(""))),
+        ).alias("metadata"),
+    )
+    return out.select(ref.alias("blob_ref"), "content")
+
+
 def integrity_report(refs: DataFrame, listing: DataFrame) -> DataFrame:
     """BlobIntegrityCheck: refs missing from storage + orphan files.
 

@@ -86,3 +86,25 @@ def test_decode_image_stub_raises():
         pass
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"not an image")
+
+
+def test_derive_blobs_thumbnail_pattern(spark, blob_dir):
+    import hashlib
+
+    from raise_featurestore_spark.dataprep.multimodal import derive_blobs, scan_blobs
+
+    src = scan_blobs(spark, blob_dir, with_content=True)
+    thumbs = derive_blobs(
+        src, processor=lambda b: b[:16], uri_suffix=".thumb.png",
+        content_type="image/png",
+    )
+    rows = thumbs.collect()
+    assert len(rows) == src.count()
+    for r in rows:
+        ref = r.blob_ref
+        assert ref.uri.endswith(".thumb.png")
+        assert ref.content_type == "image/png"
+        assert ref.size_bytes == len(r.content) <= 16
+        assert ref.checksum == hashlib.sha256(bytes(r.content)).hexdigest()
+        assert ref.metadata["derived_from"] + ".thumb.png" == ref.uri
+        assert "source_checksum" in ref.metadata

@@ -48,3 +48,24 @@ def test_partition_path_source_skips_listing(spark, tmp_path):
     src = ObjectStorageSource(path=out).with_partition("dt", "2024-01-02")
     rows = src.read(spark).collect()
     assert [r["v"] for r in rows] == [2]
+
+
+def test_filesystem_source_orc_roundtrip(spark, tmp_path):
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+
+    out = str(tmp_path / "nation_orc")
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    nation.write.mode("overwrite").orc(out)
+    src = FileSystemSource(path=out, format="orc")
+    got = src.read(spark)
+    assert got.count() == nation.count()
+    assert set(got.columns) == set(nation.columns)
+
+
+def test_source_format_whitelist():
+    import pytest
+
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        FileSystemSource(path="/tmp/x", format="xml").read(None)
