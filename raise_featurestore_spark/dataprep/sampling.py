@@ -1,0 +1,119 @@
+"""Deterministic dataset splitting and stratified sampling for training
+pipelines.
+
+(engine addition beyond the reference surface — SURVEY §2.2 lists only
+random ``RecordLookup.sample``; a 100 TB training pipeline needs splits
+that are (a) reproducible across runs, engines, and cluster sizes, and
+(b) pure map-side. Both come from hash-thresholding the shared
+cross-engine ``h32`` primitive (dataprep/hashing.py) instead of RNG:
+
+    bucket(id) = h32(salt || id) mod 10_000
+
+- ``hash_split`` assigns each row to a named split by cumulative-fraction
+  ranges over the bucket — zero shuffle, stable membership even when the
+  table grows (a row's split never changes because other rows appeared).
+- ``stratified_sample`` keeps a per-stratum fraction by the same
+  thresholding, so sampling is deterministic per row id — no seed drift
+  between retries/executors, and joining a sample back to its source is
+  exact.
+
+Spark's built-in ``sample``/``sampleBy`` are seeded-RNG per partition:
+resampling under AQE re-partitioning or task retries can change membership.
+Hash-thresholding cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.dataprep import hashing as H
+
+BUCKETS = 10_000
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    return H.h32(F.concat(F.lit(salt), id_col.cast("string"))) % F.lit(BUCKETS)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, splits: dict[str, float], salt: str = "split"
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; remainder rows get
+    the last split). Assignment is ``h32(salt||id) mod 10k`` against
+    cumulative ranges — map-side only, reproducible everywhere.
+    """
+    total = sum(splits.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
+    b = _bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(splits)
+    for name in names:
+        cum += splits[name]
+        cond = b < F.lit(int(round(cum * BUCKETS)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    out = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", out)
+
+
+def hash_split_sql(
+    table: str, id_col: str, splits: dict[str, float], salt: str = "split"
+) -> str:
+    """DuckDB twin of :func:`hash_split` (same literals, same buckets)."""
+    bucket = (
+        f"{H.h32_sql(repr(salt) + ' || CAST(' + id_col + ' AS VARCHAR)')} % {BUCKETS}"
+    )
+    cases = []
+    cum = 0.0
+    names = list(splits)
+    for name in names:
+        cum += splits[name]
+        cases.append(f"WHEN __b < {int(round(cum * BUCKETS))} THEN '{name}'")
+    case = f"CASE {' '.join(cases)} ELSE '{names[-1]}' END"
+    return (
+        f"SELECT * EXCLUDE (__b), {case} AS split "
+        f"FROM (SELECT *, {bucket} AS __b FROM {table}) __t"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls under its stratum's fraction threshold. Map-side filter — the
+    scan's predicate, no shuffle, no RNG."""
+    b = _bucket(F.col(id_col), salt)
+    thresh = F.lit(int(round(default_fraction * BUCKETS)))
+    for value, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * BUCKETS)))
+        ).otherwise(thresh)
+    return df.where(b < thresh)
+
+
+def stratified_sample_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    bucket = (
+        f"{H.h32_sql(repr(salt) + ' || CAST(' + id_col + ' AS VARCHAR)')} % {BUCKETS}"
+    )
+    whens = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {int(round(f * BUCKETS))}"
+        for v, f in fractions.items()
+    )
+    thresh = f"CASE {whens} ELSE {int(round(default_fraction * BUCKETS))} END"
+    return f"SELECT * FROM {table} WHERE {bucket} < {thresh}"

@@ -1129,6 +1129,63 @@ register(
 
 
 # --------------------------------------------------------------------------
+# Training-pipeline dataset ops: deterministic hash split + stratified
+# sampling (dataprep/sampling.py — map-side, RNG-free, reproducible across
+# engines and cluster sizes)
+# --------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA = {"en": 0.5, "de": 0.25}
+
+
+def _split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", _SPLITS)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+def _split_summary_sql() -> str:
+    from raise_featurestore_spark.dataprep.sampling import hash_split_sql
+
+    return (
+        "SELECT split, COUNT(*) AS rows, "
+        "ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars FROM ("
+        + hash_split_sql("documents", "doc_id", _SPLITS)
+        + ") __s GROUP BY split"
+    )
+
+
+register("split_train_val_test", _split_summary, _split_summary_sql())
+
+
+def _stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "lang", _STRATA, default_fraction=0.1)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("rows"))
+
+
+def _stratified_counts_sql() -> str:
+    from raise_featurestore_spark.dataprep.sampling import stratified_sample_sql
+
+    return (
+        "SELECT lang, COUNT(*) AS rows FROM ("
+        + stratified_sample_sql("documents", "doc_id", "lang", _STRATA,
+                                default_fraction=0.1)
+        + ") __s GROUP BY lang"
+    )
+
+
+register("sample_stratified_lang", _stratified_counts, _stratified_counts_sql())
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only
 # checks (no oracle by design) and the longest-standing green queries to

@@ -1,0 +1,56 @@
+"""Deterministic split/sampling properties (dataprep/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from raise_featurestore_spark.dataprep.sampling import hash_split, stratified_sample
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.range(0, 2000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang"
+    )
+
+
+def test_hash_split_partitions_every_row_once(docs):
+    out = hash_split(docs, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    # fractions hold within hash noise
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+
+
+def test_hash_split_is_stable_under_data_growth(docs):
+    """A row's split assignment never changes because other rows appeared."""
+    small = hash_split(docs.where("id < 500"), "id", {"train": 0.8, "test": 0.2})
+    big = hash_split(docs, "id", {"train": 0.8, "test": 0.2})
+    s = {r.id: r.split for r in small.collect()}
+    b = {r.id: r.split for r in big.where("id < 500").collect()}
+    assert s == b
+
+
+def test_hash_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "id", {"a": 0.9, "b": 0.3})
+
+
+def test_hash_split_is_map_side_only(docs):
+    plan = hash_split(docs, "id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().toString()
+    assert "Exchange" not in plan  # no shuffle: pure projection
+
+
+def test_stratified_sample_deterministic_and_proportional(docs):
+    frac = {"en": 0.5, "de": 0.2}
+    a = stratified_sample(docs, "id", "lang", frac, default_fraction=0.0)
+    b = stratified_sample(docs, "id", "lang", frac, default_fraction=0.0)
+    assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
+    counts = {r.lang: r.cnt for r in a.groupBy("lang").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert "fr" not in counts  # default fraction 0 drops unlisted strata
+    n_en = 2000 / 3
+    assert 0.4 <= counts["en"] / n_en <= 0.6
+    assert 0.12 <= counts["de"] / n_en <= 0.28
