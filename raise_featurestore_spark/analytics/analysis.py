@@ -185,10 +185,17 @@ class StatTest(_Spec):
     control: Any = None
     treatment: Any = None
     filter: str | None = None
+    # mean-difference CI for the two-arm t tests (reference:
+    # analysis.py:263,282 confidence_level). Opt-in so the statistic-only
+    # oracle SQL stays unchanged.
+    confidence_interval: bool = False
+    confidence_level: float = 0.95
 
     def __post_init__(self) -> None:
         if self.test not in STAT_TESTS:
             raise AnalysisSpecError(f"unknown stat test {self.test!r}; allowed {sorted(STAT_TESTS)}")
+        if not 0.0 < self.confidence_level < 1.0:
+            raise AnalysisSpecError("confidence_level must be in (0, 1)")
 
 
 @dataclass

@@ -111,17 +111,19 @@ def _ttest(df: DataFrame, spec: StatTest, round_to: int | None) -> DataFrame:
     n2, m2, v2 = F.col("n2"), F.col("m2"), F.col("v2")
     if spec.test == "ttest":
         sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
-        t = (m1 - m2) / F.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+        se = F.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+        t = (m1 - m2) / se
         dof = (n1 + n2 - 2).cast("double")
         d = (m1 - m2) / F.sqrt(sp2)
     else:  # welch
         se2 = v1 / n1 + v2 / n2
-        t = (m1 - m2) / F.sqrt(se2)
+        se = F.sqrt(se2)
+        t = (m1 - m2) / se
         dof = (se2 * se2) / (
             (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
         )
         d = (m1 - m2) / F.sqrt((v1 + v2) / 2.0)
-    return m.select(
+    cols = [
         F.lit(spec.test).alias("test"),
         n1.alias("n_control"),
         n2.alias("n_treatment"),
@@ -130,7 +132,29 @@ def _ttest(df: DataFrame, spec: StatTest, round_to: int | None) -> DataFrame:
         _rnd(t, round_to).alias("statistic"),
         _rnd(dof, round_to).alias("df"),
         _rnd(d, round_to).alias("effect_size"),
-    )
+    ]
+    if spec.confidence_interval:
+        # CI of the mean difference: diff ± t_crit(level, df) · se.
+        # t_crit comes from a scalar UDF over this FINAL 1-row frame —
+        # driver-side math, never in the row path.
+        from raise_featurestore_spark.functions import special as S
+
+        level = float(spec.confidence_level)
+        diff = m1 - m2
+
+        @F.udf(DoubleType())
+        def t_crit(dof_v):
+            if dof_v is None:
+                return None
+            return S.t_ppf(0.5 + level / 2.0, float(dof_v))
+
+        half = t_crit(dof) * se
+        cols += [
+            F.lit(level).alias("confidence_level"),
+            _rnd(diff - half, round_to).alias("ci_lo"),
+            _rnd(diff + half, round_to).alias("ci_hi"),
+        ]
+    return m.select(*cols)
 
 
 def _ttest_sql(spec: StatTest, table: str, round_to: int | None) -> str:

@@ -91,6 +91,32 @@ def t_sf_two_sided(t: float, df: float) -> float:
     return 2.0 * t_sf(abs(t), df)
 
 
+def t_ppf(p: float, df: float) -> float:
+    """Inverse CDF of Student's t by bisection over ``t_sf`` (the CDF is
+    monotone; 80 iterations ≈ full double precision on any practical df).
+    Used for confidence-interval critical values — a driver-side scalar,
+    never in the row path."""
+    if not 0.0 < p < 1.0 or df <= 0:
+        return float("nan")
+    if p == 0.5:
+        return 0.0
+    if p < 0.5:
+        return -t_ppf(1.0 - p, df)
+    target = 1.0 - p  # upper-tail mass of the answer
+    lo, hi = 0.0, 1.0
+    while t_sf(hi, df) > target:
+        hi *= 2.0
+        if hi > 1e12:  # pragma: no cover - p astronomically close to 1
+            break
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if t_sf(mid, df) > target:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
 def f_sf(f: float, d1: float, d2: float) -> float:
     """Upper tail of the F distribution."""
     if f <= 0:

@@ -127,3 +127,40 @@ class TestStatTestNumerics:
         row = compile_drift(df, spec).collect()[0]
         for m in spec.metrics:
             assert row[m] == pytest.approx(0.0, abs=1e-9), m
+
+
+def test_t_ppf_known_quantiles():
+    from raise_featurestore_spark.functions.special import t_ppf, t_sf
+
+    # textbook critical values
+    assert abs(t_ppf(0.975, 10) - 2.2281) < 1e-3
+    assert abs(t_ppf(0.975, 1e9) - 1.9600) < 1e-3  # -> normal
+    assert abs(t_ppf(0.95, 5) - 2.0150) < 1e-3
+    assert t_ppf(0.5, 7) == 0.0
+    assert abs(t_ppf(0.025, 10) + 2.2281) < 1e-3  # symmetry
+    # round-trip: sf(ppf(p)) == 1 - p
+    for p in (0.6, 0.9, 0.99):
+        assert abs(t_sf(t_ppf(p, 12), 12) - (1 - p)) < 1e-9
+
+
+def test_welch_confidence_interval(spark):
+    from raise_featurestore_spark.analytics.analysis import StatTest
+    from raise_featurestore_spark.analytics.stattest import compile_stattest
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", float(v) + 2.5) for v in range(12)]
+    df = spark.createDataFrame(rows, ["arm", "x"])
+    spec = StatTest(feature="x", test="welch", segment_by="arm",
+                    control="a", treatment="b",
+                    confidence_interval=True, confidence_level=0.95)
+    r = compile_stattest(df, spec, include_p=False).collect()[0]
+    # diff = mean(a) - mean(b) = 4.5 - 8.0 = -3.5; CI must bracket it
+    assert r.ci_lo < -3.5 < r.ci_hi
+    assert r.confidence_level == 0.95
+    # CI excludes 0 iff |t| > t_crit — here the shift is large vs spread
+    assert r.ci_hi < 0
+    # wider level -> wider interval
+    spec99 = StatTest(feature="x", test="welch", segment_by="arm",
+                      control="a", treatment="b",
+                      confidence_interval=True, confidence_level=0.99)
+    r99 = compile_stattest(df, spec99, include_p=False).collect()[0]
+    assert r99.ci_lo < r.ci_lo and r99.ci_hi > r.ci_hi
