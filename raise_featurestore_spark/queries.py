@@ -1128,6 +1128,33 @@ register(
 )
 
 
+def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction stays JVM-side
+    (get_json_object — no UDF), then a plain grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("rows"),
+            F.round(F.avg(F.col("k").cast("double")), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") > 50).cast("long")).alias("k_over_50"),
+        )
+    )
+
+
+register(
+    "expr_json_extract",
+    _json_props,
+    "SELECT event_type, COUNT(k) AS rows, ROUND(AVG(CAST(k AS DOUBLE)), 4) AS avg_k, "
+    "MAX(k) AS max_k, CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k_over_50 "
+    "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events) __j GROUP BY event_type",
+)
+
+
 # --------------------------------------------------------------------------
 # Training-pipeline dataset ops: deterministic hash split + stratified
 # sampling (dataprep/sampling.py — map-side, RNG-free, reproducible across
