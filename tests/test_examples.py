@@ -108,3 +108,15 @@ def test_example_bulk_inference(spark):
     assert out["max_abs_normed"] <= 1.0 + 1e-9
     assert out["decorated"] == 500
     assert out["gpu_confs"]["spark.task.resource.gpu.amount"] == "1.0"
+
+
+def test_example_training_pipeline(spark):
+    out = _load("10_training_pipeline.py").main(SF_DIR)
+    assert out["raw"] == 525
+    assert out["deduped"] == 500  # 25 injected re-fetches dropped
+    assert out["quality_kept"] <= out["deduped"]
+    assert out["sampled"] < out["quality_kept"]  # non-en halved
+    assert out["written"] == out["sampled"]
+    assert set(out["split_counts"]) == {"train", "val", "test"}
+    assert sum(out["split_counts"].values()) == out["sampled"]
+    assert out["partitions"] == ["test", "train", "val"]
