@@ -103,6 +103,22 @@ register_agg(
     ),
 )
 
+# same metric suite through the bounded-memory mergeable GK sketch — the
+# 100 TB posture (exact percentile buffers every group value). Rows-only:
+# Spark's approx_percentile and DuckDB's approx_quantile are different
+# sketches, so there is no cross-engine value oracle by construction.
+register(
+    "agg_global_stats_approx",
+    lambda spark, sf_dir: compile_aggregation(
+        load_table(spark, sf_dir, "orders"),
+        Aggregation(
+            features=["o_totalprice"],
+            metrics=["count", "median", "p50", "p75", "p90", "p95", "p99"],
+            approx_percentiles=True,
+        ),
+    ),
+)
+
 register_agg(
     # events.value contains real nulls → exercises null_rate/null_count on
     # data where they are non-trivial
@@ -1220,6 +1236,7 @@ register("sample_stratified_lang", _stratified_counts, _stratified_counts_sql())
 # --------------------------------------------------------------------------
 
 _DEPRIORITIZED = [
+    "agg_global_stats_approx",
     "expr_case_when",
     "expr_zscore_hoisted",
     "point_lookup_customer",
