@@ -65,6 +65,10 @@ def _metric_column(metric: str, feature: str, round_to: int | None) -> Column:
         out = F.sum(c.isNull().cast("long")).cast("long")
     elif metric == "distinct_count":
         out = F.countDistinct(c)
+    elif metric == "approx_distinct_count":
+        # HLL++ sketch: mergeable map-side, constant memory — unlike exact
+        # countDistinct's Expand+reshuffle. The 100 TB default.
+        out = F.approx_count_distinct(c)
     elif metric == "min":
         out = F.min(c)
     elif metric == "max":
@@ -99,6 +103,9 @@ def _metric_sql(metric: str, feature: str, round_to: int | None) -> str:
         e = f"CAST(COALESCE(SUM(CASE WHEN {x} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)"
     elif metric == "distinct_count":
         e = f"COUNT(DISTINCT {x})"
+    elif metric == "approx_distinct_count":
+        # engines use different HLL parameterizations — not hash-comparable
+        e = f"approx_count_distinct({x})"
     elif metric == "min":
         e = f"MIN({x})"
     elif metric == "max":

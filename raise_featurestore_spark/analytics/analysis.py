@@ -33,6 +33,7 @@ AGGREGATION_METRICS = frozenset(
         "null_rate",
         "null_count",
         "distinct_count",
+        "approx_distinct_count",  # HLL sketch — the 100 TB posture
         "p50",
         "p75",
         "p90",

@@ -236,3 +236,24 @@ def test_approx_percentiles_match_exact_within_tolerance(spark):
     # the sketch path must actually be approx_percentile in the plan
     plan = compile_aggregation(df, approx_spec)._jdf.queryExecution().toString()
     assert "approx_percentile" in plan
+
+
+def test_approx_distinct_count_metric(spark):
+    from raise_featurestore_spark.analytics.aggregation import compile_aggregation
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    df = spark.range(0, 20_000).selectExpr("id % 7 AS seg", "id % 9973 AS v")
+    spec = Aggregation(features=["v"],
+                       metrics=["distinct_count", "approx_distinct_count"],
+                       group_by="seg")
+    rows = compile_aggregation(df, spec).collect()
+    assert len(rows) == 7
+    for r in rows:
+        exact = r.distinct_count_v
+        approx = r.approx_distinct_count_v
+        assert abs(approx - exact) / exact < 0.1  # HLL++ default rsd ~2.3%
+    # the sketch, not Expand, is in the plan
+    plan = compile_aggregation(
+        df, Aggregation(features=["v"], metrics=["approx_distinct_count"])
+    )._jdf.queryExecution().toString()
+    assert "approx_count_distinct" in plan
