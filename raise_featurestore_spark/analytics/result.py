@@ -42,6 +42,7 @@ class AnalysisResult:
     created_at: str = field(
         default_factory=lambda: datetime.now(timezone.utc).isoformat()
     )
+    result_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
     def to_dataframe(self) -> pd.DataFrame:
         return self.data.copy()
@@ -147,6 +148,7 @@ class AnalyticsClient:
     def __init__(self, cache: ResultCache | None = None) -> None:
         self.cache = cache or ResultCache()
         self.results: list[AnalysisResult] = []
+        self.jobs: dict[str, AnalysisJob] = {}
 
     def analyze(
         self,
@@ -170,6 +172,49 @@ class AnalyticsClient:
         freshness: Freshness = CACHED,
         **kwargs: Any,
     ) -> AnalysisJob:
-        return AnalysisJob(
+        job = AnalysisJob(
             df.sparkSession, lambda: self.analyze(df, spec, freshness, **kwargs)
         )
+        self.jobs[job.job_id] = job
+        return job
+
+    # -- job management (reference: analytics/client.py:205-232) -------------
+
+    def get_job(self, job_id: str) -> AnalysisJob | None:
+        return self.jobs.get(job_id)
+
+    def list_jobs(self, status: str | None = None) -> list[AnalysisJob]:
+        out = list(self.jobs.values())
+        if status:
+            out = [j for j in out if j.status == status]
+        return out
+
+    def cancel_job(self, job_id: str) -> bool:
+        job = self.jobs.get(job_id)
+        return job.cancel() if job else False
+
+    # -- result management (reference: analytics/client.py:237-281) ----------
+
+    def get_result(self, result_id: str) -> AnalysisResult | None:
+        for r in self.results:
+            if r.result_id == result_id:
+                return r
+        return None
+
+    def list_results(self, limit: int = 100) -> list[AnalysisResult]:
+        return sorted(self.results, key=lambda r: r.created_at, reverse=True)[:limit]
+
+    def delete_result(self, result_id: str) -> bool:
+        before = len(self.results)
+        self.results = [r for r in self.results if r.result_id != result_id]
+        return len(self.results) < before
+
+    def delete_results(self, older_than_days: float) -> int:
+        """Drop results older than N days; returns how many were removed."""
+        cutoff = datetime.now(timezone.utc).timestamp() - older_than_days * 86400
+        before = len(self.results)
+        self.results = [
+            r for r in self.results
+            if datetime.fromisoformat(r.created_at).timestamp() >= cutoff
+        ]
+        return before - len(self.results)

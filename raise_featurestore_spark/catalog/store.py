@@ -65,6 +65,7 @@ class FeatureStore:
         self._orgs: dict[str, _Node] = {}
         self.lineage = LineageGraph()
         self.audit = AuditLog()
+        self._jobs: dict = {}  # in-memory job registry (execution-plane)
         self._ctx = (org, domain, project)
         os.makedirs(path, exist_ok=True)
         self._load()
@@ -79,6 +80,7 @@ class FeatureStore:
         fs._orgs = self._orgs
         fs.lineage = self.lineage
         fs.audit = self.audit
+        fs._jobs = self._jobs
         fs._ctx = (org, domain, project)
         return fs
 
@@ -195,6 +197,62 @@ class FeatureStore:
 
     def organization(self, name: str) -> "OrganizationHandle":
         return OrganizationHandle(self, self._org(name))
+
+    # -- namespace listings (reference: client.py:225-356) -------------------
+
+    def list_organizations(self) -> list[str]:
+        return sorted(self._orgs)
+
+    def list_domains(self, org: str | None = None) -> list[str]:
+        org = org or self._ctx[0]
+        if not org:
+            raise CatalogError("no org context; pass org or use with_context()")
+        return sorted(self._org(org).children)
+
+    def list_projects_in(self, org: str | None = None, domain: str | None = None) -> list[str]:
+        org = org or self._ctx[0]
+        domain = domain or self._ctx[1]
+        if not (org and domain):
+            raise CatalogError("no org/domain context; pass them or use with_context()")
+        d = self._org(org).children.get(domain)
+        if d is None:
+            raise NotFoundError(f"domain {org}/{domain} not found")
+        return sorted(d.children)
+
+    # feature_group() is the reference's accessor name (client.py:400)
+    def feature_group(self, name: str, **kwargs) -> "BoundFeatureGroup":
+        return self.get_feature_group(name, **kwargs)
+
+    # -- job registry (reference: client.py:689-738; execution lives in
+    # transforms.orchestrator — this is the client-side register/lookup
+    # surface, shared across with_context views) ------------------------------
+
+    def register_job(self, job) -> None:
+        self._jobs[job.job_id] = job
+        self.audit.log("catalog", "register_job", job.job_id)
+
+    def get_job(self, job_id: str):
+        if job_id not in self._jobs:
+            raise NotFoundError(f"job {job_id!r} not found")
+        return self._jobs[job_id]
+
+    def list_jobs(self, status: str | None = None) -> list[str]:
+        ids = sorted(self._jobs)
+        if status:
+            ids = [i for i in ids if str(self._jobs[i].status.value) == status]
+        return ids
+
+    def deploy_job(self, job_or_id) -> None:
+        job = job_or_id if hasattr(job_or_id, "deploy") else self.get_job(job_or_id)
+        if job.job_id not in self._jobs:
+            self.register_job(job)
+        job.deploy()
+        self.audit.log("catalog", "deploy_job", job.job_id)
+
+    def trigger_job(self, spark: SparkSession, job_or_id):
+        job = job_or_id if hasattr(job_or_id, "run") else self.get_job(job_or_id)
+        self.audit.log("data", "trigger_job", job.job_id)
+        return job.run(spark)
 
     def _resolve_ctx(self, org, domain, project) -> tuple[str, str, str]:
         org = org or self._ctx[0]

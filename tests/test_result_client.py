@@ -68,3 +68,70 @@ def test_analyze_async_failure(spark, orders):
     assert job.wait(60) == "failed"
     with pytest.raises(RuntimeError, match="failed"):
         job.result()
+
+
+def test_result_and_job_management(spark, orders):
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    client = AnalyticsClient()
+    spec = Aggregation(features=["o_totalprice"], metrics=["count"])
+    r1 = client.analyze(orders, spec)
+    r2 = client.analyze(orders, spec)
+    assert client.get_result(r1.result_id) is r1
+    assert len(client.list_results()) == 2
+    assert client.delete_result(r1.result_id) is True
+    assert client.delete_result(r1.result_id) is False
+    assert len(client.list_results()) == 1
+    # age the remaining result and prune by age
+    old = client.list_results()[0]
+    from datetime import datetime, timedelta, timezone
+
+    old.created_at = (datetime.now(timezone.utc) - timedelta(days=10)).isoformat()
+    assert client.delete_results(older_than_days=7) == 1
+    assert client.list_results() == []
+
+    job = client.analyze_async(orders, spec)
+    job.wait(timeout=30)
+    assert client.get_job(job.job_id) is job
+    assert client.list_jobs(status="completed") == [job]
+    assert client.cancel_job("nope") is False
+    assert r2.result_id != r1.result_id
+
+
+def test_store_job_registry_and_listings(spark, tmp_path):
+    from raise_featurestore_spark.catalog.store import FeatureStore, NotFoundError
+    from raise_featurestore_spark.transforms.job import Job, Target
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+    from raise_featurestore_spark.transforms.transform import PythonTransform
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    spark.range(0, 5).selectExpr("id", "id * 1.0 AS v").write.parquet(src)
+
+    fs = FeatureStore(str(tmp_path / "cat"))
+    fs.create_organization("acme")
+    fs.create_domain("acme", "ml")
+    fs.create_project("acme", "ml", "p1")
+    fs.create_project("acme", "ml", "p2")
+    assert fs.list_organizations() == ["acme"]
+    assert fs.list_domains("acme") == ["ml"]
+    assert fs.list_projects_in("acme", "ml") == ["p1", "p2"]
+
+    job = Job(
+        job_id="daily-agg",
+        sources={"src": FileSystemSource(path=src)},
+        transform=PythonTransform(lambda ctx, df: df),
+        target=Target(path=str(tmp_path / "out"), write_mode="overwrite"),
+    )
+    fs.deploy_job(job)  # registers + deploys
+    assert fs.list_jobs() == ["daily-agg"]
+    assert fs.list_jobs(status="active") == ["daily-agg"]
+    run = fs.trigger_job(spark, "daily-agg")
+    assert run.status == "completed" and run.rows_written == 5
+    with _pytest.raises(NotFoundError):
+        fs.get_job("missing")
+    # the registry is shared across re-scoped views
+    assert fs.with_context("acme", "ml", "p1").list_jobs() == ["daily-agg"]
+    # job lifecycle audit entries exist
+    acts = {e.action for e in fs.audit.query(actions=["*job*"], limit=50)}
+    assert {"register_job", "deploy_job", "trigger_job"} <= acts
