@@ -1240,8 +1240,12 @@ _DEPRIORITIZED = [
     "expr_case_when",
     "expr_zscore_hoisted",
     "point_lookup_customer",
+    "lookup_topk_orders",
     "text_language_id",
     "text_token_counts",
+    "text_quality_score",
+    "text_fingerprint",
+    "transform_pandas_batch",
     "vector_norm_dot",
     "corr_kendall_sampled",
     "stattest_welch_pvalue",
