@@ -503,6 +503,12 @@ class BoundFeatureGroup:
             raise NotFoundError(f"feature {name!r} not found")
         return list(self.meta.features[name])
 
+    def feature_audit_log(self, name: str, **query_kwargs):
+        """Audit entries scoped to one feature (reference: examples/05
+        ``feature.audit_log`` — models/audit.py feature-level query)."""
+        base = f"{self.org}/{self.domain}/{self.project}/{self.meta.name}/{name}"
+        return self.store.audit.query(resource=f"{base}*", **query_kwargs)
+
     # -- same-org ACL (reference: feature_group.py:509-527) -------------------
 
     def set_acl(self, acl) -> None:

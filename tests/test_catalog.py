@@ -309,3 +309,15 @@ def test_audit_retention_prune(fs, tmp_path):
     fs.audit.entries[0].timestamp = now - 10 * 86400
     with pytest.raises(ValueError):
         fs.audit.prune(AuditConfig(retention_days=7, immutable=True), now=now)
+
+
+def test_feature_audit_log_scoped(fs):
+    g = fs.create_feature_group("sig", entity_key="uid")
+    g.create_feature("a", "float64")
+    g.create_feature("a", "float64", if_exists="update")  # v2
+    g.create_feature("b", "float64")
+    page_a = g.feature_audit_log("a")
+    assert page_a.total_count == 2  # v1 + v2 creations
+    assert all("sig/a" in e.resource for e in page_a)
+    page_b = g.feature_audit_log("b", actions=["create_*"])
+    assert page_b.total_count == 1
