@@ -145,6 +145,10 @@ class Distribution(_Spec):
     sample_size: int | None = None
     filter: str | None = None
     percentiles: list[float] = field(default_factory=lambda: [0.25, 0.5, 0.75, 0.9, 0.99])
+    # 100 TB posture: mergeable bounded-memory sketch instead of exact
+    # buffering (see Aggregation.approx_percentiles)
+    approx_percentiles: bool = False
+    percentile_accuracy: int = 10_000
 
     def __post_init__(self) -> None:
         bad = set(self.metrics) - DISTRIBUTION_METRICS

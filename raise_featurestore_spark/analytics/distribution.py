@@ -111,7 +111,14 @@ def _histogram(df, spec, x, seg, round_to):
 
 def _percentiles(df, spec, x, seg, round_to):
     fracs = list(spec.percentiles)
-    agg = F.percentile(x, F.array(*[F.lit(p) for p in fracs])).alias("__p")
+    arr = F.array(*[F.lit(p) for p in fracs])
+    # exact by default (oracle-checkable); approx = mergeable GK sketch,
+    # bounded memory per segment — the 100 TB posture
+    agg = (
+        F.approx_percentile(x, arr, F.lit(spec.percentile_accuracy))
+        if spec.approx_percentiles
+        else F.percentile(x, arr)
+    ).alias("__p")
     grouped = df.groupBy(*seg).agg(agg) if seg else df.agg(agg)
     cols = list(seg) + [
         F.round(F.element_at(F.col("__p"), i + 1), round_to).alias(_p_alias(p))

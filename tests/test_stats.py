@@ -164,3 +164,26 @@ def test_welch_confidence_interval(spark):
                       confidence_interval=True, confidence_level=0.99)
     r99 = compile_stattest(df, spec99, include_p=False).collect()[0]
     assert r99.ci_lo < r.ci_lo and r99.ci_hi > r.ci_hi
+
+
+def test_distribution_approx_percentiles(spark):
+    from raise_featurestore_spark.analytics.analysis import Distribution
+    from raise_featurestore_spark.analytics.distribution import compile_distribution
+
+    df = spark.range(0, 4000).selectExpr("CAST(id AS DOUBLE) AS v",
+                                         "id % 2 AS seg")
+    exact = compile_distribution(
+        df, Distribution(feature="v", metrics=["percentiles"], segment_by="seg")
+    ).collect()
+    approx_df = compile_distribution(
+        df, Distribution(feature="v", metrics=["percentiles"], segment_by="seg",
+                         approx_percentiles=True),
+    )
+    approx = approx_df.collect()
+    by_seg = {r.seg: r for r in exact}
+    for r in approx:
+        e = by_seg[r.seg]
+        for col in ("p25", "p50", "p75", "p90", "p99"):
+            assert abs(getattr(r, col) - getattr(e, col)) <= 8.0
+    plan = approx_df._jdf.queryExecution().toString()
+    assert "approx_percentile" in plan
