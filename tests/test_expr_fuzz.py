@@ -73,7 +73,7 @@ def frames(spark):
     return df, con
 
 
-@settings(max_examples=30, deadline=None,
+@settings(max_examples=30, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(expr=exprs)
 def test_expression_matches_duckdb(frames, expr):
