@@ -54,6 +54,14 @@ class _Node:
     # org-level audit retention/immutability settings (reference:
     # models/audit.py:256-285 AuditConfig; examples/05)
     audit_config: dict | None = None
+    # namespace-level ACL, inherited downward (reference: acl.py:118-129)
+    acl: "ACL" = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.acl is None:
+            from raise_featurestore_spark.catalog.acl import ACL
+
+            self.acl = ACL()
 
 
 class FeatureStore:
@@ -223,6 +231,39 @@ class FeatureStore:
     def feature_group(self, name: str, **kwargs) -> "BoundFeatureGroup":
         return self.get_feature_group(name, **kwargs)
 
+    def delete_feature_group(self, name: str, org: str | None = None,
+                             domain: str | None = None, project: str | None = None) -> None:
+        """Catalog delete (reference: feature_group.py:642-645). Metadata
+        only — the storage path is left for the data-retention process."""
+        org, domain, project = self._resolve_ctx(org, domain, project)
+        node = self._project(org, domain, project)
+        if name not in node.groups:
+            raise NotFoundError(f"feature group {name!r} not found")
+        del node.groups[name]
+        self.audit.log("catalog", "delete_feature_group",
+                       f"{org}/{domain}/{project}/{name}")
+        self._save()
+
+    def set_namespace_acl(self, acl, org: str, domain: str | None = None,
+                          project: str | None = None) -> None:
+        """Attach an ACL at org / domain / project level; groups inherit it
+        through the merge cascade (reference: acl.py:118-129)."""
+        node = self._org(org)
+        if domain is not None:
+            node = node.children.get(domain)
+            if node is None:
+                raise NotFoundError(f"domain {org}/{domain} not found")
+        if project is not None:
+            if domain is None:
+                raise CatalogError("project ACL needs its domain")
+            node = node.children.get(project)
+            if node is None:
+                raise NotFoundError(f"project {org}/{domain}/{project} not found")
+        node.acl = acl
+        self.audit.log("acl", "update_acl",
+                       "/".join(x for x in (org, domain, project) if x))
+        self._save()
+
     # -- job registry (reference: client.py:689-738; execution lives in
     # transforms.orchestrator — this is the client-side register/lookup
     # surface, shared across with_context views) ------------------------------
@@ -303,6 +344,11 @@ class FeatureStore:
                 "children": {k: node_dict(v) for k, v in n.children.items()},
                 "groups": {k: g.to_dict() for k, g in n.groups.items()},
                 "audit_config": n.audit_config,
+                "acl": {
+                    "readers": sorted(n.acl.readers),
+                    "writers": sorted(n.acl.writers),
+                    "admins": sorted(n.acl.admins),
+                },
             }
 
         state = {
@@ -324,6 +370,12 @@ class FeatureStore:
             n.children = {k: node_from(v) for k, v in d.get("children", {}).items()}
             n.groups = {k: FeatureGroupMeta.from_dict(v) for k, v in d.get("groups", {}).items()}
             n.audit_config = d.get("audit_config")
+            from raise_featurestore_spark.catalog.acl import ACL
+
+            a = d.get("acl", {})
+            n.acl = ACL(readers=set(a.get("readers", [])),
+                        writers=set(a.get("writers", [])),
+                        admins=set(a.get("admins", [])))
             return n
 
         self._orgs = {k: node_from(v) for k, v in state.get("orgs", {}).items()}
@@ -518,6 +570,52 @@ class BoundFeatureGroup:
 
     def get_acl(self):
         return self.meta.acl
+
+    def get_acl_chain(self) -> list:
+        """org → domain → project → group ACLs (reference:
+        feature_group.py:516-522)."""
+        org = self.store._org(self.org)
+        dom = org.children[self.domain]
+        proj = dom.children[self.project]
+        return [org.acl, dom.acl, proj.acl, self.meta.acl]
+
+    def get_effective_acl(self):
+        """Inheritance cascade: the group ACL merged with every ancestor
+        level (reference: feature_group.py:509-514, acl.py:118-129)."""
+        chain = self.get_acl_chain()
+        eff = chain[-1]
+        for parent in chain[:-1]:
+            eff = eff.merge(parent)
+        return eff
+
+    def list_external_grants(self) -> list:
+        return list(self.meta.grants)
+
+    def validate_feature(self, name: str, dtype: str,
+                         derived_from: str | None = None, **kwargs):
+        """Validate a definition without creating it (reference:
+        feature_group.py:441-469). Returns the validator's result object."""
+        from raise_featurestore_spark.expressions.validator import (
+            ValidationResult,
+            validate_expression,
+        )
+
+        parse_dtype(dtype)  # raises on a bad dtype spec
+        if derived_from is None:
+            return ValidationResult(valid=True)
+        known = set(self.meta.features) | {self.meta.entity_key}
+        return validate_expression(derived_from, known_features=known,
+                                   level=kwargs.get("validation_level", "standard"))
+
+    def audit_log(self, **query_kwargs):
+        """Audit entries scoped to this group's qualified resource prefix
+        (reference: feature_group.py:581-594)."""
+        return self.store.audit.query(resource=f"{self.qualified_name()}*",
+                                      **query_kwargs)
+
+    def delete(self) -> None:
+        self.store.delete_feature_group(self.meta.name, org=self.org,
+                                        domain=self.domain, project=self.project)
 
     @property
     def entity_key(self) -> str:

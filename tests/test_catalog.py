@@ -321,3 +321,49 @@ def test_feature_audit_log_scoped(fs):
     assert all("sig/a" in e.resource for e in page_a)
     page_b = g.feature_audit_log("b", actions=["create_*"])
     assert page_b.total_count == 1
+
+
+def test_acl_inheritance_chain(fs):
+    g = fs.create_feature_group("guarded2", entity_key="uid")
+    fs.set_namespace_acl(ACL(readers={"org-wide"}), org="acme")
+    fs.set_namespace_acl(ACL(writers={"ml-dom"}), org="acme", domain="ml")
+    fs.set_namespace_acl(ACL(admins={"proj-admin"}), org="acme", domain="ml",
+                         project="recsys")
+    g.set_acl(ACL(readers={"group-reader"}))
+    chain = g.get_acl_chain()
+    assert len(chain) == 4
+    eff = g.get_effective_acl()
+    assert eff.allows("org-wide", "reader")
+    assert eff.allows("ml-dom", "reader")  # writer implies reader
+    assert eff.allows("proj-admin", "writer")  # admin implies writer
+    assert eff.allows("group-reader", "reader")
+    assert not eff.allows("stranger", "reader")
+    # namespace ACLs persist
+    fs2 = FeatureStore(fs.path).with_context("acme", "ml", "recsys")
+    assert fs2.get_feature_group("guarded2").get_effective_acl().allows(
+        "org-wide", "reader")
+
+
+def test_validate_feature_without_create(fs):
+    g = fs.create_feature_group("vals", entity_key="uid")
+    g.create_feature("spend", "float64")
+    ok = g.validate_feature("spend2x", "float64", derived_from="spend * 2")
+    assert ok.valid and not g.meta.features.get("spend2x")
+    bad = g.validate_feature("bad", "float64", derived_from="nope * 2")
+    assert not bad.valid
+    assert g.validate_feature("plain", "int64").valid
+    with pytest.raises(Exception):
+        g.validate_feature("x", "not_a_type")
+
+
+def test_group_delete_and_grants_listing(fs):
+    g = fs.create_feature_group("tmp-group", entity_key="uid")
+    g.grant_access("partner", features=["a*"])
+    assert len(g.list_external_grants()) == 1
+    log = g.audit_log(actions=["create_*", "grant_*"])
+    assert log.total_count >= 2
+    g.delete()
+    with pytest.raises(Exception):
+        fs.get_feature_group("tmp-group")
+    # deletion is audited
+    assert fs.audit.query(actions=["delete_feature_group"]).total_count == 1
