@@ -147,6 +147,20 @@ class Job:
         ):
             raise ValueError("incremental job needs a checkpoint_store")
 
+    # builder form (reference: raise_/transforms/job.py:191-209)
+
+    def add_source(self, alias: str, source: Any) -> "Job":
+        self.sources[alias] = source
+        return self
+
+    def set_transform(self, transform: Any) -> "Job":
+        self.transform = transform
+        return self
+
+    def set_target(self, target: "Target | str") -> "Job":
+        self.target = Target(path=target) if isinstance(target, str) else target
+        return self
+
     def deploy(self) -> None:
         self.validate()
         self.status = JobStatus.ACTIVE

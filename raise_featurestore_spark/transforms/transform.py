@@ -43,6 +43,15 @@ class TransformContext:
     execution_date: datetime
     checkpoint: Any = None
     params: dict[str, Any] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    def log_metric(self, name: str, value: Any) -> None:
+        """User-emitted run metric (reference: transform.py:45-47); surfaces
+        on the JobRun alongside the observed row counts."""
+        self.metrics[name] = value
+
+    def get_param(self, name: str, default: Any = None) -> Any:
+        return self.params.get(name, default)
 
     def template_vars(self) -> dict[str, str]:
         out = {k: _render_value(v) for k, v in self.params.items()}

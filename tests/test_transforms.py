@@ -495,3 +495,68 @@ def test_inference_warmup_and_error_degradation(spark):
         runtime=RuntimeConfig(fail_on_error=False),
     ).apply(df)
     assert degraded.where(F.col("y").isNull()).count() == 10
+
+
+def _double_v(ctx, df):
+    """Module-level so serde can ship it by module path."""
+    from pyspark.sql import functions as F
+
+    ctx.log_metric("touched", True)
+    return df.withColumn("v2", F.col("v") * 2)
+
+
+def test_job_serde_round_trip(spark, tmp_path):
+    import json
+
+    from raise_featurestore_spark.transforms.job import Job, Target
+    from raise_featurestore_spark.transforms.observability import NullCheck, Severity
+    from raise_featurestore_spark.transforms.serde import job_from_dict, job_to_dict
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+    from raise_featurestore_spark.transforms.transform import PythonTransform
+
+    src = str(tmp_path / "src")
+    spark.range(0, 8).selectExpr("id", "id * 1.0 AS v").write.parquet(src)
+
+    job = (
+        Job(job_id="serde-job", sources={}, transform=None, target=None)
+        .add_source("src", FileSystemSource(path=src))
+        .set_transform(PythonTransform(_double_v, name="double_v"))
+        .set_target(str(tmp_path / "out"))
+    )
+    job.quality_checks = [NullCheck(column="v", max_null_rate=0.0,
+                                    severity=Severity.ERROR)]
+    job.params = {"k": 1}
+
+    payload = json.dumps(job_to_dict(job))  # must be pure JSON
+    restored = job_from_dict(json.loads(payload))
+    assert restored.job_id == "serde-job"
+    assert restored.transform.fn is _double_v
+    assert isinstance(restored.sources["src"], FileSystemSource)
+    assert restored.quality_checks[0].column == "v"
+
+    run = restored.run(spark)
+    assert run.status == "completed" and run.rows_written == 8
+
+
+def test_serde_rejects_lambdas():
+    import pytest as _pytest
+
+    from raise_featurestore_spark.transforms.serde import transform_to_dict
+    from raise_featurestore_spark.transforms.transform import PythonTransform
+
+    with _pytest.raises(ValueError, match="importable module-level"):
+        transform_to_dict(PythonTransform(lambda ctx, df: df))
+
+
+def test_context_metrics_and_params():
+    from datetime import datetime, timezone
+
+    from raise_featurestore_spark.transforms.transform import TransformContext
+
+    ctx = TransformContext(job_id="j", run_id="r",
+                           execution_date=datetime.now(timezone.utc),
+                           params={"threshold": 5})
+    assert ctx.get_param("threshold") == 5
+    assert ctx.get_param("missing", 42) == 42
+    ctx.log_metric("rows_scored", 100)
+    assert ctx.metrics == {"rows_scored": 100}
