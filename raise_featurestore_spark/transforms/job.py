@@ -105,6 +105,8 @@ class JobRun:
     quality: QualityReport | None = None
     error: str | None = None
     retryable: bool = True
+    # user metrics emitted via TransformContext.log_metric
+    user_metrics: dict[str, Any] = field(default_factory=dict)
 
     def metrics(self) -> dict[str, Any]:
         return {
@@ -114,6 +116,7 @@ class JobRun:
             "checkpoint_before": self.checkpoint_before,
             "checkpoint_after": self.checkpoint_after,
             "quality_passed": self.quality.passed if self.quality else None,
+            **self.user_metrics,
         }
 
 
@@ -241,6 +244,7 @@ class Job:
 
             run.rows_written = int(write_obs.get["n"])
             run.rows_read = sum(int(o.get["n"]) for o in read_obs)
+            run.user_metrics = dict(ctx.metrics)
 
             # quality gate on what was just written (one fused scan)
             if self.quality_checks:

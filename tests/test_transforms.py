@@ -560,3 +560,21 @@ def test_context_metrics_and_params():
     assert ctx.get_param("missing", 42) == 42
     ctx.log_metric("rows_scored", 100)
     assert ctx.metrics == {"rows_scored": 100}
+
+
+def test_user_metrics_surface_on_job_run(spark, tmp_path):
+    from raise_featurestore_spark.transforms.job import Job, Target
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+    from raise_featurestore_spark.transforms.transform import PythonTransform
+
+    src = str(tmp_path / "src")
+    spark.range(0, 4).selectExpr("id", "id * 1.0 AS v").write.parquet(src)
+    job = Job(
+        job_id="metrics-job",
+        sources={"src": FileSystemSource(path=src)},
+        transform=PythonTransform(_double_v),
+        target=Target(path=str(tmp_path / "out"), write_mode="overwrite"),
+    )
+    run = job.run(spark)
+    assert run.status == "completed"
+    assert run.metrics()["touched"] is True  # ctx.log_metric propagated
