@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -140,6 +142,84 @@ def lsh_bucket_topk_sql(
         f"WHERE {b} = {qb} AND {cos} IS NOT NULL "
         f"ORDER BY {cos} DESC, {id_col} LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 29,
+) -> list[list[float]]:
+    """Coarse quantizer: Lloyd's k-means on a BOUNDED, deterministic sample
+    (first ``sample_rows`` by id — a TakeOrdered, not a full sort), numpy
+    float64 on the driver. At 100 TB quantizer training stays a
+    bounded-sample problem; only assignment is corpus-scale."""
+    rows = df.select(id_col, emb_col).orderBy(id_col).limit(sample_rows).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"need >= {k} sample vectors, got {len(X)}")
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    _ = dim  # dim is part of the index signature for catalog metadata
+    return [c.tolist() for c in C]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Append ``ivf_cluster``: nearest-centroid id via ONE vectorized
+    Arrow-batched matmul per batch (the centroid matrix rides the closure —
+    a broadcast at cluster scale). At 100 TB, write the corpus partitioned
+    (or bucketed) by this column so probes prune files, not rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    cn = (C * C).sum(1)
+
+    def assign(s: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in s.to_numpy()])
+        d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + cn[None, :]
+        return pd.Series(d2.argmin(1))
+
+    return df.withColumn("ivf_cluster", pandas_udf(assign, "int")(F.col(emb_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query driver-side,
+    prune the corpus to the ``nprobe`` nearest inverted lists, exact cosine
+    within. ``nprobe=len(centroids)`` degrades gracefully to brute force."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    probe = ((C - q[None, :]) ** 2).sum(1).argsort()[:nprobe].tolist()
+    assigned = ivf_assign(df, centroids, id_col, emb_col)
+    pruned = assigned.where(F.col("ivf_cluster").isin([int(p) for p in probe]))
+    return brute_force_topk(pruned, query_vec, k, id_col, emb_col, round_to)
 
 
 def embedding_near_dup_pairs(

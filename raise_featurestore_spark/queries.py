@@ -655,6 +655,19 @@ register(
     SIM.lsh_bucket_topk_sql("embeddings", _QUERY_VEC, k=10),
 )
 
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: deterministic bounded-sample k-means quantizer, one
+    Arrow-batched assignment pass, nprobe inverted-list probe. No SQL
+    oracle (numpy quantizer isn't expressible in DuckDB); correctness is
+    the recall tests in tests/test_similarity_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, dim=64, k=8, sample_rows=2048)
+    return SIM.ivf_topk(emb, _QUERY_VEC, cents, k=10, nprobe=3)
+
+
+register("ann_ivf_topk", _ann_ivf)
+
 register(
     "text_language_id",
     lambda spark, sf_dir: TX.detect_language(load_table(spark, sf_dir, "documents")),
@@ -1237,6 +1250,7 @@ register("sample_stratified_lang", _stratified_counts, _stratified_counts_sql())
 
 _DEPRIORITIZED = [
     "agg_global_stats_approx",
+    "ann_ivf_topk",
     "expr_case_when",
     "expr_zscore_hoisted",
     "point_lookup_customer",
