@@ -44,7 +44,16 @@ def _prepare(df: DataFrame, spec: Correlation, seed: int) -> DataFrame:
         df = df.where(F.expr(spec.filter))
     df = df.select(*spec.features).na.drop(subset=spec.features)
     if spec.sample_size:
-        df = df.orderBy(F.rand(seed)).limit(spec.sample_size)
+        # count-bounded deterministic sample: order by a salted content
+        # hash → TakeOrdered heap (no full sort), SAME rows on any
+        # partitioning / cluster topology — unlike rand(seed), whose values
+        # depend on partition layout.
+        from raise_featurestore_spark.dataprep import hashing as H
+
+        key = H.h32(
+            F.concat_ws("|", F.lit(str(seed)), *[F.col(f).cast("string") for f in spec.features])
+        )
+        df = df.orderBy(key, *spec.features).limit(spec.sample_size)
     return df
 
 

@@ -187,3 +187,18 @@ def test_distribution_approx_percentiles(spark):
             assert abs(getattr(r, col) - getattr(e, col)) <= 8.0
     plan = approx_df._jdf.queryExecution().toString()
     assert "approx_percentile" in plan
+
+
+def test_sampled_correlation_stable_across_partitionings(spark):
+    from raise_featurestore_spark.analytics.analysis import Correlation
+    from raise_featurestore_spark.analytics.correlation import compile_correlation
+
+    df = spark.range(0, 3000).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "CAST(id * id % 97 AS DOUBLE) AS y"
+    )
+    spec = Correlation(features=["x", "y"], method="kendall", sample_size=400)
+    a = compile_correlation(df, spec).collect()
+    b = compile_correlation(df.repartition(13), spec).collect()
+    # the hash-ordered sample picks the SAME rows under any partitioning,
+    # so the tau values are identical, not merely close
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
