@@ -61,7 +61,11 @@ def compile_distribution(
     if spec.filter:
         df = df.where(F.expr(spec.filter))
     if spec.sample_size:
-        df = df.orderBy(F.rand(seed)).limit(spec.sample_size)
+        # deterministic under any partitioning (see dataprep.sampling)
+        from raise_featurestore_spark.dataprep.sampling import sample_order_key
+
+        cols = [spec.feature] + ([spec.segment_by] if spec.segment_by else [])
+        df = df.orderBy(sample_order_key(cols, seed), *cols).limit(spec.sample_size)
     x = F.col(spec.feature).cast("double")
     seg = [spec.segment_by] if spec.segment_by else []
 

@@ -5,9 +5,9 @@ raise_/models/feature_group.py:393-439)
 
 Scale posture: ``order_by + limit`` compiles to Spark's
 TakeOrderedAndProject (distributed top-k, no global sort); ``filter`` and the
-projection push down into the parquet scan. ``sample`` uses Bernoulli
-``df.sample`` (per-partition, no shuffle) — deterministic only per
-partitioning, so oracle-checked queries should prefer filter/order/limit.
+projection push down into the parquet scan. ``sample`` selects by a salted
+content-hash TakeOrdered (dataprep.sampling.sample_order_key): the same n
+rows under any partitioning, reproducible in the SQL oracle.
 
 Point lookup over an id list uses ``isin`` for small lists (compiles to an
 IN-filter pushed to the scan) and a broadcast semi-join above the threshold.
@@ -29,9 +29,11 @@ def compile_record_lookup(df: DataFrame, spec: RecordLookup, seed: int = 42) -> 
     if spec.features:
         df = df.select(*spec.features)
     if spec.sample is not None:
-        total = spec.sample
-        # over-sample then limit: sample(fraction) is approximate
-        df = df.orderBy(F.rand(seed)).limit(total)
+        from raise_featurestore_spark.dataprep.sampling import sample_order_key
+
+        # sample is a terminal selection: order_by/limit don't apply on top
+        key_cols = spec.features or df.columns
+        return df.orderBy(sample_order_key(key_cols, seed), *key_cols).limit(spec.sample)
     if spec.order_by:
         col = F.col(spec.order_by)
         df = df.orderBy(col.desc() if spec.descending else col.asc())
@@ -40,11 +42,20 @@ def compile_record_lookup(df: DataFrame, spec: RecordLookup, seed: int = 42) -> 
     return df
 
 
-def record_lookup_to_sql(spec: RecordLookup, table: str) -> str:
+def record_lookup_to_sql(spec: RecordLookup, table: str, seed: int = 42) -> str:
     cols = ", ".join(spec.features) if spec.features else "*"
     sql = f"SELECT {cols} FROM {table}"
     if spec.filter:
         sql += f" WHERE {spec.filter}"
+    if spec.sample is not None:
+        if not spec.features:
+            raise ValueError("oracle SQL for sampled lookup needs explicit features")
+        from raise_featurestore_spark.dataprep.sampling import sample_order_key_sql
+
+        key = sample_order_key_sql(spec.features, seed)
+        tiebreak = ", ".join(spec.features)
+        sql += f" ORDER BY {key}, {tiebreak} LIMIT {spec.sample}"
+        return sql
     if spec.order_by:
         sql += f" ORDER BY {spec.order_by} {'DESC' if spec.descending else 'ASC'}"
     if spec.limit is not None:

@@ -36,6 +36,25 @@ def _bucket(id_col: Column, salt: str) -> Column:
     return H.h32(F.concat(F.lit(salt), id_col.cast("string"))) % F.lit(BUCKETS)
 
 
+def sample_order_key(cols: list[str], seed: int = 42) -> Column:
+    """Deterministic sampling key: h32 over the salted, '|'-joined column
+    values. ``orderBy(key).limit(n)`` is a TakeOrdered heap selecting the
+    SAME n rows under any partitioning — unlike ``rand(seed)``, whose values
+    depend on partition layout. Column values must render identically as
+    strings on every engine that shares the sample (ints/strings do;
+    avoid doubles/timestamps in the key) and be NON-NULL: Spark's
+    concat_ws skips nulls while SQL ``||`` propagates them."""
+    return H.h32(
+        F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols])
+    )
+
+
+def sample_order_key_sql(cols: list[str], seed: int = 42) -> str:
+    """DuckDB twin of :func:`sample_order_key` (same literals)."""
+    joined = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return H.h32_sql(f"'{seed}' || '|' || {joined}")
+
+
 def hash_split(
     df: DataFrame, id_col: str, splits: dict[str, float], salt: str = "split"
 ) -> DataFrame:

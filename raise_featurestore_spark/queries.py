@@ -406,6 +406,21 @@ register(
     record_lookup_to_sql(_PROJ, "events"),
 )
 
+# §2.2 Record sampling, oracle-checked: selection by salted content-hash
+# TakeOrdered is the same n rows under ANY partitioning (unlike rand(seed)),
+# so the DuckDB oracle reproduces it exactly. Key columns are non-null
+# ints/strings (cross-engine string rendering is identical for those).
+_SAMPLE = RecordLookup(
+    features=["event_id", "user_id", "event_type"],
+    filter="event_type IN ('view', 'click', 'purchase')",
+    sample=500,
+)
+register(
+    "lookup_sample_events",
+    lambda spark, sf_dir: compile_record_lookup(load_table(spark, sf_dir, "events"), _SAMPLE),
+    record_lookup_to_sql(_SAMPLE, "events"),
+)
+
 _POINT_IDS = [1, 7, 42, 99, 123456789]
 register(
     "point_lookup_customer",

@@ -54,3 +54,26 @@ def test_stratified_sample_deterministic_and_proportional(docs):
     n_en = 2000 / 3
     assert 0.4 <= counts["en"] / n_en <= 0.6
     assert 0.12 <= counts["de"] / n_en <= 0.28
+
+
+def test_sample_order_key_partition_invariant(docs):
+    from raise_featurestore_spark.dataprep.sampling import sample_order_key
+
+    key = sample_order_key(["id", "lang"], seed=7)
+    a = {r.id for r in docs.orderBy(key, "id", "lang").limit(100).collect()}
+    b = {
+        r.id
+        for r in docs.repartition(13, "lang").orderBy(key, "id", "lang").limit(100).collect()
+    }
+    c = {r.id for r in docs.coalesce(1).orderBy(key, "id", "lang").limit(100).collect()}
+    assert a == b == c
+    assert len(a) == 100
+
+
+def test_sample_is_terminal_selection(spark):
+    from raise_featurestore_spark.analytics.analysis import RecordLookup
+    from raise_featurestore_spark.analytics.record_lookup import compile_record_lookup
+
+    df = spark.range(0, 5000).selectExpr("id", "CAST(id % 17 AS STRING) AS grp")
+    spec = RecordLookup(features=["id", "grp"], sample=300)  # default limit=100 must not apply
+    assert compile_record_lookup(df, spec).count() == 300
