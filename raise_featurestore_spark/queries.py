@@ -634,6 +634,27 @@ register(
     DD.minhash_lsh_pairs_sql("documents", k=16, bands=4, min_est=0.5),
 )
 
+# §2.14 pair graph → transitive dedup clusters: alternating large-star/
+# small-star CC over the minhash-LSH pairs; cluster label = keeper doc id.
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.components import connected_components
+
+    pairs = DD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=16, bands=4, min_est=0.5
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(F.col("node").alias("doc_id"), "cluster")
+
+
+def _dedup_clusters_sql() -> str:
+    from raise_featurestore_spark.dataprep.components import components_sql
+
+    inner = components_sql(DD.minhash_lsh_pairs_sql("documents", k=16, bands=4, min_est=0.5))
+    return f"SELECT node AS doc_id, cluster FROM ({inner}) __cc"
+
+
+register("dedup_clusters", _dedup_clusters, _dedup_clusters_sql())
+
 register(
     "dedup_simhash_pairs",
     lambda spark, sf_dir: DD.simhash_near_pairs(

@@ -2,7 +2,7 @@
 sf0.01 and compare with oracle_sql() via DuckDB — row count, sorted column
 names, and an order-insensitive value hash (floats rounded to 6 sig figs).
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [name_substring ...]
 """
 
 from __future__ import annotations
@@ -54,6 +54,9 @@ def main() -> None:
     print(f"entry: rows={entry_df.count()} schema={entry_df.columns}")
 
     qs, oracles = em.queries(), em.oracle_sql()
+    if len(sys.argv) > 2:
+        pats = sys.argv[2:]
+        qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
     ok = bad = 0
     for name in sorted(qs):
         spark_pd = qs[name](spark, sf_dir).toPandas()
