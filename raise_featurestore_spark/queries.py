@@ -1278,6 +1278,48 @@ register("sample_stratified_lang", _stratified_counts, _stratified_counts_sql())
 
 
 # --------------------------------------------------------------------------
+# §2.14 Point-in-time (as-of) join — leak-free training-set assembly
+# --------------------------------------------------------------------------
+
+
+def _asof_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.functions.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    # dedupe features per (key, ts) so "the latest row" is well-defined
+    feats = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(spine, feats, on="user_id", matched_ts_col="__m")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.round("click_value", 4).alias("last_click_value"),
+        (F.unix_micros("ts") - F.unix_micros("__m")).alias("gap_us"),
+    )
+
+
+register(
+    "asof_purchase_last_click",
+    _asof_purchase_clicks,
+    "SELECT s.event_id, s.user_id, ROUND(s.value, 4) AS purchase_value, "
+    "ROUND(f.click_value, 4) AS last_click_value, "
+    "CAST(date_diff('microsecond', f.ts, s.ts) AS BIGINT) AS gap_us "
+    "FROM (SELECT event_id, user_id, ts, value FROM events "
+    "WHERE event_type = 'purchase') s "
+    "ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS click_value FROM events "
+    "WHERE event_type = 'click' GROUP BY user_id, ts) f "
+    "ON s.user_id = f.user_id AND s.ts >= f.ts",
+)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only
 # checks (no oracle by design) and the longest-standing green queries to

@@ -1,0 +1,100 @@
+"""Point-in-time join (functions/asof.py): semantics vs DuckDB ASOF."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.functions.asof import asof_join
+
+
+def _ts(s: int):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture()
+def frames(spark):
+    spine = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(25), "b"), (2, _ts(5), "c"), (3, _ts(9), "d")],
+        ["k", "ts", "label"],
+    )
+    feats = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(20), 2.0), (2, _ts(50), 3.0)],
+        ["k", "ts", "v"],
+    )
+    return spine, feats
+
+
+def test_backward_inclusive_ties(frames):
+    spine, feats = frames
+    out = {
+        (r.k, r.ts.second, r.label): r.v
+        for r in asof_join(spine, feats, on="k").collect()
+    }
+    # k=1 @10 matches the ts==10 row (inclusive); @25 the latest prior (20)
+    assert out == {
+        (1, 10, "a"): 1.0,
+        (1, 25, "b"): 2.0,
+        (2, 5, "c"): None,  # only future features exist
+        (3, 9, "d"): None,  # entity has no features
+    }
+
+
+def test_forward(frames):
+    spine, feats = frames
+    out = {
+        (r.k, r.ts.second): r.v
+        for r in asof_join(spine, feats, on="k", direction="forward").collect()
+    }
+    assert out == {(1, 10): 1.0, (1, 25): None, (2, 5): 3.0, (3, 9): None}
+
+
+def test_tolerance_nulls_stale_matches(frames):
+    spine, feats = frames
+    out = {
+        (r.k, r.ts.second): (r.v, r.m)
+        for r in asof_join(
+            spine, feats, on="k", tolerance_seconds=4, matched_ts_col="m"
+        ).collect()
+    }
+    assert out[(1, 10)] == (1.0, _ts(10))  # gap 0 ≤ 4
+    assert out[(1, 25)] == (None, None)  # gap 5 > 4 → nulled
+    assert out[(2, 5)] == (None, None)
+
+
+def test_matches_duckdb_asof(spark, ddb, frames):
+    import duckdb
+
+    spine, feats = frames
+    got = {
+        (r.k, r.label): (r.v, r.m)
+        for r in asof_join(spine, feats, on="k", matched_ts_col="m").collect()
+    }
+    con = duckdb.connect()
+    con.register("spine", spine.toPandas())
+    con.register("feats", feats.toPandas())
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.sql(
+            "SELECT s.k, s.label, f.v, f.ts FROM spine s "
+            "ASOF LEFT JOIN feats f ON s.k = f.k AND s.ts >= f.ts"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_value_column_collision_raises(frames):
+    spine, feats = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(spine.withColumnRenamed("label", "v"), feats, on="k")
+
+
+def test_single_shuffle_plan(frames):
+    """The whole as-of is ONE Exchange on the entity key (plus the window
+    sort) — the union must not add its own shuffle."""
+    spine, feats = frames
+    plan = asof_join(spine, feats, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
