@@ -80,22 +80,54 @@ def connected_components(
     the component.
     """
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # nodes AFTER the checkpoint: the pair generator upstream (minhash,
+    # shingling, ...) is the expensive part and must run exactly once.
     nodes = e.select("u").union(e.select("v")).distinct()
-    e = e.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        e_next = _half_round(_half_round(e, large=True), large=False)
-        e_next = e_next.localCheckpoint(eager=True)
-        # converged when the oriented edge set is a fixed point
-        if e_next.count() == e.count() and e_next.exceptAll(e).isEmpty():
-            e = e_next
+
+    def is_min_star_forest(df: DataFrame) -> bool:
+        # Exact fixpoint test in ONE tiny job. The alternating algorithm's
+        # fixpoints are exactly the min-rooted star forests, and with every
+        # edge oriented v < u a distinct edge set is one iff (a) each leaf
+        # u appears in exactly one edge and (b) no node is both a leaf and
+        # a center (v < u then forces center = component min). Checked
+        # BEFORE each round, so an already-converged input runs zero
+        # rounds; replaces the count + exceptAll anti-join pair of jobs
+        # that needed a full extra confirm round.
+        row = (
+            df.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("n"), F.lit(1).alias("l"), F.lit(0).alias("c")),
+                        F.struct(F.col("v").alias("n"), F.lit(0).alias("l"), F.lit(1).alias("c")),
+                    )
+                ).alias("x")
+            )
+            .select("x.*")
+            .groupBy("n")
+            .agg(F.sum("l").alias("l"), F.sum("c").alias("c"))
+            .agg(
+                F.max("l").alias("max_leaf"),
+                F.sum(((F.col("l") > 0) & (F.col("c") > 0)).cast("int")).alias("both"),
+            )
+            .first()
+        )
+        return row["max_leaf"] is None or (row["max_leaf"] <= 1 and row["both"] == 0)
+
+    for i in range(max_iter + 1):
+        if is_min_star_forest(e):
             break
-        e = e_next
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        if i == max_iter:
+            raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        e = _half_round(_half_round(e, large=True), large=False)
+        e = e.localCheckpoint(eager=True)
     labels = e.groupBy("u").agg(F.min("v").alias("cluster"))
     return (
         nodes.join(labels, "u", "left")

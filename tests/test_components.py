@@ -69,6 +69,17 @@ def test_cluster_summary_counts(spark):
 
 
 def test_nonconvergence_guard(spark):
-    df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    # a path (not a star forest: node 2 is both leaf and center) needs at
+    # least one contraction round, so max_iter=0 must trip the guard
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=0)
+
+
+def test_star_forest_input_converges_in_zero_rounds(spark):
+    # already a min-rooted star forest — the fixpoint test alone suffices
+    df = spark.createDataFrame([(2, 1), (3, 1), (10, 9)], ["id_a", "id_b"])
+    got = {
+        (r.node, r.cluster) for r in connected_components(df, max_iter=0).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 9), (10, 9)}
