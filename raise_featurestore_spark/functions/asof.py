@@ -107,10 +107,12 @@ def asof_join(
     ).where(F.col("__tag") == 1)
 
     if tolerance_seconds is not None:
+        # timestampdiff works on both TIMESTAMP and TIMESTAMP_NTZ inputs
+        # (unix_micros rejects NTZ, which is what naive parquet reads as)
         if direction == "backward":
-            gap = F.unix_micros("__ts") - F.unix_micros("__matched_ts")
+            gap = F.expr("timestampdiff(MICROSECOND, __matched_ts, __ts)")
         else:
-            gap = F.unix_micros("__matched_ts") - F.unix_micros("__ts")
+            gap = F.expr("timestampdiff(MICROSECOND, __ts, __matched_ts)")
         ok = gap <= F.lit(int(tolerance_seconds * 1_000_000))
         out = out.select(
             *keys,

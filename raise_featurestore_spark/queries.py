@@ -1301,7 +1301,7 @@ def _asof_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("purchase_value", 4).alias("purchase_value"),
         F.round("click_value", 4).alias("last_click_value"),
-        (F.unix_micros("ts") - F.unix_micros("__m")).alias("gap_us"),
+        F.expr("timestampdiff(MICROSECOND, __m, ts)").alias("gap_us"),
     )
 
 

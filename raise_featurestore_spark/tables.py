@@ -33,10 +33,14 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# columns stored as TIMESTAMP(NANOS) in the driver's parquet; Spark reads
-# them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to a
-# µs-precision timestamp with integer division (a double division would lose
-# precision at 2^60-scale nanos).
+# Timestamp columns in the driver's parquet. Current testdata stores them
+# as TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads natively as
+# TIMESTAMP_NTZ — the exact naive-wall-clock semantics the DuckDB oracle
+# uses, so we keep them as-is (engine code uses NTZ-compatible functions,
+# e.g. timestampdiff over unix_micros). Earlier generations stored
+# TIMESTAMP(NANOS), which Spark can't represent: the nanosAsLong conf below
+# surfaces those as long and we convert with integer division (a double
+# division would lose precision at 2^60-scale nanos).
 _NANO_TS_COLS = {"events": ("ts",)}
 
 

@@ -68,7 +68,9 @@ def test_decayed_mean_stream_carries_state(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 90
+        # generous per-phase deadlines: under full-suite CPU contention a
+        # micro-batch can take minutes to schedule on local mode
+        deadline = time.time() + 240
         while time.time() < deadline:
             if spark.sql("SELECT COUNT(*) FROM decay_test").collect()[0][0] >= 2:
                 break
@@ -78,6 +80,7 @@ def test_decayed_mean_stream_carries_state(spark, tmp_path):
         spark.createDataFrame(_rows()[2:], SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        deadline = time.time() + 240
         while time.time() < deadline:
             if spark.sql("SELECT COUNT(*) FROM decay_test").collect()[0][0] >= 4:
                 break
