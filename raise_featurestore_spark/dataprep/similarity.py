@@ -270,3 +270,51 @@ def embedding_near_dup_pairs_sql(
         f"FROM {src} a JOIN {src} b ON a.b = b.b AND a.id < b.id "
         f"WHERE ROUND({cos}, {round_to}) >= {threshold}"
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    q_i = round(x_i * scale).
+
+    At 100 TB the point is wire/shuffle volume: float32 embeddings
+    quantized to int8 cut every downstream exchange and cache 4×, with the
+    scale kept per-vector for dequantization. Pure higher-order column
+    expressions — no Python, no shuffle. Output carries per-vector
+    checksums (sum, L1) so the op is oracle-checkable without emitting the
+    full array; ``quantized`` itself is included for downstream use.
+    """
+    absmax = F.array_max(F.transform(emb_col, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    q = F.transform(emb_col, lambda x: F.round(x.cast("double") * F.col("__scale")).cast("int"))
+    return (
+        df.withColumn("__scale", scale)
+        .withColumn("quantized", q)
+        .select(
+            F.col(id_col),
+            F.round("__scale", 6).alias("scale_r"),
+            F.aggregate("quantized", F.lit(0), lambda a, x: a + x).alias("q_sum"),
+            F.aggregate("quantized", F.lit(0), lambda a, x: a + F.abs(x)).alias("q_l1"),
+            "quantized",
+        )
+    )
+
+
+def quantize_int8_sql(table: str, id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`quantize_int8` (checksum columns only — the
+    driver compare hashes scalar columns; array column is dropped by the
+    query wrapper)."""
+    return (
+        f"WITH s AS (SELECT {id_col}, "
+        f"list_max(list_transform({emb_col}, x -> abs(CAST(x AS DOUBLE)))) AS m, {emb_col} "
+        f"FROM {table}), "
+        f"q AS (SELECT {id_col}, CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale, {emb_col} "
+        f"FROM s) "
+        f"SELECT {id_col}, ROUND(scale, 6) AS scale_r, "
+        f"CAST(list_aggregate(list_transform({emb_col}, "
+        f"x -> CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT)), 'sum') AS INT) AS q_sum, "
+        f"CAST(list_aggregate(list_transform({emb_col}, "
+        f"x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT))), 'sum') AS INT) AS q_l1 "
+        f"FROM q"
+    )

@@ -194,3 +194,63 @@ def fingerprint_sql(table: str, id_col: str = "doc_id", text_col: str = "text", 
         f"SELECT {id_col}, list_aggregate(list_transform({grams}, g -> {H.h32_sql('g')}), 'min') "
         f"AS fingerprint FROM {table}"
     )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: token count, duplicate
+    -token fraction, and the count of the most-repeated bigram.
+
+    Zero-shuffle: the max-bigram count folds a sorted in-row array with a
+    higher-order ``aggregate`` (longest equal-run over the sorted bigram
+    array == max multiplicity), so the whole operator is one projection —
+    no explode, no groupBy, scan-speed at 100 TB. (Compare
+    raise_/PRD.md's quality checks, which declare only null/range-style
+    checks; repetition filters are an engine addition per the task brief.)
+    """
+    toks = _tokens(F.col(text_col))
+    best = F.expr(
+        """
+        aggregate(
+          array_sort(zip_with(slice(__t, 1, size(__t)-1), slice(__t, 2, size(__t)-1),
+                              (a, b) -> concat(a, ' ', b))),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (acc, x) -> named_struct(
+             'prev', x,
+             'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+             'best', GREATEST(acc.best,
+                              IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+          acc -> acc.best)
+        """
+    )
+    return (
+        df.withColumn("__t", toks)
+        .select(
+            F.col(id_col),
+            F.size("__t").alias("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("__t")) / F.greatest(F.size("__t"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+            best.alias("top_bigram_count"),
+        )
+    )
+
+
+def repetition_metrics_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_metrics`. The oracle counts bigram
+    multiplicity the direct way (unnest + group) — correctness only, the
+    Spark side carries the scale design."""
+    toks = _tokens_sql(text_col)
+    return (
+        f"WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}), "
+        f"b AS (SELECT {id_col}, unnest(list_transform(range(1, len(toks)), "
+        f"i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t), "
+        f"c AS (SELECT {id_col}, MAX(cnt) AS top_bigram_count FROM "
+        f"(SELECT {id_col}, bg, COUNT(*) AS cnt FROM b GROUP BY {id_col}, bg) GROUP BY {id_col}) "
+        f"SELECT t.{id_col}, len(toks) AS n_tokens, "
+        f"ROUND(1.0 - len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1), 6) AS dup_token_frac, "
+        f"CAST(c.top_bigram_count AS INT) AS top_bigram_count "
+        f"FROM t JOIN c ON t.{id_col} = c.{id_col}"
+    )

@@ -1320,6 +1320,116 @@ register(
 
 
 # --------------------------------------------------------------------------
+# §2.14 training-data quality/packing ops (round 3 additions)
+# --------------------------------------------------------------------------
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.text import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def _text_repetition_sql() -> str:
+    from raise_featurestore_spark.dataprep.text import repetition_metrics_sql
+
+    return repetition_metrics_sql("documents")
+
+
+register("text_repetition", _text_repetition, _text_repetition_sql())
+
+
+# The synthetic corpus contains no real PII, so the query plants
+# deterministic contact strings derived from doc_id (identically in both
+# engines) and then redacts them — the operator is exercised on real
+# matches, not no-ops.
+def _pii_block_spark(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 id 9"),
+            F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        ).alias("text"),
+    )
+
+
+_PII_BLOCK_SQL = (
+    "SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 555-' || "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 id 9' || "
+    "lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS text FROM documents"
+)
+
+
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.redact import RedactionSpec, redact
+
+    base = _pii_block_spark(load_table(spark, sf_dir, "documents"))
+    out = redact(base, RedactionSpec())
+    # hash the redacted text instead of shipping ~300-char strings through
+    # the compare; md5 equality == string equality
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_digit_run", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+def _redact_pii_sql() -> str:
+    from raise_featurestore_spark.dataprep.redact import RedactionSpec, redact_sql
+
+    inner = redact_sql(f"({_PII_BLOCK_SQL})", RedactionSpec())
+    return (
+        f"SELECT doc_id, n_email, n_phone, n_ipv4, n_digit_run, "
+        f"md5(redacted) AS redacted_md5 FROM ({inner})"
+    )
+
+
+register("redact_pii", _redact_pii, _redact_pii_sql())
+
+
+def _pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.packing import PackingSpec, pack_documents
+
+    return pack_documents(load_table(spark, sf_dir, "documents"), PackingSpec(window_tokens=512))
+
+
+def _pack_context_windows_sql() -> str:
+    from raise_featurestore_spark.dataprep.packing import PackingSpec, pack_documents_sql
+
+    return pack_documents_sql("documents", PackingSpec(window_tokens=512))
+
+
+register("pack_context_windows", _pack_context_windows, _pack_context_windows_sql())
+
+
+def _vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.similarity import quantize_int8
+
+    out = quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    # scalar checksums only: the full int8 array is for downstream use, the
+    # compare needs engine-portable scalars
+    return out.select("vec_id", "scale_r", "q_sum", "q_l1")
+
+
+def _vector_quantize_sql() -> str:
+    from raise_featurestore_spark.dataprep.similarity import quantize_int8_sql
+
+    return quantize_int8_sql("embeddings")
+
+
+register("vector_quantize_int8", _vector_quantize, _vector_quantize_sql())
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only
 # checks (no oracle by design) and the longest-standing green queries to

@@ -1,0 +1,125 @@
+"""Unit semantics for the round-3 training-data ops: repetition metrics,
+PII redaction, context-window packing, int8 quantization.
+
+Oracle parity (vs DuckDB) is covered by test_oracle_parity; these pin the
+operator semantics on hand-built rows where the expected values are
+computed by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.dataprep.packing import PackingSpec, pack_documents
+from raise_featurestore_spark.dataprep.redact import RedactionSpec, redact
+from raise_featurestore_spark.dataprep.similarity import quantize_int8
+from raise_featurestore_spark.dataprep.text import repetition_metrics
+
+
+def test_repetition_metrics_hand_example(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # tokens: a,b,a,b,a  bigrams: ab,ba,ab,ba -> max 2
+            (2, "x x x x"),  # bigrams: 'x x' ×3
+            (3, "all distinct words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[1]["n_tokens"] == 5
+    assert got[1]["dup_token_frac"] == pytest.approx(1 - 2 / 5)
+    assert got[1]["top_bigram_count"] == 2
+    assert got[2]["top_bigram_count"] == 3
+    assert got[3]["dup_token_frac"] == 0.0
+    assert got[3]["top_bigram_count"] == 1
+
+
+def test_redact_patterns_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io call 555-123-4567 ip 10.0.0.1 acct 123456789"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact(df, RedactionSpec()).collect()}
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"], r1["n_digit_run"]) == (1, 1, 1, 1)
+    assert r1["redacted"] == "mail <EMAIL> call <PHONE> ip <IP> acct <NUM>"
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"], r2["n_digit_run"]) == (0, 0, 0, 0)
+    assert r2["redacted"] == "clean text with no pii at all"
+
+
+def test_redact_counts_follow_replacement_order(spark):
+    # an IP is also a digit-ish string: ipv4 must consume it BEFORE the
+    # digit-run rule sees the text, so digit_run stays 0
+    df = spark.createDataFrame([(1, "server 255.255.255.255 up")], "doc_id long, text string")
+    r = redact(df, RedactionSpec()).collect()[0]
+    assert r["n_ipv4"] == 1 and r["n_digit_run"] == 0
+
+
+def test_packing_concat_chunk_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * 99 + "w", "en") for i in range(10)],  # 100 tokens each
+        "doc_id long, text string, lang string",
+    )
+    out = pack_documents(df, PackingSpec(window_tokens=256)).collect()
+    assert len(out) == 10
+    # total stream = 1000 tokens -> last start offset 900 -> chunk 3
+    assert {r["n_tok"] for r in out} == {100}
+    starts = sorted(r["chunk_id"] * 256 + r["chunk_off"] for r in out)
+    # starts are exactly the prefix sums 0,100,...,900 regardless of order
+    assert starts == [i * 100 for i in range(10)]
+    # offsets stay inside the window
+    assert all(0 <= r["chunk_off"] < 256 for r in out)
+
+
+def test_packing_shards_are_independent(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "fr"), (3, "f g h i", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = pack_documents(df, PackingSpec(window_tokens=4)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # each shard's stream starts at offset 0 of chunk 0
+    for rows in by_lang.values():
+        assert min(r["chunk_id"] * 4 + r["chunk_off"] for r in rows) == 0
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    q1 = got[1]["quantized"]
+    assert all(-127 <= v <= 127 for v in q1)
+    # max-magnitude element maps to ±127 exactly
+    assert q1[1] == -127
+    # scale = 127/2 -> [64, -127, 32]  (63.5 rounds HALF_UP to 64)
+    assert q1 == [64, -127, 32]
+    assert got[1]["q_sum"] == 64 - 127 + 32
+    assert got[1]["q_l1"] == 64 + 127 + 32
+    # zero vector: scale 0, all-zero quantization (no divide-by-zero)
+    assert got[2]["quantized"] == [0, 0, 0]
+    assert got[2]["scale_r"] == 0.0
+
+
+def test_packing_plan_is_partitioned(spark):
+    """The running sum must be a partitioned window — a global-order window
+    would single-partition 100 TB. The physical Window node prints its
+    partition spec as the second bracket group; it must carry the shard
+    column, not be empty."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en")], "doc_id long, text string, lang string"
+    )
+    plan = pack_documents(df)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"Window \[.*?\], \[(.*?)\], \[", plan)
+    assert m is not None, plan
+    assert "lang" in m.group(1), plan
