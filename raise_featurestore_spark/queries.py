@@ -1438,9 +1438,13 @@ register("vector_quantize_int8", _vector_quantize, _vector_quantize_sql())
 
 _DEPRIORITIZED = [
     # oracle-checked and green in BOTH r1 and r2 verdicts — demoted so the
-    # never-verdicted queries (split/stratified/asof) fit in the first 50
-    # slots; these three still run first among the deprioritized if the
-    # harness records more than 50 rows.
+    # never-verdicted queries (split/stratified/asof + the round-3 quality/
+    # packing/quantization ops) fit in the first 50 slots; these still run
+    # first among the deprioritized if the harness records more than 50 rows.
+    "vector_similarity_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucket_topk",
+    "multimodal_blob_refs",
     "dist_histogram_price",
     "dist_cdf_segmented",
     "dist_density",
