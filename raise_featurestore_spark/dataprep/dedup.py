@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.dataprep import hashing as H
@@ -438,4 +438,145 @@ def simhash_near_pairs_sql(
         f"CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming "
         f"FROM __bd a JOIN __bd b ON a.band = b.band AND a.byte = b.byte AND a.id < b.id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius} GROUP BY 1, 2"
+    )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 7,
+    min_est: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus: per new document, the
+    best minhash-estimated match in the corpus (if any band collides) and
+    an ``is_dup`` verdict at ``min_est``.
+
+    This is the steady-state shape of corpus curation at 100 TB: the daily
+    crawl (small) never self-joins the full corpus — its banded signatures
+    equi-join the corpus's banded signature store. Only band-colliding
+    corpus rows are ever scored; Catalyst broadcasts the new batch's band
+    table when it is small, so the big side streams through unshuffled. In
+    production the corpus signatures are materialized once (a table
+    partitioned by band hash — the same note as dedup.py's simhash
+    store-the-signatures pattern) and only APPENDED to as novel docs
+    arrive; here both sides are computed from text so the operator is
+    self-contained and oracle-checkable.
+
+    Best-match choice is deterministic: max estimate, then min corpus id.
+    """
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, n, k, seed)
+        return sig.select(
+            "id",
+            *[F.col(f"mh_{i}") for i in range(k)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            _band_hash(
+                                [F.col(f"mh_{bi * r + j}") for j in range(r)]
+                            ).alias("bh"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        ).select("id", *[f"mh_{i}" for i in range(k)], "__b.band", "__b.bh")
+
+    bn = banded(new_df)
+    bc = banded(corpus_df)
+    est = sum(
+        F.when(F.col(f"__n_mh_{i}") == F.col(f"__c_mh_{i}"), 1).otherwise(0) for i in range(k)
+    ) / float(k)
+    cand = (
+        bn.select(
+            F.col("id").alias("new_id"),
+            *[F.col(f"mh_{i}").alias(f"__n_mh_{i}") for i in range(k)],
+            "band",
+            "bh",
+        )
+        .join(
+            bc.select(
+                F.col("id").alias("match_id"),
+                *[F.col(f"mh_{i}").alias(f"__c_mh_{i}") for i in range(k)],
+                "band",
+                "bh",
+            ),
+            on=["band", "bh"],
+        )
+        .groupBy("new_id", "match_id")
+        .agg(F.round(F.max(est), round_to).alias("est_jaccard"))
+    )
+    w = Window.partitionBy("new_id").orderBy(F.col("est_jaccard").desc(), F.col("match_id"))
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(best, on="new_id", how="left")
+        .select(
+            "new_id",
+            "match_id",
+            "est_jaccard",
+            (F.coalesce(F.col("est_jaccard"), F.lit(0.0)) >= min_est).alias("is_dup"),
+        )
+    )
+
+
+def incremental_minhash_dedup_sql(
+    new_table: str,
+    corpus_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 7,
+    min_est: float = 0.5,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`incremental_minhash_dedup`."""
+    r = k // bands
+    sep = " || ':' || "
+
+    def banded_sql(table: str, alias: str) -> str:
+        sig = minhash_signatures_sql(table, id_col, text_col, n, k, seed)
+        rows = " UNION ALL ".join(
+            f"SELECT id, {', '.join(f'mh_{i}' for i in range(k))}, {bi} AS band, "
+            f"md5({sep.join(f'CAST(mh_{bi * r + j} AS VARCHAR)' for j in range(r))}) AS bh "
+            f"FROM __sig_{alias}"
+            for bi in range(bands)
+        )
+        return f"__sig_{alias} AS ({sig}), __bands_{alias} AS ({rows})"
+
+    matches = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
+    return (
+        f"WITH {banded_sql(new_table, 'n')}, {banded_sql(corpus_table, 'c')}, "
+        f"__cand AS ("
+        f"SELECT a.id AS new_id, b.id AS match_id, "
+        f"ROUND(MAX(({matches}) / {float(k)}), {round_to}) AS est_jaccard "
+        f"FROM __bands_n a JOIN __bands_c b ON a.band = b.band AND a.bh = b.bh "
+        f"GROUP BY 1, 2), "
+        f"__best AS (SELECT new_id, match_id, est_jaccard FROM __cand "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY new_id "
+        f"ORDER BY est_jaccard DESC, match_id) = 1) "
+        f"SELECT nw.{id_col} AS new_id, b.match_id, b.est_jaccard, "
+        f"COALESCE(b.est_jaccard, 0.0) >= {min_est} AS is_dup "
+        f"FROM {new_table} nw LEFT JOIN __best b ON nw.{id_col} = b.new_id"
     )

@@ -1429,6 +1429,32 @@ def _vector_quantize_sql() -> str:
 register("vector_quantize_int8", _vector_quantize, _vector_quantize_sql())
 
 
+# Incremental dedup: treat every 5th document as "today's batch" and the
+# rest as the standing corpus — the steady-state curation shape at scale
+# (new batch never self-joins the corpus; banded signatures equi-join a
+# signature store).
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    from raise_featurestore_spark.dataprep.dedup import incremental_minhash_dedup_sql
+
+    return incremental_minhash_dedup_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+    )
+
+
+register("dedup_incremental_batch", _dedup_incremental, _dedup_incremental_sql())
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only

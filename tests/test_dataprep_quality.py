@@ -123,3 +123,27 @@ def test_packing_plan_is_partitioned(spark):
     m = re.search(r"Window \[.*?\], \[(.*?)\], \[", plan)
     assert m is not None, plan
     assert "lang" in m.group(1), plan
+
+
+def test_incremental_dedup_planted_duplicate(spark):
+    from raise_featurestore_spark.dataprep.dedup import incremental_minhash_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about spark catalyst optimizer plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1 -> est_jaccard 1.0
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            # novel document, no band collision expected
+            (11, "entirely novel prose with unique vocabulary zebra quartz nebula"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["new_id"]: r for r in incremental_minhash_dedup(new, corpus).collect()}
+    assert got[10]["is_dup"] and got[10]["match_id"] == 1 and got[10]["est_jaccard"] == 1.0
+    assert not got[11]["is_dup"] and got[11]["match_id"] is None
