@@ -1455,6 +1455,30 @@ def _dedup_incremental_sql() -> str:
 register("dedup_incremental_batch", _dedup_incremental, _dedup_incremental_sql())
 
 
+# Decontamination: every 97th document stands in for a held-out benchmark;
+# the rest is the training corpus to screen for exact word-8-gram leakage.
+def _decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.decontaminate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+    )
+
+
+def _decontaminate_corpus_sql() -> str:
+    from raise_featurestore_spark.dataprep.decontaminate import decontaminate_sql
+
+    return decontaminate_sql(
+        "(SELECT * FROM documents WHERE doc_id % 97 != 0)",
+        "(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+    )
+
+
+register("decontaminate_benchmark", _decontaminate_corpus, _decontaminate_corpus_sql())
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only

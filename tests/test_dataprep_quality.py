@@ -147,3 +147,36 @@ def test_incremental_dedup_planted_duplicate(spark):
     got = {r["new_id"]: r for r in incremental_minhash_dedup(new, corpus).collect()}
     assert got[10]["is_dup"] and got[10]["match_id"] == 1 and got[10]["est_jaccard"] == 1.0
     assert not got[11]["is_dup"] and got[11]["match_id"] is None
+
+
+def test_decontaminate_flags_exact_ngram_leak(spark):
+    from raise_featurestore_spark.dataprep.decontaminate import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],  # exactly 8 tokens
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim inside longer text
+            (1, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+            # shares 7-gram but not 8 -> clean
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            # too short to even form an 8-gram -> clean
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench).collect()}
+    assert got[1]["contaminated"] and got[1]["n_overlapping_ngrams"] == 1
+    assert not got[2]["contaminated"]
+    assert not got[3]["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from raise_featurestore_spark.dataprep.decontaminate import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c d e f g h i")], "doc_id long, text string")
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
