@@ -24,8 +24,27 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench")
-    # JVM/codegen warm-up, excluded from timings
+    # JVM/codegen warm-up, excluded from timings. Exercise the main codegen
+    # families once (hash aggregate, percentile buffer, window, regexp,
+    # higher-order array fns) so whichever query happens to run first isn't
+    # charged for one-time whole-stage compilation of those operators.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr(
+        "percentile(id, array(0.5, 0.9)) AS p",
+        "count(DISTINCT id % 7) AS d",
+    ).collect()
+    spark.range(1000).selectExpr(
+        "id",
+        "sum(id) OVER (PARTITION BY id % 4 ORDER BY id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w",
+        "regexp_count(CAST(id AS STRING), '[0-9]') AS rc",
+        "aggregate(sequence(1, 5), 0L, (a, x) -> a + x) AS hof",
+    ).collect()
+    # Arrow / Python-worker pool spin-up (~4-8 s one-time): without this the
+    # alphabetically-first applyInPandas/mapInPandas query absorbs it.
+    spark.range(100).groupBy().applyInPandas(
+        lambda pdf: pdf.head(1), "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -202,3 +202,36 @@ def test_sampled_correlation_stable_across_partitionings(spark):
     # the hash-ordered sample picks the SAME rows under any partitioning,
     # so the tau values are identical, not merely close
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kendall_knight_kernel_matches_bruteforce():
+    """Knight O(n log n) tau-b == the O(n²) sign-matrix definition,
+    including tie corrections."""
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.correlation import _tau_b
+
+    def brute(x, y):
+        num = sx_tot = sy_tot = 0.0
+        n = len(x)
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = np.sign(x[i] - x[j])
+                sy = np.sign(y[i] - y[j])
+                num += sx * sy
+                sx_tot += sx != 0
+                sy_tot += sy != 0
+        d = np.sqrt(sx_tot * sy_tot)
+        return num / d if d > 0 else float("nan")
+
+    rng = np.random.default_rng(42)
+    for _ in range(50):
+        n = int(rng.integers(2, 60))
+        x = rng.integers(0, 5, n).astype(float)  # heavy ties
+        y = rng.integers(0, 4, n).astype(float)
+        a, b = _tau_b(x, y), brute(x, y)
+        assert (np.isnan(a) and np.isnan(b)) or abs(a - b) < 1e-12
+    for _ in range(20):
+        n = int(rng.integers(2, 150))
+        x, y = rng.normal(size=n), rng.normal(size=n)
+        assert abs(_tau_b(x, y) - brute(x, y)) < 1e-12
