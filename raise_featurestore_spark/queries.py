@@ -1495,6 +1495,8 @@ _DEPRIORITIZED = [
     "ann_bruteforce_topk",
     "ann_lsh_bucket_topk",
     "multimodal_blob_refs",
+    "dedup_exact_keepers",
+    "multimodal_integrity",
     "dist_histogram_price",
     "dist_cdf_segmented",
     "dist_density",
