@@ -115,7 +115,9 @@ def test_example_training_pipeline(spark):
     assert out["raw"] == 525
     assert out["deduped"] == 500  # 25 injected re-fetches dropped
     assert out["quality_kept"] <= out["deduped"]
-    assert out["sampled"] < out["quality_kept"]  # non-en halved
+    assert out["decontaminated"] <= out["quality_kept"]  # benchmark leaks dropped
+    assert out["sampled"] < out["decontaminated"]  # non-en halved
+    assert out["train_chunks"] > 0
     assert out["written"] == out["sampled"]
     assert set(out["split_counts"]) == {"train", "val", "test"}
     assert sum(out["split_counts"].values()) == out["sampled"]
