@@ -1,0 +1,133 @@
+"""Whole-table column profiler: one fused scan computing type-appropriate
+statistics for every column.
+
+The reference declares per-feature quality checks and per-analysis metrics
+(raise_/analytics/analysis.py:366-414, observability.py:109-501) but no
+"profile the whole table" operator; real feature stores (and Deequ-style
+data validation) lead with one. Semantics:
+
+- every column:        count, null_count, approx/exact distinct
+- numeric columns:     mean, stddev, min, max
+- string columns:      avg_length, max_length
+- timestamp columns:   min/max as epoch micros
+
+Scale design: ALL metrics for ALL columns compile into a single
+``df.agg(...)`` — one scan, one partial+final hash aggregate, no per-column
+jobs (a naive profiler issues N queries for N columns). Exact distinct
+counts are the oracle-checkable default at test scale; pass
+``approx_distinct=True`` to switch to HLL++ for the 100 TB posture (one
+pass still — sketches merge).
+
+Output is long-form ``(col_name, metric, value)`` with value as DOUBLE so the
+frame is engine-portable and hash-stable (timestamps surface as epoch
+micros, string metrics as lengths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ROUND = 4
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def _metrics_for(col: str, dtype: str, approx_distinct: bool, round_to: int) -> list[tuple[str, Column]]:
+    c = F.col(col)
+    base_type = dtype.split("(")[0]
+    distinct = (
+        F.approx_count_distinct(c) if approx_distinct else F.count_distinct(c)
+    )
+    out: list[tuple[str, Column]] = [
+        ("count", F.count(c).cast("double")),
+        ("null_count", F.count(F.when(c.isNull(), 1)).cast("double")),
+        ("distinct_count", distinct.cast("double")),
+    ]
+    if base_type in _NUMERIC:
+        d = c.cast("double")
+        out += [
+            ("mean", F.round(F.avg(d), round_to) + F.lit(0.0)),
+            ("stddev", F.round(F.stddev(d), round_to) + F.lit(0.0)),
+            ("min", F.min(d)),
+            ("max", F.max(d)),
+        ]
+    elif base_type == "string":
+        out += [
+            ("avg_length", F.round(F.avg(F.length(c)), round_to) + F.lit(0.0)),
+            ("max_length", F.max(F.length(c)).cast("double")),
+        ]
+    elif base_type in ("timestamp", "timestamp_ntz"):
+        # epoch micros via a type-agnostic diff (unix_micros rejects NTZ)
+        ep = F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST({col} AS TIMESTAMP_NTZ))")
+        out += [
+            ("min_epoch_us", F.min(ep).cast("double")),
+            ("max_epoch_us", F.max(ep).cast("double")),
+        ]
+    return out
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+    round_to: int = DEFAULT_ROUND,
+) -> DataFrame:
+    """(col_name, metric, value) — one row per computed statistic, one scan
+    for the whole table."""
+    dtypes = dict(df.dtypes)
+    cols = columns or [c for c in df.columns if dtypes[c].split("(")[0] in
+                       _NUMERIC | {"string", "timestamp", "timestamp_ntz", "boolean"}]
+    aggs: list[Column] = []
+    stack_items: list[str] = []
+    for i, col in enumerate(cols):
+        for j, (metric, expr) in enumerate(
+            _metrics_for(col, dtypes[col], approx_distinct, round_to)
+        ):
+            alias = f"__p_{i}_{j}"
+            aggs.append(expr.alias(alias))
+            stack_items.append(f"'{col}', '{metric}', {alias}")
+    one_row = df.agg(*aggs)
+    return one_row.selectExpr(
+        f"stack({len(stack_items)}, {', '.join(stack_items)}) AS (col_name, metric, value)"
+    )
+
+
+def profile_sql(
+    table: str,
+    columns: list[tuple[str, str]],
+    round_to: int = DEFAULT_ROUND,
+) -> str:
+    """DuckDB twin of :func:`profile` (exact-distinct mode). ``columns`` is
+    (name, spark_dtype) pairs — generated from the same schema the Spark
+    side profiles, so both engines emit identical (col_name, metric) rows."""
+    selects: list[str] = []
+    for col, dtype in columns:
+        base_type = dtype.split("(")[0]
+        rows = [
+            ("count", f"CAST(COUNT({col}) AS DOUBLE)"),
+            ("null_count", f"CAST(COUNT(*) - COUNT({col}) AS DOUBLE)"),
+            ("distinct_count", f"CAST(COUNT(DISTINCT {col}) AS DOUBLE)"),
+        ]
+        if base_type in _NUMERIC:
+            d = f"CAST({col} AS DOUBLE)"
+            rows += [
+                ("mean", f"ROUND(AVG({d}), {round_to}) + 0.0"),
+                ("stddev", f"ROUND(STDDEV_SAMP({d}), {round_to}) + 0.0"),
+                ("min", f"MIN({d})"),
+                ("max", f"MAX({d})"),
+            ]
+        elif base_type == "string":
+            rows += [
+                ("avg_length", f"ROUND(AVG(LENGTH({col})), {round_to}) + 0.0"),
+                ("max_length", f"CAST(MAX(LENGTH({col})) AS DOUBLE)"),
+            ]
+        elif base_type in ("timestamp", "timestamp_ntz"):
+            ep = f"date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', {col})"
+            rows += [
+                ("min_epoch_us", f"CAST(MIN({ep}) AS DOUBLE)"),
+                ("max_epoch_us", f"CAST(MAX({ep}) AS DOUBLE)"),
+            ]
+        for metric, expr in rows:
+            selects.append(f"SELECT '{col}' AS col_name, '{metric}' AS metric, {expr} AS value FROM {table}")
+    return " UNION ALL ".join(selects)

@@ -1479,6 +1479,37 @@ def _decontaminate_corpus_sql() -> str:
 register("decontaminate_benchmark", _decontaminate_corpus, _decontaminate_corpus_sql())
 
 
+# Whole-table profile: every column's type-appropriate stats in ONE scan.
+# Column/dtype list mirrors the fixed events schema so the import-time SQL
+# oracle emits identical (col_name, metric) rows to the runtime Spark plan.
+_PROFILE_EVENTS_SCHEMA = [
+    ("event_id", "bigint"),
+    ("ts", "timestamp_ntz"),
+    ("user_id", "bigint"),
+    ("event_type", "string"),
+    ("value", "double"),
+    ("props", "string"),
+]
+
+
+def _profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.analytics.profile import profile
+
+    return profile(
+        load_table(spark, sf_dir, "events"),
+        columns=[c for c, _ in _PROFILE_EVENTS_SCHEMA],
+    )
+
+
+def _profile_events_sql() -> str:
+    from raise_featurestore_spark.analytics.profile import profile_sql
+
+    return profile_sql("events", _PROFILE_EVENTS_SCHEMA)
+
+
+register("profile_table_events", _profile_events, _profile_events_sql())
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only
@@ -1497,6 +1528,7 @@ _DEPRIORITIZED = [
     "multimodal_blob_refs",
     "dedup_exact_keepers",
     "multimodal_integrity",
+    "dist_percentiles_by_segment",
     "dist_histogram_price",
     "dist_cdf_segmented",
     "dist_density",

@@ -180,3 +180,25 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     corpus = spark.createDataFrame([(2, "a b c d e f g h i")], "doc_id long, text string")
     plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_profile_single_scan_and_values(spark):
+    """profile() computes every column's stats in ONE aggregate over ONE
+    scan, and the values are right on a hand-built frame."""
+    from raise_featurestore_spark.analytics.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "ab", 1.5), (2, "abcd", None), (None, None, 4.5)],
+        "k long, s string, v double",
+    )
+    out = profile(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
+    got = {(r["col_name"], r["metric"]): r["value"] for r in out.collect()}
+    assert got[("k", "count")] == 2.0
+    assert got[("k", "null_count")] == 1.0
+    assert got[("k", "distinct_count")] == 2.0
+    assert got[("s", "avg_length")] == 3.0
+    assert got[("s", "max_length")] == 4.0
+    assert got[("v", "mean")] == 3.0
+    assert got[("v", "min")] == 1.5 and got[("v", "max")] == 4.5
