@@ -197,3 +197,41 @@ def test_live_table_refresh_failure_recorded(spark, tmp_path):
     assert "compute exploded" in ev.error
     with pytest.raises(ValueError, match="on_change"):
         lt.start_on_change(spark, "/tmp/x", "id long", "/tmp/c")
+
+
+def test_streaming_curation_dedups_across_batches(spark, tmp_path):
+    """Two micro-batches: the second contains a re-fetch of a batch-1 doc
+    under a new id plus a novel doc — only the novel one lands."""
+    from raise_featurestore_spark.streaming.curation import curation_ingest_stream
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog repeatedly today"),
+            (2, "spark structured streaming processes micro batches with checkpoints"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog repeatedly today"),
+            (11, "a genuinely novel document about catalyst adaptive execution"),
+            (12, "a genuinely novel document about catalyst adaptive execution"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = curation_ingest_stream(stream, spark, corpus, chk).trigger(availableNow=True).start()
+    q.awaitTermination(240)
+
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    # batch-1 docs always land; the re-fetch (10) is dropped as a corpus
+    # near-dup; the novel doc lands once (11 wins the in-batch exact dedup)
+    assert set(rows) == {1, 2, 11}, rows
