@@ -254,3 +254,46 @@ def repetition_metrics_sql(table: str, id_col: str = "doc_id", text_col: str = "
         f"CAST(c.top_bigram_count AS INT) AS top_bigram_count "
         f"FROM t JOIN c ON t.{id_col} = c.{id_col}"
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus vocabulary profile: top-k tokens by frequency with corpus
+    coverage fraction — the first look tokenizer training takes at a
+    corpus.
+
+    One explode + one hash groupBy (partial+final, map-side combine), the
+    scalar total broadcast back, and the final top-k lowered to
+    TakeOrderedAndProject — no global sort materialization. Deterministic
+    order: count desc, token asc.
+    """
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), round_to).alias("frac"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def vocab_topk_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", k: int = 100, round_to: int = 6
+) -> str:
+    toks = _tokens_sql(text_col)
+    return (
+        f"WITH __tok AS (SELECT UNNEST({toks}) AS token FROM {table}), "
+        f"__cnt AS (SELECT token, COUNT(*) AS cnt FROM __tok GROUP BY token) "
+        f"SELECT token, cnt, ROUND(cnt * 1.0 / (SELECT SUM(cnt) FROM __cnt), {round_to}) AS frac "
+        f"FROM __cnt ORDER BY cnt DESC, token LIMIT {k}"
+    )

@@ -1510,6 +1510,21 @@ def _profile_events_sql() -> str:
 register("profile_table_events", _profile_events, _profile_events_sql())
 
 
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.text import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+def _vocab_topk_sql() -> str:
+    from raise_featurestore_spark.dataprep.text import vocab_topk_sql
+
+    return vocab_topk_sql("documents", k=50)
+
+
+register("text_vocab_topk", _vocab_topk, _vocab_topk_sql())
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only
