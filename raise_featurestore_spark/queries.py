@@ -1544,6 +1544,7 @@ _DEPRIORITIZED = [
     "dedup_exact_keepers",
     "multimodal_integrity",
     "dist_percentiles_by_segment",
+    "corr_pearson_matrix",
     "dist_histogram_price",
     "dist_cdf_segmented",
     "dist_density",
