@@ -1525,6 +1525,52 @@ def _vocab_topk_sql() -> str:
 register("text_vocab_topk", _vocab_topk, _vocab_topk_sql())
 
 
+# Per-source corpus health: the "which crawl sources are junk" report —
+# quality score, duplicate-token fraction, and length signals grouped by
+# source in ONE scan (quality/repetition are pure column expressions, so
+# the whole report is a single hash aggregate).
+def _corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.dataprep.text import quality_score, repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality_score")
+    r = repetition_metrics(docs).select("doc_id", "n_tokens", "dup_token_frac")
+    joined = docs.select("doc_id", "source", "n_chars").join(q, "doc_id").join(r, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum("n_chars").cast("double"), 4) / F.count("*")).alias("avg_chars"),
+            (F.round(F.sum("quality_score"), 4) / F.count("*")).alias("avg_quality"),
+            (F.round(F.sum("dup_token_frac"), 4) / F.count("*")).alias("avg_dup_frac"),
+            F.round(F.sum("n_tokens").cast("double"), 4).alias("total_tokens"),
+        )
+    )
+
+
+def _corpus_health_sql() -> str:
+    from raise_featurestore_spark.dataprep.text import (
+        quality_score_sql,
+        repetition_metrics_sql,
+    )
+
+    q = quality_score_sql("documents")
+    r = repetition_metrics_sql("documents")
+    return (
+        f"WITH __q AS ({q}), __r AS ({r}) "
+        f"SELECT d.source, COUNT(*) AS n_docs, "
+        f"ROUND(SUM(CAST(d.n_chars AS DOUBLE)), 4) / COUNT(*) AS avg_chars, "
+        f"ROUND(SUM(__q.quality_score), 4) / COUNT(*) AS avg_quality, "
+        f"ROUND(SUM(__r.dup_token_frac), 4) / COUNT(*) AS avg_dup_frac, "
+        f"ROUND(SUM(CAST(__r.n_tokens AS DOUBLE)), 4) AS total_tokens "
+        f"FROM documents d JOIN __q ON d.doc_id = __q.doc_id "
+        f"JOIN __r ON d.doc_id = __r.doc_id GROUP BY d.source"
+    )
+
+
+register("corpus_health_by_source", _corpus_health, _corpus_health_sql())
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # should reach the least-proven entries first. Push the weaker rows-only
