@@ -578,3 +578,24 @@ def test_user_metrics_surface_on_job_run(spark, tmp_path):
     run = job.run(spark)
     assert run.status == "completed"
     assert run.metrics()["touched"] is True  # ctx.log_metric propagated
+
+
+def test_filesystem_source_orc_roundtrip(spark, tmp_path):
+    """ORC is a first-class Spark format: write the orders slice as ORC,
+    read it back through FileSystemSource, and match the parquet read
+    row-for-row (formats AVRO/DELTA/ICEBERG need jars absent from this
+    environment; their read paths are identical `format(...)` dispatches
+    gated by the same whitelist)."""
+    from raise_featurestore_spark.tables import load_table
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").limit(200)
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+
+    src = FileSystemSource(path=path, format="orc")
+    back = src.read(spark)
+    assert back.count() == orders.count()
+    a = sorted(orders.collect(), key=lambda r: r["o_orderkey"])
+    b = sorted(back.collect(), key=lambda r: r["o_orderkey"])
+    assert a == b
