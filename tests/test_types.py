@@ -88,3 +88,31 @@ def test_infer_result_type():
     assert infer_result_type("||", parse_dtype("string"), parse_dtype("string")).kind == "string"
     with pytest.raises(DTypeError):
         infer_result_type("+", i, parse_dtype("string"))
+
+
+def test_load_table_handles_nanos_and_micros_timestamps(spark, tmp_path):
+    """The loader must survive both testdata generations: TIMESTAMP(NANOS)
+    parquet (read as long via the legacy conf, converted to a timestamp)
+    and TIMESTAMP(MICROS, naive) parquet (read natively as TIMESTAMP_NTZ,
+    kept as-is)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    ns = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000, 1_700_000_001_500_000_000], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(ns, f"{sf_dir}/events.parquet", store_schema=False)
+
+    from raise_featurestore_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    dt = dict(df.dtypes)["ts"]
+    assert dt in ("timestamp", "timestamp_ntz"), dt
+    rows = sorted(df.collect(), key=lambda r: r["event_id"])
+    # nanos truncate to µs precision
+    assert rows[1]["ts"].microsecond == 500_000
+    assert rows[0]["event_id"] == 1
