@@ -122,9 +122,12 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold.
 
-    Inverted-index plan: docs pair up only through shared shingles (with
-    document frequency ≤ max_df), so complexity is Σ df(s)² over rare
-    shingles, not |docs|².
+    Prefix-filtered inverted-index plan (PPJoin-style): docs pair up only
+    through shared RARE shingles (document frequency ≤ max_df) drawn from
+    each doc's rarest-first prefix, so candidate complexity is Σ df(s)²
+    over prefix shingles — a small slice of the rare index — rather than
+    |docs|²; candidates are then verified with one in-row array_intersect
+    per pair.
 
     The shingle frame is consumed three times (df-cap, index join, sizes);
     ``persist_shingles`` caches it for interactive/local use. At 100 TB pass
@@ -135,18 +138,56 @@ def jaccard_pairs(
     sh = shingles(df, id_col, text_col, n)
     if persist_shingles:
         sh = sh.persist()
-    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")).where(F.col("__df") <= max_df)
-    rare = sh.join(df_cap.select("sh"), "sh")
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    rare = sh.join(df_counts.where(F.col("__df") <= max_df), "sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+    # Prefix filtering (the PPJoin family's candidate pruning): order each
+    # doc's rare shingles by a GLOBAL (df asc, sh) order and index only the
+    # first  r - ceil(t·r) + 1  of them. Any pair with (capped) Jaccard ≥ t
+    # has rare-intersection ≥ ceil(t·r) on each side (union ≥ r because
+    # full sizes bound rare sizes), and two sets with intersection ≥ o must
+    # collide within those prefixes — so candidate generation only touches
+    # the rarest ~(1-t) fraction of the index, shrinking Σdf² by orders of
+    # magnitude on collision-heavy corpora. Verification then runs in-row:
+    # one array_intersect per surviving candidate pair instead of the old
+    # (id_a, id_b, shared-shingle)-row explosion + groupBy, which dominated
+    # runtime. t gets a 1e-3 safety margin because the emitted jaccard is
+    # rounded before the threshold compare.
+    t_eff = max(threshold - 1e-3, 0.0)
+    doc_sets = (
+        rare.groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "sh"))), lambda x: x["sh"]
+            ).alias("arr")
+        )
+        .select(
+            "id",
+            "arr",
+            F.slice(
+                "arr",
+                1,
+                F.greatest(
+                    F.size("arr") - F.ceil(F.size("arr") * F.lit(t_eff)).cast("int") + 1,
+                    F.lit(1),
+                ),
+            ).alias("prefix"),
+        )
     )
+    pref = doc_sets.select("id", F.explode("prefix").alias("sh"))
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    arrs = doc_sets.select("id", "arr")
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        cand.join(arrs.withColumnRenamed("id", "id_a").withColumnRenamed("arr", "arr_a"), "id_a")
+        .join(arrs.withColumnRenamed("id", "id_b").withColumnRenamed("arr", "arr_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
