@@ -175,6 +175,11 @@ def jaccard_pairs(
             ).alias("prefix"),
         )
     )
+    if persist_shingles:
+        # consumed twice (prefix index + candidate verification); one
+        # compact row per doc. At 100 TB this frame IS the signature store —
+        # materialize it to a table instead (same note as simhash below).
+        doc_sets = doc_sets.persist()
     pref = doc_sets.select("id", F.explode("prefix").alias("sh"))
     cand = (
         pref.alias("a")
