@@ -284,6 +284,7 @@ def minhash_lsh_pairs(
     seed: int = 7,
     min_est: float = 0.5,
     round_to: int = 4,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH, scored by the
     fraction of matching signature components (the minhash estimate of
@@ -292,6 +293,13 @@ def minhash_lsh_pairs(
         raise ValueError("k must be divisible by bands")
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k, seed)
+    if persist_signatures:
+        # the banded frame self-joins below; without this the whole
+        # shingle-explode + k-minhash pipeline runs once per join side
+        # (no ReusedExchange for self-joins here — measured 2 parquet
+        # scans). One compact row per doc; at 100 TB materialize the
+        # signature table instead (same note as simhash below).
+        sig = sig.persist()
     bands_df = sig.select(
         "id",
         *[F.col(f"mh_{i}") for i in range(k)],
