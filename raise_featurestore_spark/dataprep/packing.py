@@ -36,15 +36,19 @@ class PackingSpec:
     id_col: str = "doc_id"
     text_col: str = "text"
     shard_col: str = "lang"
-    # whitespace token count; swap for a real tokenizer's count column when
-    # one is materialized
+    # filtered-whitespace token count; swap for a real tokenizer's count
+    # column when one is materialized
     token_count_expr: str | None = None
 
 
 def _n_tok(spec: PackingSpec):
     if spec.token_count_expr:
         return F.expr(spec.token_count_expr)
-    return F.size(F.split(F.col(spec.text_col), " "))
+    # filtered whitespace tokenizer — consecutive/leading whitespace must not
+    # mint empty-string tokens, matching every other text operator's count
+    return F.size(
+        F.filter(F.split(F.col(spec.text_col), r"\s+"), lambda w: F.length(w) > 0)
+    )
 
 
 def pack_documents(df: DataFrame, spec: PackingSpec | None = None) -> DataFrame:
@@ -84,7 +88,10 @@ def pack_documents_sql(table: str, spec: PackingSpec | None = None) -> str:
     tok = (
         spec.token_count_expr
         if spec.token_count_expr
-        else f"len(string_split({spec.text_col}, ' '))"
+        else (
+            f"len(list_filter(string_split_regex({spec.text_col}, '\\s+'), "
+            f"w -> length(w) > 0))"
+        )
     )
     return (
         f"WITH d AS (SELECT {spec.id_col}, {spec.shard_col}, {tok} AS n_tok, "

@@ -208,12 +208,17 @@ def repetition_metrics(
     no explode, no groupBy, scan-speed at 100 TB. (Compare
     raise_/PRD.md's quality checks, which declare only null/range-style
     checks; repetition filters are an engine addition per the task brief.)
+
+    Documents with <2 tokens (empty/punctuation-only text) produce an empty
+    bigram array and ``top_bigram_count = 0`` — the slice length is clamped
+    with ``greatest(..., 0)`` because Spark rejects negative slice lengths.
     """
     toks = _tokens(F.col(text_col))
     best = F.expr(
         """
         aggregate(
-          array_sort(zip_with(slice(__t, 1, size(__t)-1), slice(__t, 2, size(__t)-1),
+          array_sort(zip_with(slice(__t, 1, greatest(size(__t)-1, 0)),
+                              slice(__t, 2, greatest(size(__t)-1, 0)),
                               (a, b) -> concat(a, ' ', b))),
           named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
           (acc, x) -> named_struct(
@@ -241,7 +246,9 @@ def repetition_metrics(
 def repetition_metrics_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     """DuckDB twin of :func:`repetition_metrics`. The oracle counts bigram
     multiplicity the direct way (unnest + group) — correctness only, the
-    Spark side carries the scale design."""
+    Spark side carries the scale design. Documents with <2 tokens emit no
+    bigram rows, so the join to the bigram CTE is LEFT + COALESCE(0) to
+    mirror Spark's empty-bigram behavior."""
     toks = _tokens_sql(text_col)
     return (
         f"WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}), "
@@ -251,8 +258,8 @@ def repetition_metrics_sql(table: str, id_col: str = "doc_id", text_col: str = "
         f"(SELECT {id_col}, bg, COUNT(*) AS cnt FROM b GROUP BY {id_col}, bg) GROUP BY {id_col}) "
         f"SELECT t.{id_col}, len(toks) AS n_tokens, "
         f"ROUND(1.0 - len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1), 6) AS dup_token_frac, "
-        f"CAST(c.top_bigram_count AS INT) AS top_bigram_count "
-        f"FROM t JOIN c ON t.{id_col} = c.{id_col}"
+        f"CAST(COALESCE(c.top_bigram_count, 0) AS INT) AS top_bigram_count "
+        f"FROM t LEFT JOIN c ON t.{id_col} = c.{id_col}"
     )
 
 

@@ -25,7 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from raise_featurestore_spark.dataprep.dedup import incremental_minhash_dedup
+from raise_featurestore_spark.dataprep.dedup import _norm_text, incremental_minhash_dedup
 
 
 def _corpus_nonempty(path: str) -> bool:
@@ -48,10 +48,16 @@ def make_curation_batch_fn(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # within-batch exact dedup: one row per distinct text (min id wins,
-        # deterministically)
+        # within-batch exact dedup: one row per distinct normalized text
+        # (min id wins, deterministically) — same lower(trim(...)) key as
+        # dataprep.dedup.exact_duplicates, so a whitespace/case-variant
+        # re-fetch inside one micro-batch collapses here, not downstream
         w_id = F.min(id_col).alias(id_col)
-        keep_ids = batch_df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(w_id).select(id_col)
+        keep_ids = (
+            batch_df.groupBy(F.md5(_norm_text(F.col(text_col)).cast("binary")).alias("__h"))
+            .agg(w_id)
+            .select(id_col)
+        )
         batch = batch_df.join(keep_ids, id_col, "left_semi")
 
         if _corpus_nonempty(corpus_path):

@@ -202,3 +202,66 @@ def test_profile_single_scan_and_values(spark):
     assert got[("s", "max_length")] == 4.0
     assert got[("v", "mean")] == 3.0
     assert got[("v", "min")] == 1.5 and got[("v", "max")] == 4.5
+
+
+def test_repetition_metrics_short_docs_no_crash(spark):
+    """ADVICE r3: zero-token docs used to crash the slice() with length -1;
+    <2-token docs must yield top_bigram_count=0, not an error."""
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # zero tokens
+            (2, "!!! ... ???"),  # punctuation-only -> zero tokens
+            (3, "solo"),  # one token -> zero bigrams
+            (4, "a b a b"),  # control: bigram 'a b' x2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[1]["n_tokens"] == 0 and got[1]["top_bigram_count"] == 0
+    assert got[2]["n_tokens"] == 0 and got[2]["top_bigram_count"] == 0
+    assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_count"] == 0
+    assert got[4]["top_bigram_count"] == 2
+
+
+def test_repetition_sql_parity_on_short_docs(spark):
+    """ADVICE r3: the oracle SQL inner-joined the bigram CTE and silently
+    dropped <2-token docs; LEFT JOIN + COALESCE must keep cross-engine
+    parity on exactly those rows."""
+    import duckdb
+
+    from raise_featurestore_spark.dataprep.text import repetition_metrics_sql
+
+    rows = [(1, ""), (2, "..."), (3, "solo"), (4, "a b a b"), (5, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = {
+        r[0]: r for r in con.sql(repetition_metrics_sql("docs")).fetchall()
+    }
+    assert set(got) == set(want) == {1, 2, 3, 4, 5}
+    for k in got:
+        assert got[k]["n_tokens"] == want[k][1], k
+        assert got[k]["dup_token_frac"] == pytest.approx(float(want[k][2])), k
+        assert got[k]["top_bigram_count"] == want[k][3], k
+
+
+def test_packing_token_count_ignores_extra_whitespace(spark):
+    """ADVICE r3: consecutive/leading whitespace must not mint empty-string
+    tokens in the packing budget (Spark and the DuckDB twin agree)."""
+    import duckdb
+
+    from raise_featurestore_spark.dataprep.packing import pack_documents_sql
+
+    rows = [(1, "a  b \t c", "en"), (2, "  lead and trail  ", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["n_tok"] for r in pack_documents(df).collect()}
+    assert got == {1: 3, 2: 3}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    want = {r[0]: r[2] for r in con.sql(pack_documents_sql("docs")).fetchall()}
+    assert want == {1: 3, 2: 3}

@@ -235,3 +235,25 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     # batch-1 docs always land; the re-fetch (10) is dropped as a corpus
     # near-dup; the novel doc lands once (11 wins the in-batch exact dedup)
     assert set(rows) == {1, 2, 11}, rows
+
+
+def test_curation_in_batch_dedup_normalizes_text(spark, tmp_path):
+    """ADVICE r3: the in-batch exact-dedup key must be the NORMALIZED text
+    hash (lower/trim, same as dataprep.dedup.exact_duplicates) so a
+    case/whitespace variant inside one micro-batch collapses deterministically
+    rather than relying on the probabilistic near-dup stage."""
+    from raise_featurestore_spark.streaming.curation import make_curation_batch_fn
+
+    corpus = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [
+            (1, "The Quick Brown Fox Jumps Over The Lazy Dog"),
+            (2, "  the quick brown fox jumps over the lazy dog  "),
+            (3, "an unrelated second document about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    make_curation_batch_fn(spark, corpus)(batch, 0)
+    rows = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    # min id wins within the normalized-text group
+    assert rows == {1, 3}, rows
