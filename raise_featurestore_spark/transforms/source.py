@@ -150,8 +150,11 @@ class DatabaseSource:
 
     ``partition_column``/``num_partitions``/bounds map to Spark's JDBC
     parallel-read knobs so a big table scan fans out across executors
-    instead of serializing through one connection. Untestable in this
-    environment (no JDBC driver jar) — the read plan is still real.
+    instead of serializing through one connection. Exercised end-to-end
+    against the embedded Derby engine on Spark's own classpath (see
+    :func:`derby_fixture`); identifier caveat: Spark writes JDBC tables
+    with quoted (case-sensitive) column names, so queries against
+    Spark-written tables must double-quote lowercase identifiers.
     """
 
     url: str
@@ -182,6 +185,36 @@ class DatabaseSource:
                 .option("upperBound", str(self.upper_bound))
             )
         return reader.load()
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_fixture(
+    spark: SparkSession, df: DataFrame, db_path: str, table: str
+) -> tuple[str, dict[str, str]]:
+    """Seed an embedded Derby database with ``df`` (idempotent: skipped if
+    the database directory already exists) and return ``(url, properties)``
+    for a :class:`DatabaseSource`.
+
+    Derby ships on Spark's classpath (it backs the Hive metastore), which
+    makes it the one JDBC endpoint available in any Spark deployment with
+    zero extra jars — ideal for exercising the real ``spark.read.jdbc``
+    path in tests. Production DatabaseSources point the same options at
+    Postgres/MySQL instead (reference: raise_/transforms/source.py:310-348).
+    """
+    import os
+
+    url = f"jdbc:derby:{db_path};create=true"
+    props = {"driver": DERBY_DRIVER}
+    if not os.path.isdir(db_path):
+        writer = df.coalesce(1).write.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        for k, v in props.items():
+            writer = writer.option(k, v)
+        writer.mode("overwrite").save()
+    return f"jdbc:derby:{db_path}", props
 
 
 Source = (
