@@ -27,6 +27,11 @@ from raise_featurestore_spark.dataprep import hashing as H
 
 DEFAULT_DECON_N = 8  # word n-gram size
 
+# Broadcast guard: above this many distinct benchmark grams the hash set no
+# longer belongs in a broadcast (4M rows × ~16 B/row ≈ the 64 MB broadcast
+# comfort zone) and the semi-join falls back to a shuffled hash join.
+DEFAULT_MAX_BROADCAST_GRAMS = 4_000_000
+
 
 def _toks(c: Column) -> Column:
     return F.filter(F.split(F.lower(c), r"\W+"), lambda w: F.length(w) > 0)
@@ -70,17 +75,30 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = DEFAULT_DECON_N,
+    max_broadcast_grams: int | None = DEFAULT_MAX_BROADCAST_GRAMS,
 ) -> DataFrame:
     """(doc_id, n_overlapping_ngrams, contaminated) per corpus document.
 
     ``contaminated`` is true iff the document shares ≥1 exact word n-gram
     with any benchmark document. The benchmark gram set is explicitly
-    broadcast — it is the small side by construction.
+    broadcast while it fits (today's benchmark suites: MBs); a held-out
+    corpus bigger than ``max_broadcast_grams`` distinct grams would blow
+    the broadcast/driver budget, so the join degrades to a shuffled hash
+    join instead (``hint("shuffle_hash")`` — no sort, grams shuffle once).
+    The guard counts the persisted gram set, a benchmark-side-only job; at
+    100 TB the gram set is a materialized table and the count comes from
+    table stats instead. ``max_broadcast_grams=None`` skips the guard and
+    always broadcasts.
     """
     bench = word_ngram_hashes(benchmark_df, id_col, text_col, n).select("gh").distinct()
+    use_broadcast = True
+    if max_broadcast_grams is not None:
+        bench = bench.persist()
+        use_broadcast = bench.count() <= max_broadcast_grams
     corpus = word_ngram_hashes(corpus_df, id_col, text_col, n)
+    bench_side = F.broadcast(bench) if use_broadcast else bench.hint("shuffle_hash")
     hits = (
-        corpus.join(F.broadcast(bench), on="gh", how="inner")
+        corpus.join(bench_side, on="gh", how="inner")
         .groupBy("id")
         .agg(F.count("*").alias("n_overlapping_ngrams"))
     )

@@ -119,6 +119,7 @@ def jaccard_pairs(
     max_df: int = DEFAULT_MAX_DF,
     round_to: int = 4,
     persist_shingles: bool = True,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold.
 
@@ -181,9 +182,49 @@ def jaccard_pairs(
         # materialize it to a table instead (same note as simhash below).
         doc_sets = doc_sets.persist()
     pref = doc_sets.select("id", F.explode("prefix").alias("sh"))
+
+    # Hot-key salting for the prefix self-join: a prefix shingle with df
+    # near max_df puts df² candidate pairs on ONE join key (one straggler
+    # task). Split such keys into `salt_buckets` sub-keys: the left side
+    # hashes its doc id into one bucket, the right side replicates hot rows
+    # across all buckets, so every (id_a < id_b) pair still meets exactly
+    # once but the df² work spreads over salt_buckets tasks. Cold shingles
+    # keep salt 0 / no replication — plan unchanged for them. The hot set
+    # is tiny by construction (df ∈ [hot_min_df, max_df]) → broadcast.
+    hot_min_df = max(max_df // 2, 2)
+    hot = (
+        pref.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__pdf"))
+        .where(F.col("__pdf") >= hot_min_df)
+        .select("sh", F.lit(True).alias("__hot"))
+    )
+    tagged = pref.join(F.broadcast(hot), "sh", "left")
+    k = salt_buckets
+    left = tagged.select(
+        "id",
+        "sh",
+        F.when(F.col("__hot"), F.pmod(F.xxhash64("id"), F.lit(k)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    )
+    right = tagged.select(
+        "id",
+        "sh",
+        F.explode(
+            F.when(F.col("__hot"), F.sequence(F.lit(0), F.lit(k - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("salt"),
+    )
     cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

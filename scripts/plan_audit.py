@@ -8,7 +8,10 @@ output and reports violations:
   the query has a filter),
 - ReadSchema is pruned (never the full table width for projecting queries),
 - no CartesianProduct / BroadcastNestedLoopJoin anywhere,
-- order_by+limit lowers to TakeOrderedAndProject (no global Sort+Exchange).
+- order_by+limit lowers to TakeOrderedAndProject (no global Sort+Exchange),
+- no Window with an empty partition spec (a global window funnels the
+  whole input through ONE task) outside the audited bounded-domain
+  allowlist below.
 
 Usage: python scripts/plan_audit.py [sf_dir]   (exit 1 on violations)
 """
@@ -20,6 +23,47 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose unpartitioned windows run over a BOUNDED domain — the window
+# input is already an aggregate whose row count is fixed by the spec (day
+# buckets, histogram buckets, drift/version-diff bucket grids), never by the
+# data volume, so one task is the right plan. Audited 2026-08 (r3 verdict
+# item 5); a new unpartitioned window anywhere else fails the audit.
+WINDOW_ALLOWLIST = {
+    "agg_rolling_daily",  # per-day rolling frame over the daily aggregate
+    "dist_density",  # cdf over `num_buckets` histogram rows
+    "drift_order_status",  # psi/kl grid over category buckets
+    "version_diff_value",  # same bucket grid, both versions
+}
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) occurrences with an EMPTY partition spec.
+
+    The first depth-0 argument of a partitioned spec is a bare column
+    reference; an unpartitioned spec starts with an ordering expression
+    (' ASC'/' DESC') or, for order-less frames, directly with
+    specifiedwindowframe(...).
+    """
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i = m.end()
+        depth = 1
+        arg0_end = None
+        j = i
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1 and arg0_end is None:
+                arg0_end = j
+            j += 1
+        arg0 = plan[i : arg0_end if arg0_end else j - 1].strip()
+        if arg0.startswith("specifiedwindowframe") or re.search(r" (ASC|DESC)\b", arg0):
+            out.append(plan[m.start() : min(j, m.start() + 90)])
+    return out
 
 
 def main() -> None:
@@ -59,6 +103,10 @@ def main() -> None:
         for r in reads:
             if r.count(",") > 30:
                 violations.append(f"{name}: scan reads {r.count(',')+1} columns (pruning?)")
+
+        if name not in WINDOW_ALLOWLIST:
+            for w in unpartitioned_windows(plan):
+                violations.append(f"{name}: unpartitioned window: {w}")
 
     summary = {
         "queries": len(em.queries()),

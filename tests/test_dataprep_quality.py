@@ -265,3 +265,73 @@ def test_packing_token_count_ignores_extra_whitespace(spark):
     con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
     want = {r[0]: r[2] for r in con.sql(pack_documents_sql("docs")).fetchall()}
     assert want == {1: 3, 2: 3}
+
+
+def test_decontaminate_large_benchmark_falls_back_to_shuffle(spark):
+    """VERDICT r3: a gram set over the broadcast threshold must NOT be
+    broadcast — the guard switches to a shuffled hash join, and results
+    are unchanged."""
+    from raise_featurestore_spark.dataprep.decontaminate import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, bench, max_broadcast_grams=0)  # force large path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["contaminated"] and not got[2]["contaminated"]
+
+
+def test_jaccard_hot_prefix_shingle_salted_join_same_results(spark):
+    """VERDICT r3 item 7: a stop-shingle shared by every doc must not
+    change results under the salted prefix join — every qualifying pair
+    still meets exactly once, and the join key carries the salt."""
+    import duckdb
+
+    from raise_featurestore_spark.dataprep.dedup import jaccard_pairs, jaccard_pairs_sql
+
+    # 12 docs sharing a long common run (the hot shingles) + distinct tails;
+    # pairs within each trio are near-dups, across trios they are not
+    base = "the common boilerplate header text appears everywhere "
+    rows = []
+    for g in range(4):
+        for i in range(3):
+            rows.append((g * 10 + i, base + f"group {g} variant body text {'x' * i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # force the hot path: max_df=12 -> hot_min_df=6; base shingles have df=12
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, threshold=0.5, max_df=12, salt_buckets=4, persist_shingles=False
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(jaccard_pairs_sql("docs", threshold=0.5, max_df=12)).fetchall()
+    }
+    assert got == pytest.approx(want)
+    assert got, "expected at least some near-dup pairs"
+
+    # the candidate join condition must include the salt column
+    plan = (
+        jaccard_pairs(df, threshold=0.5, max_df=12, salt_buckets=4, persist_shingles=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "salt" in plan, plan
