@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from raise_featurestore_spark.catalog.audit import AuditLog
 from raise_featurestore_spark.catalog.entities import Feature, FeatureGroupMeta, FeatureStatus
 from raise_featurestore_spark.catalog.lineage import FeatureRef, LineageGraph
-from raise_featurestore_spark.types import parse_dtype
+from raise_featurestore_spark.types import DTypeError, parse_dtype
 
 
 class CatalogError(ValueError):
@@ -630,13 +630,45 @@ class BoundFeatureGroup:
 
     # -- data plane -------------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append", key_columns: list[str] | None = None
-              ) -> None:
+    def write(self, df: DataFrame, mode: str = "append", key_columns: list[str] | None = None,
+              validate: bool = True) -> None:
         from raise_featurestore_spark.io.writer import write_feature_group
 
+        if validate:
+            self._validate_constraints(df)
         write_feature_group(df, self.meta.storage_path, mode=mode,
                             key_columns=key_columns or [self.meta.entity_key])
         self.store.audit.log("data", f"write_{mode}", self.meta.storage_path)
+
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """Write-path enforcement of the logical constraints Spark's type
+        system can't express — embedding dim, string[N] max length, bounded
+        arrays, blob content-type whitelist (reference:
+        raise_/models/types.py:124-148, which rejects wrong-dim vectors at
+        validate()). One distributed aggregate over all constrained
+        columns; only the 1-row violation-count summary reaches the driver.
+        """
+        from raise_featurestore_spark.types import has_constraint, validation_predicate
+
+        checks = []
+        for versions in self.meta.features.values():
+            for feat in versions:
+                if feat.is_derived or feat.physical_column not in df.columns:
+                    continue
+                if not has_constraint(feat.dtype):
+                    continue
+                pred = validation_predicate(feat.dtype, F.col(feat.physical_column))
+                checks.append(
+                    F.sum((~pred).cast("long")).alias(feat.physical_column)
+                )
+        if not checks:
+            return
+        row = df.agg(*checks).collect()[0]
+        bad = {c: int(v) for c, v in row.asDict().items() if v}
+        if bad:
+            raise DTypeError(
+                f"write rejected: constraint violations (rows per column): {bad}"
+            )
 
     def read(self, spark: SparkSession, features: list[str] | None = None) -> DataFrame:
         """Read the physical table and materialize requested derived/versioned

@@ -180,6 +180,16 @@ def from_spark_type(dt: T.DataType) -> FeatureType:
     raise DTypeError(f"no feature type for Spark type {dt}")
 
 
+def has_constraint(ft: FeatureType) -> bool:
+    """True iff :func:`validation_predicate` is non-trivial for this type."""
+    return bool(
+        (ft.kind == "string" and ft.max_length)
+        or (ft.kind == "embedding" and ft.dim)
+        or (ft.kind == "array" and ft.max_length)
+        or (ft.kind == "blob_ref" and ft.content_types)
+    )
+
+
 def validation_predicate(ft: FeatureType, col: Column) -> Column:
     """Boolean Column that is true iff the value satisfies the logical
     constraints Spark's type system can't enforce (string max length,

@@ -257,3 +257,79 @@ def test_curation_in_batch_dedup_normalizes_text(spark, tmp_path):
     rows = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     # min id wins within the normalized-text group
     assert rows == {1, 3}, rows
+
+
+def test_watermark_late_data_inclusion_and_exclusion(spark, tmp_path):
+    """VERDICT r3 item 8: true-streaming watermark semantics, end-to-end
+    and deterministic. Append mode + 30m watermark over 1h tumbling
+    windows; four files processed in order (maxFilesPerTrigger=1, mtimes
+    pinned). The watermark computed from batch N's max event time becomes
+    operative in batch N+1, and a window's state is evicted at the end of
+    the first batch whose operative watermark passes its end — so a
+    too-late row must arrive a full batch AFTER eviction to be dropped:
+
+      file A: 10:05, 10:55     -> batch 0, wm epoch; wm := 10:25
+      file B: 10:10 (late but wm 10:25 < 11:00 -> INCLUDED), 12:40
+                               -> batch 1; wm := 12:10
+      file C: 12:45            -> batch 2, wm 12:10 evicts+emits w10
+      file D: 10:20 (wm 12:15 > window end 11:00 -> DROPPED, state gone),
+              13:40            -> batch 3; wm := 13:10
+      final empty batch evicts w12.
+
+    Emitted: w10 exactly once with THREE rows (late 10:10 counted, too-late
+    10:20 nowhere), w12 with the two 12:xx rows.
+    """
+    import os
+    import time
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    chk = str(tmp_path / "wm_chk")
+    schema = "ts timestamp, k string, v double"
+
+    def drop_file(idx, rows):
+        path = os.path.join(src, f"batch_{idx}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        # file source orders by modification time: pin strictly increasing
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (idx * 1000, idx * 1000))
+        return path
+
+    drop_file(1, [(datetime(2024, 1, 1, 10, 5), "a", 1.0),
+                  (datetime(2024, 1, 1, 10, 55), "a", 2.0)])
+    drop_file(2, [(datetime(2024, 1, 1, 10, 10), "a", 4.0),
+                  (datetime(2024, 1, 1, 12, 40), "a", 8.0)])
+    drop_file(3, [(datetime(2024, 1, 1, 12, 45), "a", 0.5)])
+    drop_file(4, [(datetime(2024, 1, 1, 10, 20), "a", 16.0),
+                  (datetime(2024, 1, 1, 13, 40), "a", 32.0)])
+
+    spec = TumblingWindowSpec(time_column="ts", size="1h", feature="v",
+                              metrics=["count", "sum"], keys=["k"])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "batch_*"))
+    )
+    agg = compile_window_agg(stream, spec, watermark="30m")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    rows = spark.sql("SELECT * FROM wm_test").collect()
+    got = {r["window_start"]: (r["count_v"], r["sum_v"]) for r in rows}
+    # each closed window emitted exactly once (no re-opened state)
+    assert len(rows) == len(got), rows
+    # w10 INCLUDES the 10:10 late row (1+2+4) and EXCLUDES the too-late
+    # 10:20 row (16 appears nowhere)
+    assert got["2024-01-01 10:00:00"] == (3, 7.0), got
+    # w12 closed by file D's 13:40 watermark advance
+    assert got["2024-01-01 12:00:00"] == (2, 8.5), got
+    # w13 never closes (watermark never passes 14:00) -> not emitted
+    assert "2024-01-01 13:00:00" not in got, got
