@@ -1,13 +1,19 @@
-"""Orchestrators: in-process runner + Airflow DAG code generation.
+"""Orchestrators: in-process runner + Airflow/Dagster/Prefect codegen.
 
-(reference: raise_/transforms/orchestrator.py:18-163 internal orchestrator;
-raise_/transforms/airflow.py:64-290 + raise_/PRD.md:1663-1757 DAG codegen)
+(reference: raise_/transforms/orchestrator.py:18-163 declares the pluggable
+orchestrator protocol with AIRFLOW/DAGSTER/PREFECT/INTERNAL types and a
+``generate_definition`` hook; raise_/transforms/airflow.py:64-290 +
+raise_/PRD.md:1663-1757 DAG codegen)
 
 The internal orchestrator runs deployed jobs in-process against a live
-SparkSession — enough for tests and single-node batches. The Airflow
-generator emits a self-contained DAG file per job; schedule kinds map to
-``schedule_interval`` (cron string, timedelta, or None for manual/once).
-Dagster/Prefect would plug in behind the same ``deploy`` protocol.
+SparkSession — enough for tests and single-node batches. The external
+generators each emit a self-contained definition module per job: Airflow
+(DAG + PythonOperator), Dagster (@op/@job + ScheduleDefinition), Prefect
+(@flow + cron/interval deployment schedule). Schedule kinds map to each
+engine's native form; manual/on-change jobs get no schedule (externally
+triggered). None of the three engines ships in this sandbox, so each
+generated module is validated by compiling it (``compile()``) rather than
+importing the engine.
 """
 
 from __future__ import annotations
@@ -105,4 +111,111 @@ with DAG(
         task_id="run_transform",
         python_callable=_run_job,
     )
+'''
+
+
+def schedule_to_dagster(schedule: Schedule | None) -> str | None:
+    """Dagster cron string, or None for unscheduled (manual/on-change).
+    Interval schedules render as a */N-minute cron (Dagster schedules are
+    cron-based; sub-minute intervals round up to 1 minute)."""
+    if isinstance(schedule, CronSchedule):
+        return schedule.expression
+    if isinstance(schedule, IntervalSchedule):
+        minutes = max(1, int(schedule.seconds // 60))
+        return f"*/{minutes} * * * *" if minutes < 60 else f"0 */{minutes // 60} * * *"
+    if isinstance(schedule, OnceSchedule):
+        return None  # trigger once externally; Dagster has no "@once"
+    return None
+
+
+def generate_dagster_job(job: Job, schedule: Schedule | None = None) -> str:
+    """Emit a runnable Dagster definitions module for one job (op + job +
+    optional ScheduleDefinition), mirroring the Airflow generator
+    (reference protocol: raise_/transforms/orchestrator.py:18-66)."""
+    cron = schedule_to_dagster(schedule)
+    retries = job.max_retries
+    sched_block = (
+        f'''
+
+featurestore_{job.job_id}_schedule = ScheduleDefinition(
+    job=featurestore_{job.job_id},
+    cron_schedule={cron!r},
+)
+
+defs = Definitions(
+    jobs=[featurestore_{job.job_id}],
+    schedules=[featurestore_{job.job_id}_schedule],
+)
+'''
+        if cron
+        else f'''
+
+defs = Definitions(jobs=[featurestore_{job.job_id}])
+'''
+    )
+    return f'''"""Auto-generated Dagster definitions for featurestore job {job.job_id!r}."""
+from dagster import Definitions, OpExecutionContext, RetryPolicy, ScheduleDefinition, job, op
+
+
+@op(retry_policy=RetryPolicy(max_retries={retries}))
+def run_transform_{job.job_id}(context: OpExecutionContext):
+    from pyspark.sql import SparkSession
+    from my_featurestore_jobs import build_job_{job.job_id}  # user-provided factory
+
+    spark = SparkSession.builder.getOrCreate()
+    run = build_job_{job.job_id}().run(spark)
+    if run.status != "completed":
+        raise RuntimeError(f"job failed: {{run.error}}")
+    return run.metrics()
+
+
+@job(tags={{"featurestore": "true"}})
+def featurestore_{job.job_id}():
+    run_transform_{job.job_id}()
+{sched_block}'''
+
+
+def schedule_to_prefect(schedule: Schedule | None) -> str | None:
+    """Prefect schedule constructor source, or None for unscheduled."""
+    if isinstance(schedule, CronSchedule):
+        return f"CronSchedule(cron={schedule.expression!r})"
+    if isinstance(schedule, IntervalSchedule):
+        return f"IntervalSchedule(interval=timedelta(seconds={schedule.seconds}))"
+    return None  # once / manual / on-change: run via `prefect deployment run`
+
+
+def generate_prefect_flow(job: Job, schedule: Schedule | None = None) -> str:
+    """Emit a runnable Prefect flow module for one job, with the schedule
+    attached via ``Flow.serve`` when the kind maps to one."""
+    sched_src = schedule_to_prefect(schedule)
+    retries = job.max_retries
+    serve = (
+        f"    featurestore_{job.job_id}.serve(\n"
+        f'        name="featurestore_{job.job_id}",\n'
+        f"        schedule={sched_src},\n"
+        f"    )"
+        if sched_src
+        else f'    featurestore_{job.job_id}.serve(name="featurestore_{job.job_id}")'
+    )
+    return f'''"""Auto-generated Prefect flow for featurestore job {job.job_id!r}."""
+from datetime import timedelta
+
+from prefect import flow
+from prefect.client.schemas.schedules import CronSchedule, IntervalSchedule
+
+
+@flow(name="featurestore_{job.job_id}", retries={retries}, retry_delay_seconds=300)
+def featurestore_{job.job_id}():
+    from pyspark.sql import SparkSession
+    from my_featurestore_jobs import build_job_{job.job_id}  # user-provided factory
+
+    spark = SparkSession.builder.getOrCreate()
+    run = build_job_{job.job_id}().run(spark)
+    if run.status != "completed":
+        raise RuntimeError(f"job failed: {{run.error}}")
+    return run.metrics()
+
+
+if __name__ == "__main__":
+{serve}
 '''

@@ -739,3 +739,49 @@ def test_upsert_branch_selection_and_delta_merge_contract(spark, tmp_path, monke
     assert calls["source_rows"] == [(5, "e-new", 9)]  # deduped to max seq
     # MERGE branch handled the write: parquet table untouched by ups3
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2, 3, 4}
+
+
+def test_dagster_and_prefect_codegen(tmp_path):
+    """The Dagster/Prefect generators mirror the Airflow one: every
+    schedule kind maps to the engine's native form and every generated
+    module is valid Python (engines aren't installed here, so compile()
+    is the validation)."""
+    from raise_featurestore_spark.transforms.orchestrator import (
+        generate_dagster_job,
+        generate_prefect_flow,
+        schedule_to_dagster,
+        schedule_to_prefect,
+    )
+    from raise_featurestore_spark.transforms.schedule import (
+        IntervalSchedule,
+        ManualSchedule,
+    )
+
+    job = Job(
+        job_id="hourly_sync",
+        sources={"n": FileSystemSource(path=os.path.join(SF_DIR, "nation.parquet"))},
+        transform=SQLTransform("SELECT * FROM n"),
+        target=Target(path=str(tmp_path / "o"), write_mode="overwrite"),
+        max_retries=2,
+    )
+
+    dag = generate_dagster_job(job, CronSchedule("0 4 * * *"))
+    assert "ScheduleDefinition(" in dag and "'0 4 * * *'" in dag
+    assert "RetryPolicy(max_retries=2)" in dag
+    compile(dag, "<dagster>", "exec")
+
+    # interval -> cron; manual -> unscheduled Definitions
+    assert schedule_to_dagster(IntervalSchedule("15m")) == "*/15 * * * *"
+    unsched = generate_dagster_job(job, ManualSchedule())
+    assert "ScheduleDefinition(" not in unsched
+    compile(unsched, "<dagster>", "exec")
+
+    flow = generate_prefect_flow(job, IntervalSchedule("1h"))
+    assert "IntervalSchedule(interval=timedelta(seconds=3600))" in flow
+    assert "retries=2" in flow
+    compile(flow, "<prefect>", "exec")
+
+    assert schedule_to_prefect(CronSchedule("0 4 * * *")) == "CronSchedule(cron='0 4 * * *')"
+    manual_flow = generate_prefect_flow(job, ManualSchedule())
+    assert "schedule=" not in manual_flow
+    compile(manual_flow, "<prefect>", "exec")
