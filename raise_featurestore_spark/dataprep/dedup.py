@@ -189,34 +189,37 @@ def jaccard_pairs(
     # hashes its doc id into one bucket, the right side replicates hot rows
     # across all buckets, so every (id_a < id_b) pair still meets exactly
     # once but the df² work spreads over salt_buckets tasks. Cold shingles
-    # keep salt 0 / no replication — plan unchanged for them. The hot set
-    # is tiny by construction (df ∈ [hot_min_df, max_df]) → broadcast.
-    hot_min_df = max(max_df // 2, 2)
-    hot = (
-        pref.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("__pdf"))
-        .where(F.col("__pdf") >= hot_min_df)
-        .select("sh", F.lit(True).alias("__hot"))
-    )
-    tagged = pref.join(F.broadcast(hot), "sh", "left")
+    # keep salt 0 / no replication — plan unchanged for them. Hotness is
+    # read off the ALREADY-COMPUTED corpus df (an upper bound on prefix
+    # df — at worst a few cold-in-prefix shingles get replicated), so the
+    # salting adds no new aggregation; the hot set is tiny by construction
+    # (df ∈ [hot_min_df, max_df]) → broadcast.
     k = salt_buckets
-    left = tagged.select(
-        "id",
-        "sh",
-        F.when(F.col("__hot"), F.pmod(F.xxhash64("id"), F.lit(k)))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("salt"),
-    )
-    right = tagged.select(
-        "id",
-        "sh",
-        F.explode(
-            F.when(F.col("__hot"), F.sequence(F.lit(0), F.lit(k - 1))).otherwise(
-                F.array(F.lit(0))
-            )
-        ).alias("salt"),
-    )
+    if k > 1:
+        hot_min_df = max(max_df // 2, 2)
+        hot = df_counts.where(F.col("__df") >= hot_min_df).select(
+            "sh", F.lit(True).alias("__hot")
+        )
+        tagged = pref.join(F.broadcast(hot), "sh", "left")
+        left = tagged.select(
+            "id",
+            "sh",
+            F.when(F.col("__hot"), F.pmod(F.xxhash64("id"), F.lit(k)))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+        right = tagged.select(
+            "id",
+            "sh",
+            F.explode(
+                F.when(F.col("__hot"), F.sequence(F.lit(0), F.lit(k - 1))).otherwise(
+                    F.array(F.lit(0))
+                )
+            ).alias("salt"),
+        )
+    else:  # salting off: identical join minus the salt machinery
+        left = right = pref.withColumn("salt", F.lit(0))
     cand = (
         left.alias("a")
         .join(

@@ -720,15 +720,37 @@ register(
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: deterministic bounded-sample k-means quantizer, one
-    Arrow-batched assignment pass, nprobe inverted-list probe. No SQL
-    oracle (numpy quantizer isn't expressible in DuckDB); correctness is
-    the recall tests in tests/test_similarity_ivf.py."""
+    Arrow-batched assignment pass, nprobe inverted-list probe. The numpy
+    quantizer isn't expressible in DuckDB, so (like the approx-percentile
+    query) the oracle is a RECALL BAND: the probe's top-10 is joined
+    against the exact brute-force top-10 (itself hash-verified by
+    ann_bruteforce_topk) and the emitted boolean asserts recall@10 ≥ 0.3 —
+    the floor for nprobe=3/8 on these near-uniform synthetic vectors
+    (tests/test_similarity_ivf.py pins the same floor)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = SIM.kmeans_centroids(emb, dim=64, k=8, sample_rows=2048)
-    return SIM.ivf_topk(emb, _QUERY_VEC, cents, k=10, nprobe=3)
+    ivf = SIM.ivf_topk(emb, _QUERY_VEC, cents, k=10, nprobe=3).select(
+        F.col("vec_id").alias("ivf_id")
+    )
+    exact = SIM.brute_force_topk(emb, _QUERY_VEC, k=10).select("vec_id")
+    return (
+        exact.join(ivf, exact["vec_id"] == ivf["ivf_id"], "left")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.sum(F.col("ivf_id").isNotNull().cast("long")).alias("__hits"),
+        )
+        .select(
+            "k_exact",
+            (F.col("__hits") / F.col("k_exact") >= 0.3).alias("recall_ok"),
+        )
+    )
 
 
-register("ann_ivf_topk", _ann_ivf)
+register(
+    "ann_ivf_topk",
+    _ann_ivf,
+    "SELECT CAST(10 AS BIGINT) AS k_exact, TRUE AS recall_ok",
+)
 
 register(
     "text_language_id",
