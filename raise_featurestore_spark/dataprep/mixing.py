@@ -1,0 +1,114 @@
+"""Temperature-based source mixing (alpha-sampling) for training corpora.
+
+The standard recipe for balancing a multi-source / multilingual pre-training
+mix: sample source ``s`` with probability proportional to ``n_s^alpha``
+(alpha < 1 upsamples small sources relative to their natural share; alpha=1
+is proportional, alpha=0 uniform across sources). Given a target corpus
+size, each source gets an acceptance rate
+
+    r_s = min(1, (n_s^alpha / sum_t n_t^alpha) * target_rows / n_s)
+
+and rows are kept by DETERMINISTIC hash-thresholding (the shared h32
+primitive, same as dataprep/sampling.py) — membership is reproducible
+across runs, engines, retries, and cluster sizes, unlike seeded-RNG
+``sample``.
+
+Scale design: one grouped count (map-side combined), the per-source rate
+table is tiny and broadcast back, and the keep-filter is pure map-side —
+the corpus itself shuffles zero times. The 1-row normalizing constant uses
+the audited crossJoin(broadcast(<1-row aggregate>)) pattern.
+
+The reference has no mixing surface; engine addition per the task brief
+(same family as dedup/packing/decontamination).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.dataprep import hashing as H
+from raise_featurestore_spark.dataprep.sampling import BUCKETS, _bucket
+
+
+@dataclass
+class MixSpec:
+    alpha: float = 0.5
+    target_rows: int = 1000
+    id_col: str = "doc_id"
+    source_col: str = "source"
+    salt: str = "mix"
+
+
+def source_rates(df: DataFrame, spec: MixSpec) -> DataFrame:
+    """(source, n_docs, rate, keep_threshold) — the per-source acceptance
+    table. ``keep_threshold`` is an integer bucket cutoff so the keep
+    filter compares ints, and the rate is rounded before the cutoff is
+    taken so both engines floor the same 6-decimal value."""
+    s, a = spec.source_col, spec.alpha
+    counts = df.groupBy(s).agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn("__q", F.pow(F.col("n_docs").cast("double"), F.lit(a)))
+    total = counts.agg(F.sum("__q").alias("__tq"))
+    rate = F.least(
+        F.lit(1.0),
+        F.round(F.col("__q") / F.col("__tq") * F.lit(float(spec.target_rows)) / F.col("n_docs"), 6),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rate", rate)
+        .withColumn("keep_threshold", F.floor(F.col("rate") * F.lit(BUCKETS)).cast("int"))
+        .select(s, "n_docs", "rate", "keep_threshold")
+    )
+
+
+def temperature_mix(df: DataFrame, spec: MixSpec | None = None) -> DataFrame:
+    """Rows of ``df`` kept by the alpha-sampling acceptance rates —
+    deterministic per (id, salt), map-side after one small broadcast."""
+    spec = spec or MixSpec()
+    rates = source_rates(df, spec).select(spec.source_col, "keep_threshold")
+    return (
+        df.join(F.broadcast(rates), spec.source_col)
+        .where(_bucket(F.col(spec.id_col), spec.salt) < F.col("keep_threshold"))
+        .drop("keep_threshold")
+    )
+
+
+def mix_report(df: DataFrame, spec: MixSpec | None = None) -> DataFrame:
+    """(source, n_docs, rate, n_kept) — the mixture designer's summary:
+    natural size, acceptance rate, and the deterministic kept count."""
+    spec = spec or MixSpec()
+    s = spec.source_col
+    kept = temperature_mix(df, spec).groupBy(s).agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        source_rates(df, spec)
+        .join(kept, s, "left")
+        .select(
+            s,
+            "n_docs",
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def mix_report_sql(table: str, spec: MixSpec | None = None) -> str:
+    """DuckDB twin of :func:`mix_report` (same literals, same h32)."""
+    spec = spec or MixSpec()
+    s, idc, a = spec.source_col, spec.id_col, spec.alpha
+    salted = f"'{spec.salt}' || CAST({idc} AS VARCHAR)"
+    bucket = f"{H.h32_sql(salted)} % {BUCKETS}"
+    return (
+        f"WITH __c AS (SELECT {s}, COUNT(*) AS n_docs, "
+        f"POWER(CAST(COUNT(*) AS DOUBLE), {a}) AS q FROM {table} GROUP BY {s}), "
+        f"__r AS (SELECT {s}, n_docs, "
+        f"LEAST(1.0, ROUND(q / (SELECT SUM(q) FROM __c) * {float(spec.target_rows)} / n_docs, 6)) "
+        f"AS rate FROM __c), "
+        f"__t AS (SELECT {s}, n_docs, rate, "
+        f"CAST(FLOOR(rate * {BUCKETS}) AS INT) AS keep_threshold FROM __r), "
+        f"__k AS (SELECT d.{s}, COUNT(*) AS n_kept FROM {table} d "
+        f"JOIN __t ON d.{s} = __t.{s} WHERE {bucket} < __t.keep_threshold GROUP BY d.{s}) "
+        f"SELECT __t.{s}, n_docs, rate, COALESCE(__k.n_kept, 0) AS n_kept "
+        f"FROM __t LEFT JOIN __k ON __t.{s} = __k.{s}"
+    )

@@ -1363,6 +1363,27 @@ def _stratified_counts_sql() -> str:
 register("sample_stratified_lang", _stratified_counts, _stratified_counts_sql())
 
 
+def _mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha) source mixing: per-source acceptance rates
+    n_s^alpha-proportional toward a target corpus size, kept rows chosen by
+    deterministic hash threshold — one grouped count + broadcast rate table
+    + map-side filter; the corpus never shuffles (dataprep/mixing.py)."""
+    from raise_featurestore_spark.dataprep.mixing import MixSpec, mix_report
+
+    return mix_report(
+        load_table(spark, sf_dir, "documents"), MixSpec(alpha=0.5, target_rows=300)
+    )
+
+
+def _mix_report_sql() -> str:
+    from raise_featurestore_spark.dataprep.mixing import MixSpec, mix_report_sql
+
+    return mix_report_sql("documents", MixSpec(alpha=0.5, target_rows=300))
+
+
+register("mix_temperature_sample", _mix_report, _mix_report_sql())
+
+
 # --------------------------------------------------------------------------
 # §2.14 Point-in-time (as-of) join — leak-free training-set assembly
 # --------------------------------------------------------------------------
@@ -1670,6 +1691,7 @@ register("corpus_health_by_source", _corpus_health, _corpus_health_sql())
 _PROMOTED = [
     # new this round
     "source_jdbc_query",
+    "mix_temperature_sample",
     # never driver-verdicted
     "corpus_health_by_source",
     "agg_global_stats_approx",

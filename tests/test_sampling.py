@@ -77,3 +77,44 @@ def test_sample_is_terminal_selection(spark):
     df = spark.range(0, 5000).selectExpr("id", "CAST(id % 17 AS STRING) AS grp")
     spec = RecordLookup(features=["id", "grp"], sample=300)  # default limit=100 must not apply
     assert compile_record_lookup(df, spec).count() == 300
+
+
+def test_temperature_mix_alpha_semantics(spark):
+    """alpha=1 keeps natural proportions; alpha=0 flattens sources toward
+    equal counts; everything is deterministic across invocations."""
+    from raise_featurestore_spark.dataprep.mixing import MixSpec, mix_report
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: rate = target/N for every source -> kept ~ proportional
+    r1 = {r["source"]: r for r in mix_report(df, MixSpec(alpha=1.0, target_rows=500)).collect()}
+    assert r1["big"]["rate"] == r1["small"]["rate"] == pytest.approx(0.5)
+
+    # alpha=0: per-source quota target/n_sources -> small source rate is
+    # capped at 1.0 (kept whole), big source downsampled toward the quota
+    r0 = {r["source"]: r for r in mix_report(df, MixSpec(alpha=0.0, target_rows=500)).collect()}
+    assert r0["small"]["rate"] == 1.0 and r0["small"]["n_kept"] == 100
+    assert r0["big"]["rate"] == pytest.approx(0.2778, abs=1e-4)
+
+    # deterministic: identical kept sets on re-run
+    from raise_featurestore_spark.dataprep.mixing import temperature_mix
+
+    a = sorted(r["doc_id"] for r in temperature_mix(df, MixSpec(alpha=0.5, target_rows=400)).collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, MixSpec(alpha=0.5, target_rows=400)).collect())
+    assert a == b and len(a) > 0
+
+
+def test_temperature_mix_corpus_never_shuffles(spark):
+    """The keep-filter joins the corpus against a BROADCAST rate table —
+    no exchange of the corpus rows themselves."""
+    from raise_featurestore_spark.dataprep.mixing import MixSpec, temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    plan = (
+        temperature_mix(df, MixSpec())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
