@@ -122,3 +122,11 @@ def test_example_training_pipeline(spark):
     assert set(out["split_counts"]) == {"train", "val", "test"}
     assert sum(out["split_counts"].values()) == out["sampled"]
     assert out["partitions"] == ["test", "train", "val"]
+
+
+def test_example_governed_ingestion(spark):
+    out = _load("11_governed_ingestion.py").main(SF_DIR)
+    assert out["jdbc_rows"] > 0
+    assert out["stored"] == 2
+    assert out["wrong_dim_rejected"] is True
+    assert out["sources"] > 0 and out["mixed_rows"] > 0
