@@ -90,11 +90,21 @@ def compile_data_quality(
         one = one.crossJoin(F.broadcast(uniq))
 
     total = F.col("__total").cast("double")
+    # /0 guard: on an EMPTY (or fully-filtered) input the ratio checks are
+    # NULL — matching DuckDB, whose x/0 and empty AVG are NULL, where
+    # Spark's ANSI mode would raise DIVIDE_BY_ZERO instead. Validity and
+    # outliers keep their vacuous 1.0 / 0.0 (already guarded on count>0).
     items: list[tuple[str, str, Column]] = []
     for ft in spec.features:
         s = _safe(ft)
         if "completeness" in spec.checks:
-            items.append(("completeness", ft, 1.0 - F.col(f"__null_{s}") / total))
+            items.append(
+                (
+                    "completeness",
+                    ft,
+                    F.when(total > 0, 1.0 - F.col(f"__null_{s}") / total),
+                )
+            )
         if "validity" in spec.checks:
             nn = total - F.col(f"__null_{s}")
             bad = F.col(f"__nan_{s}") if _is_numeric(df, ft) else F.lit(0)
@@ -108,10 +118,18 @@ def compile_data_quality(
             )
     if "uniqueness" in spec.checks:
         keys = spec.key_columns or spec.features
-        items.append(("uniqueness", ",".join(keys), F.col("__uniq") / total))
+        items.append(
+            ("uniqueness", ",".join(keys), F.when(total > 0, F.col("__uniq") / total))
+        )
     if "consistency" in spec.checks and spec.consistency_rules:
         for rname in spec.consistency_rules:
-            items.append(("consistency", rname, F.col(f"__rule_{_safe(rname)}") / total))
+            items.append(
+                (
+                    "consistency",
+                    rname,
+                    F.when(total > 0, F.col(f"__rule_{_safe(rname)}") / total),
+                )
+            )
     if needs_fresh:
         items.append(("freshness", spec.time_column, F.col("__fresh_v")))
 

@@ -1220,7 +1220,9 @@ def _filesystem_jsonl_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         region.coalesce(1).write.json(path)  # part-*.json
         with open(_os.path.join(path, "README.txt"), "w") as fh:
             fh.write("decoy: the glob below must not read this file\n")
-        src = FileSystemSource(path=path, format="jsonl", glob="part-*.json")
+        src = FileSystemSource(
+            path=path, format="jsonl", glob="part-*.json", schema=region.schema
+        )
         return (
             src.read(spark)
             .select(

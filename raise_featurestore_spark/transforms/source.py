@@ -76,18 +76,27 @@ class ObjectStorageSource:
 @dataclass
 class FileSystemSource:
     """Local/NFS path + glob + recursive lookup
-    (reference: raise_/transforms/source.py:158-203)."""
+    (reference: raise_/transforms/source.py:158-203).
+
+    ``schema`` (DDL string or StructType) pins the schema for
+    schema-on-read formats (csv/json): it skips the inference pass (one
+    fewer full scan of 100 TB of text) and keeps the column set stable
+    when a directory is empty — an empty JSON dir otherwise reads as a
+    zero-column relation."""
 
     path: str
     format: str = "parquet"
     glob: str | None = None
     recursive: bool = False
     options: dict[str, str] = field(default_factory=dict)
+    schema: object | None = None  # DDL string or StructType
     alias: str | None = None
 
     def read(self, spark: SparkSession) -> DataFrame:
         fmt = _check_format(self.format)
         reader = spark.read.format(fmt).options(**self.options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
         if self.recursive:
             reader = reader.option("recursiveFileLookup", "true")
         if self.glob:
