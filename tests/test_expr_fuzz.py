@@ -91,3 +91,64 @@ def test_expression_matches_duckdb(frames, expr):
             assert abs(g - w) <= 1e-9 * max(1.0, abs(g), abs(w)), (
                 f"{expr}: {g} vs {w}"
             )
+
+
+# ---------------------------------------------------------------- strings
+
+str_leaf = st.one_of(
+    st.sampled_from(["s", "t"]),
+    st.sampled_from(["'ab'", "'Hello World'", "''", "' pad '"]),
+)
+
+
+def _str_expr(depth: int):
+    if depth == 0:
+        return str_leaf
+    sub = _str_expr(depth - 1)
+    return st.one_of(
+        str_leaf,
+        sub.map(lambda e: f"UPPER({e})"),
+        sub.map(lambda e: f"LOWER({e})"),
+        sub.map(lambda e: f"TRIM({e})"),
+        sub.map(lambda e: f"LTRIM({e})"),
+        sub.map(lambda e: f"RTRIM({e})"),
+        st.tuples(sub, sub).map(lambda t: f"CONCAT({t[0]}, {t[1]})"),
+        st.tuples(sub, st.integers(1, 3), st.integers(1, 4)).map(
+            lambda t: f"SUBSTRING({t[0]}, {t[1]}, {t[2]})"
+        ),
+    )
+
+
+str_exprs = _str_expr(3)
+
+STR_ROWS = [
+    ("alpha", "Beta"),
+    ("  spaced  ", ""),
+    ("MiXeD", "x"),
+    ("", "  "),
+    ("ünïcødé", "日本語"),
+]
+
+
+@pytest.fixture(scope="module")
+def str_frames(spark):
+    df = spark.createDataFrame(STR_ROWS, "s string, t string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE st_t (s VARCHAR, t VARCHAR)")
+    con.executemany("INSERT INTO st_t VALUES (?, ?)", STR_ROWS)
+    return df, con
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=str_exprs)
+def test_string_expression_matches_duckdb(str_frames, expr):
+    """String-function differential fuzz: UPPER/LOWER/TRIM family, CONCAT,
+    SUBSTRING — including unicode and empty/whitespace rows — must agree
+    byte-for-byte between the compiled Spark Column and DuckDB SQL,
+    wrapped in LENGTH+hashable select (string results compared directly)."""
+    df, con = str_frames
+    _, col = compile_expression(df, expr, known_features={"s", "t"})
+    got = [r[0] for r in df.select(col.alias("v")).collect()]
+    want = [r[0] for r in con.sql(f"SELECT {expr} AS v FROM st_t").fetchall()]
+    assert got == want, f"{expr!r}: spark={got} duckdb={want}"
