@@ -43,6 +43,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # division would lose precision at 2^60-scale nanos).
 _NANO_TS_COLS = {"events": ("ts",)}
 
+# Tables whose downstream operators are per-row COMPUTE heavy (shingle
+# hashing, minhash permutations, vector math). The fixture parquet is one
+# small file = one row group = ONE scan split, which would pin that compute
+# to a single core on local[32]; when the scan yields fewer splits than the
+# cluster has slots, fan out once after the scan. On a real lake the scan
+# yields thousands of splits, the condition is false, and no shuffle is
+# added — the repartition exists to emulate at fixture scale the
+# parallelism that file splits provide at data scale.
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver's parquet stores some columns as TIMESTAMP(NANOS), which
@@ -54,6 +64,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if name in _COMPUTE_HEAVY:
+        slots = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < slots:
+            df = df.repartition(slots)
     return df
 
 
