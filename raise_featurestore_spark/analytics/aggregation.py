@@ -199,6 +199,16 @@ def compile_aggregation(
             )
             aggs.append(pcts.alias(f"__pcts_{safe}"))
 
+    if pct_metrics and not spec.approx_percentiles and not spec.group_by:
+        # global EXACT percentiles buffer every value in the partial
+        # aggregate; when the scan yielded fewer splits than the cluster
+        # has slots (single-row-group fixture files), that buffering runs
+        # on one core — fan out first so partials build in parallel. With
+        # a group_by the groups already spread the partial work; on a real
+        # lake the split count exceeds the slot count and this no-ops.
+        slots = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < slots:
+            df = df.repartition(slots)
     grouped = df.groupBy(spec.group_by).agg(*aggs) if spec.group_by else df.agg(*aggs)
     if distinct_aggs:
         dg = df.groupBy(spec.group_by).agg(*distinct_aggs) if spec.group_by else df.agg(*distinct_aggs)
