@@ -120,12 +120,56 @@ def compile_correlation(
     return out
 
 
+def kendall_to_sql(
+    spec: Correlation, table: str, round_to: int | None = DEFAULT_ROUND, seed: int = 42
+) -> str:
+    """DuckDB oracle for SAMPLED kendall tau-b.
+
+    Kendall has no distributed closed form, but the sampled variant is
+    fully deterministic (the sample is the TakeOrdered prefix of a salted
+    content hash — same rows on any engine), and at sample_size ≤ a few
+    thousand the oracle can afford the direct O(n²) definition: C − D =
+    Σ sign((xᵢ−xⱼ)(yᵢ−yⱼ)) over i<j, tie terms counted pairwise, τ_b =
+    (C−D)/√((n0−n1)(n0−n2)). All terms are exact integers < 2⁵³, so the
+    final division is bit-identical to the Knight O(n log n) kernel's.
+    Caveat shared with every sampled oracle: hash-key strings must render
+    identically cross-engine (plain-decimal doubles only)."""
+    if spec.method != "kendall" or len(spec.features) != 2 or not spec.sample_size:
+        raise ValueError("kendall oracle needs method='kendall', 2 features, sample_size")
+    from raise_featurestore_spark.dataprep import hashing as H
+
+    f1, f2 = spec.features
+    where = f"({spec.filter}) AND " if spec.filter else ""
+    key = H.h32_sql(
+        f"'{seed}' || '|' || CAST({f1} AS VARCHAR) || '|' || CAST({f2} AS VARCHAR)"
+    )
+    tau = (
+        "CAST(s AS DOUBLE) / SQRT(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))"
+    )
+    if round_to is not None:
+        tau = f"ROUND({tau}, {round_to})"
+    return (
+        f"WITH __s AS (SELECT {f1}, {f2} FROM {table} "
+        f"WHERE {where}{f1} IS NOT NULL AND {f2} IS NOT NULL "
+        f"ORDER BY {key}, {f1}, {f2} LIMIT {spec.sample_size}), "
+        f"__i AS (SELECT ROW_NUMBER() OVER () AS rn, "
+        f"CAST({f1} AS DOUBLE) AS x, CAST({f2} AS DOUBLE) AS y FROM __s), "
+        f"__p AS (SELECT SUM(SIGN((a.x - b.x) * (a.y - b.y))) AS s, "
+        f"SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS n1, "
+        f"SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS n2, "
+        f"COUNT(*) AS n0 FROM __i a JOIN __i b ON a.rn < b.rn) "
+        f"SELECT '{f1}' AS feature_a, '{f1}' AS feature_b, 1.0 AS corr FROM (SELECT 1) __d "
+        f"UNION ALL SELECT '{f2}', '{f2}', 1.0 FROM (SELECT 1) __d "
+        f"UNION ALL SELECT '{f1}', '{f2}', {tau} FROM __p"
+    )
+
+
 def correlation_to_sql(
     spec: Correlation, table: str, round_to: int | None = DEFAULT_ROUND
 ) -> str:
-    """DuckDB SQL for pearson/spearman (kendall is rows-only checked)."""
+    """DuckDB SQL for pearson/spearman (sampled kendall: kendall_to_sql)."""
     if spec.method == "kendall":
-        raise ValueError("kendall has no SQL oracle")
+        raise ValueError("use kendall_to_sql for the sampled kendall oracle")
     feats = spec.features
     where = f" WHERE {spec.filter}" if spec.filter else ""
     notnull = " AND ".join(f"{ft} IS NOT NULL" for ft in feats)

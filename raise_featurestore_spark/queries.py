@@ -31,6 +31,7 @@ from raise_featurestore_spark.analytics.analysis import (
 from raise_featurestore_spark.analytics.correlation import (
     compile_correlation,
     correlation_to_sql,
+    kendall_to_sql,
 )
 from raise_featurestore_spark.analytics.distribution import (
     compile_distribution,
@@ -271,9 +272,13 @@ register(
 )
 
 _CORR_K = Correlation(features=["value", "user_id"], method="kendall", sample_size=2000)
-register(  # no SQL oracle: kendall tau-b (rows-only check per driver contract)
+register(
+    # Sampled kendall tau-b, oracle-paired: the deterministic hash-ordered
+    # sample lets DuckDB afford the direct O(n²) pair definition at
+    # n=2000, cross-checking the distributed Knight O(n log n) kernel.
     "corr_kendall_sampled",
     lambda spark, sf_dir: compile_correlation(load_table(spark, sf_dir, "events"), _CORR_K),
+    kendall_to_sql(_CORR_K, "events"),
 )
 
 _CORR_X = Correlation(features=["o_totalprice", "cust_balance"])
@@ -370,9 +375,37 @@ register_stattest(
 
 _WELCH_P = StatTest(feature="value", test="welch", segment_by="event_type",
                     control="view", treatment="purchase")
-register(  # rows-only: exercises the p-value path end-to-end
+
+
+def _welch_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-test WITH the p-value path, oracle-paired: the statistic
+    columns hash-match the SQL oracle exactly; the p-value (our
+    incomplete-beta t-CDF — no DuckDB equivalent) is emitted as two
+    booleans the oracle pins TRUE: inside (0, 1], and ≥ the two-sided
+    NORMAL p-value at the same statistic (the t distribution has heavier
+    tails at any df, and the normal bound comes from the erfc kernel — a
+    different code path, so this cross-checks the special-function lib
+    against itself)."""
+    from raise_featurestore_spark.functions.special import norm_sf
+
+    out = compile_stattest(load_table(spark, sf_dir, "events"), _WELCH_P)
+    norm_p = F.udf(lambda t: 2.0 * norm_sf(abs(float(t))), "double")
+    keep = [c for c in out.columns if c != "p_value"]
+    return (
+        out.withColumn("__np", norm_p("statistic"))
+        .select(
+            *keep,
+            ((F.col("p_value") > 0) & (F.col("p_value") <= 1)).alias("p_in_unit_interval"),
+            (F.col("p_value") >= F.col("__np") - F.lit(1e-9)).alias("p_above_normal_bound"),
+        )
+    )
+
+
+register(
     "stattest_welch_pvalue",
-    lambda spark, sf_dir: compile_stattest(load_table(spark, sf_dir, "events"), _WELCH_P),
+    _welch_pvalue,
+    f"SELECT __o.*, TRUE AS p_in_unit_interval, TRUE AS p_above_normal_bound "
+    f"FROM ({stattest_to_sql(_WELCH_P, 'events')}) __o",
 )
 
 _DRIFT = Drift(
