@@ -840,18 +840,48 @@ register(
     "octet_length(encode(text)) AS size_bytes FROM documents",
 )
 
-register(  # rows-only: mapInPandas byte-feature extraction (stubbed decoder)
+# Oracle note: the synthetic blobs are utf-8 of ASCII documents.text, so
+# DuckDB can recompute the stub "decoder" outputs byte-for-byte — the
+# mapInPandas plumbing (Arrow batches, schema discipline, N-rows-out) is
+# the thing under test; the byte math is the same on both engines.
+register(
     "multimodal_byte_features",
     lambda spark, sf_dir: MM.extract_byte_features(
         _doc_blobs(spark, sf_dir).select(F.col("blob_ref.uri").alias("uri"), "content")
     ),
+    # per-doc byte histogram → count / mean / shannon entropy, formatted to
+    # the same %.4f strings the Spark kernel emits
+    "WITH __by AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS b "
+    "FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)), "
+    "__c AS (SELECT doc_id, b, COUNT(*) AS c FROM __by GROUP BY doc_id, b), "
+    "__n AS (SELECT doc_id, SUM(c) AS n, SUM(b * c) AS sb FROM __c GROUP BY doc_id), "
+    "__e AS (SELECT c.doc_id, -SUM((c.c * 1.0 / n.n) * log2(c.c * 1.0 / n.n)) AS ent "
+    "FROM __c c JOIN __n n USING (doc_id) GROUP BY c.doc_id), "
+    "__s AS (SELECT n.doc_id, n.n, n.sb * 1.0 / n.n AS mean_b, e.ent "
+    "FROM __n n JOIN __e e USING (doc_id)) "
+    "SELECT 'mem://docs/' || CAST(d.doc_id AS VARCHAR) AS id, "
+    "CAST(COALESCE(__s.n, 0) AS BIGINT) AS n_bytes, "
+    "CASE WHEN __s.n > 0 THEN printf('%.4f', __s.mean_b) END AS mean_byte, "
+    "CASE WHEN __s.n > 0 THEN printf('%.4f', __s.ent) ELSE '0.0000' END AS entropy_bits "
+    "FROM documents d LEFT JOIN __s ON d.doc_id = __s.doc_id",
 )
 
-register(  # rows-only: 1 blob → N frames via mapInPandas
+register(
     "multimodal_frame_sample",
+    # frames stay BINARY inside the operator; the registered projection
+    # hex-encodes them because the value-hash comparator renders Spark
+    # bytes and DuckDB blobs differently (str(bytes) vs str(bytearray))
+    # even when byte-identical
     lambda spark, sf_dir: MM.sample_frames(
         _doc_blobs(spark, sf_dir).select(F.col("blob_ref.uri").alias("uri"), "content")
-    ),
+    ).select("id", "frame_idx", F.hex("frame").alias("frame_hex")),
+    # evenly spaced 256-byte windows, N=4 frames per blob
+    "SELECT 'mem://docs/' || CAST(doc_id AS VARCHAR) AS id, "
+    "CAST(i AS BIGINT) AS frame_idx, "
+    "hex(encode(substr(text, CAST(i * step AS INT) + 1, 256))) AS frame_hex "
+    "FROM (SELECT doc_id, text, GREATEST(length(text) // 4, 1) AS step, "
+    "unnest(range(0, LEAST(4, length(text)))) AS i "
+    "FROM documents WHERE length(text) > 0)",
 )
 
 
