@@ -99,6 +99,11 @@ class Dashboard:
         self.charts.append(chart)
         return self
 
+    def add_parameter(self, parameter: Parameter) -> "Dashboard":
+        """reference: raise_/analytics/dashboard.py:431 — chainable."""
+        self.parameters.append(parameter)
+        return self
+
     def render(
         self,
         params: dict[str, Any] | None = None,

@@ -155,3 +155,57 @@ class LineageGraph:
         for dep in sorted(self.upstream.get(feature, set())):
             lines.append(self.render_ascii(dep, indent + "  └─ "))
         return "\n".join(lines)
+
+
+@dataclass
+class RootedLineageGraph:
+    """A LineageGraph viewed from one feature — the object
+    ``Lineage.as_graph()`` returns so ``.to_ascii()`` needs no root arg
+    (reference: raise_/models/lineage.py:236-338)."""
+
+    graph: LineageGraph
+    root: str
+
+    def to_ascii(self) -> str:
+        return self.graph.render_ascii(self.root)
+
+    def direct_upstream(self) -> set[str]:
+        return self.graph.direct_upstream(self.root)
+
+    def direct_downstream(self) -> set[str]:
+        return self.graph.direct_downstream(self.root)
+
+
+@dataclass
+class Lineage:
+    """Per-feature lineage handle (reference: raise_/models/lineage.py:
+    156-232): direct + transitive dependencies/dependents and the graph
+    view. Backed by the store-wide LineageGraph rather than per-object
+    backrefs — same query surface, one source of truth."""
+
+    feature: str
+    graph: LineageGraph
+
+    @property
+    def upstream(self) -> list[str]:
+        return sorted(self.graph.direct_upstream(self.feature))
+
+    @property
+    def downstream(self) -> list[str]:
+        return sorted(self.graph.direct_downstream(self.feature))
+
+    def all_upstream(self) -> list[str]:
+        return sorted(self.graph.all_upstream(self.feature))
+
+    def all_downstream(self) -> list[str]:
+        return sorted(self.graph.all_downstream(self.feature))
+
+    def as_graph(self) -> RootedLineageGraph:
+        return RootedLineageGraph(self.graph, self.feature)
+
+    def to_dict(self) -> dict:
+        return {
+            "feature": self.feature,
+            "upstream": self.upstream,
+            "downstream": self.downstream,
+        }

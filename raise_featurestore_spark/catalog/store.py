@@ -74,9 +74,20 @@ class FeatureStore:
         self.lineage = LineageGraph()
         self.audit = AuditLog()
         self._jobs: dict = {}  # in-memory job registry (execution-plane)
+        self._transforms = None  # lazy TransformsClient facade
         self._ctx = (org, domain, project)
         os.makedirs(path, exist_ok=True)
         self._load()
+
+    @property
+    def transforms(self):
+        """Orchestrator facade (reference: client.py's ``fs.transforms``):
+        ``fs.transforms.use_airflow(...).generate_definition(job)``."""
+        if self._transforms is None:
+            from raise_featurestore_spark.transforms.orchestrator import TransformsClient
+
+            self._transforms = TransformsClient()
+        return self._transforms
 
     # -- context ------------------------------------------------------------
 
@@ -89,6 +100,7 @@ class FeatureStore:
         fs.lineage = self.lineage
         fs.audit = self.audit
         fs._jobs = self._jobs
+        fs._transforms = self._transforms
         fs._ctx = (org, domain, project)
         return fs
 
@@ -591,6 +603,16 @@ class BoundFeatureGroup:
     def list_external_grants(self) -> list:
         return list(self.meta.grants)
 
+    def get_lineage(self, feature_name: str) -> "Lineage":
+        """Lineage handle for one feature of this group (reference:
+        raise_/models/feature.py:182, lineage.py:156-232):
+        ``g.get_lineage("ctr").as_graph().to_ascii()``."""
+        from raise_featurestore_spark.catalog.lineage import Lineage
+
+        feat = self.get_feature(feature_name)  # raises if unknown
+        qn = self.qualified_feature_name(feat).split("@v")[0]
+        return Lineage(qn, self.store.lineage)
+
     def validate_feature(self, name: str, dtype: str,
                          derived_from: str | None = None, **kwargs):
         """Validate a definition without creating it (reference:
@@ -740,6 +762,15 @@ class BoundFeatureGroup:
                              f"{self.qualified_name()}:{grantee_org}")
         self.store._save()
         return g
+
+    def grant_external_access(self, org: str, features: list[str] | None = None,
+                              permission: str = "read",
+                              expires_at: float | None = None):
+        """Reference-named form of :meth:`grant_access`
+        (raise_/models/feature_group.py:529-579): permission read/write
+        maps to the reader/writer roles."""
+        role = {"read": "reader", "write": "writer"}.get(permission, permission)
+        return self.grant_access(org, features, role=role, expires_at=expires_at)
 
     def revoke_access(self, grantee_org: str) -> int:
         before = len(self.meta.grants)

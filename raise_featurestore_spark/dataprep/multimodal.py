@@ -289,3 +289,60 @@ def verify_checksums(refs_with_content: DataFrame, sample_rate: float = 1.0) -> 
         F.col("blob_ref.checksum").alias("expected"),
         actual.alias("actual"),
     ).where(F.col("expected") != F.col("actual"))
+
+
+class BlobRegistry:
+    """Registry of blob references, DataFrame-native (reference:
+    raise_/transforms/multimodal.py:430-530's BlobRegistry, whose
+    validation is mocked — here both listing filters and batch validation
+    are real Spark plans).
+
+    Holds a frame of ``(blob_ref struct[, content])`` rows. Where the
+    reference keeps a dict and returns Python lists, this registry keeps a
+    DataFrame so a 100 TB blob catalog lists/validates with pushdown
+    filters instead of a driver loop; callers `.collect()` if they want
+    the small result as rows.
+    """
+
+    def __init__(self, refs: DataFrame):
+        self.refs = refs
+
+    @classmethod
+    def from_bytes(cls, df: DataFrame, uri_col, content_col,
+                   content_type: str = "application/octet-stream") -> "BlobRegistry":
+        return cls(blob_refs_from_bytes(df, uri_col, content_col, content_type))
+
+    def register(self, more: DataFrame) -> "BlobRegistry":
+        self.refs = self.refs.unionByName(more, allowMissingColumns=True)
+        return self
+
+    def list_references(self, content_type: str | None = None,
+                        prefix: str | None = None) -> DataFrame:
+        """Filtered ref listing (reference: :495-530). Both filters are
+        plain column predicates — pushdown-friendly on a materialized
+        registry table."""
+        out = self.refs
+        if content_type is not None:
+            out = out.where(F.col("blob_ref.content_type") == content_type)
+        if prefix is not None:
+            out = out.where(F.col("blob_ref.uri").startswith(prefix))
+        return out
+
+    def validate_batch(self, refs_with_content: DataFrame | None = None) -> DataFrame:
+        """(uri, valid, actual_checksum, actual_size) per ref — REAL
+        validation (sha256 + size recomputed over content), where the
+        reference's validate_batch always returns success (:478-493)."""
+        df = refs_with_content if refs_with_content is not None else self.refs
+        if "content" not in df.columns:
+            raise ValueError("validate_batch needs rows that carry `content`")
+        actual_ck = F.sha2(F.col("content"), 256)
+        actual_sz = F.octet_length(F.col("content")).cast("long")
+        return df.select(
+            F.col("blob_ref.uri").alias("uri"),
+            (
+                (F.col("blob_ref.checksum") == actual_ck)
+                & (F.col("blob_ref.size_bytes") == actual_sz)
+            ).alias("valid"),
+            actual_ck.alias("actual_checksum"),
+            actual_sz.alias("actual_size"),
+        )

@@ -66,9 +66,22 @@ class AcceleratorConfig:
     multi_gpu_strategy: str | None = None  # data_parallel | tensor_parallel
 
     @classmethod
+    def cpu(cls, cores: int = 4) -> "AcceleratorConfig":
+        """CPU-only placement (reference: :248) — on Spark this is
+        ``spark.task.cpus``, recorded for plan portability."""
+        return cls(accelerator="cpu", count_per_task=float(cores))
+
+    @classmethod
     def gpu(cls, gpu_type: str = "nvidia-t4", count: float = 1.0) -> "AcceleratorConfig":
         """Single-GPU task placement (reference: :232-252)."""
         return cls(accelerator="gpu", count_per_task=count, gpu_type=gpu_type)
+
+    @classmethod
+    def tpu(cls, tpu_type: str = "v4-8", count: int = 1) -> "AcceleratorConfig":
+        """TPU placement (reference: :283) — Spark has no first-class TPU
+        resource type; recorded as a custom resource name for the
+        scheduler config layer."""
+        return cls(accelerator="tpu", count_per_task=float(count), gpu_type=tpu_type)
 
     @classmethod
     def multi_gpu(cls, gpu_type: str = "nvidia-a100", count: int = 4,
@@ -155,6 +168,22 @@ class InferenceTransform:
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
     preprocess: Callable[[np.ndarray], np.ndarray] | None = None
     postprocess: Callable[[np.ndarray], np.ndarray] | None = None
+
+    def with_gpu(self, gpu_type: str = "nvidia-a100", count: int = 1) -> "InferenceTransform":
+        """Copy with GPU placement (reference: :496-510) — chainable."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self, accelerator=AcceleratorConfig.gpu(gpu_type, float(count))
+        )
+
+    def with_batch_size(self, batch_size: int) -> "InferenceTransform":
+        """Copy with a fixed batch size (reference: :512-520) — chainable."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self, batch=dataclasses.replace(self.batch, batch_size=batch_size, dynamic=False)
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
         """Append predictions via mapInPandas (all original columns kept)."""

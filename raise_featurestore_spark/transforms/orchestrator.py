@@ -114,6 +114,61 @@ with DAG(
 '''
 
 
+@dataclass
+class TransformsClient:
+    """Orchestrator selection facade (reference: raise_/transforms/
+    client.py:180-260): ``fs.transforms.use_airflow(...)`` /
+    ``use_dagster()`` / ``use_prefect()`` / ``use_internal()`` pick the
+    engine; ``generate_definition(job)`` emits its definition module;
+    deploy/trigger run through the in-process registry either way (the
+    external engines execute the generated modules on their own
+    schedulers)."""
+
+    orchestrator: InternalOrchestrator = field(default_factory=InternalOrchestrator)
+    engine: str = "internal"
+    engine_options: dict = field(default_factory=dict)
+
+    def use_airflow(self, airflow_url: str = "http://localhost:8080") -> "TransformsClient":
+        self.engine = "airflow"
+        self.engine_options = {"airflow_url": airflow_url}
+        return self
+
+    def use_dagster(self) -> "TransformsClient":
+        self.engine = "dagster"
+        self.engine_options = {}
+        return self
+
+    def use_prefect(self) -> "TransformsClient":
+        self.engine = "prefect"
+        self.engine_options = {}
+        return self
+
+    def use_internal(self) -> "TransformsClient":
+        self.engine = "internal"
+        self.engine_options = {}
+        return self
+
+    def deploy(self, job: Job, schedule: Schedule | None = None) -> None:
+        self.orchestrator.deploy(job, schedule)
+
+    def trigger(self, spark: SparkSession, job_id: str,
+                execution_date: datetime | None = None) -> JobRun:
+        return self.orchestrator.trigger(spark, job_id, execution_date)
+
+    def generate_definition(self, job: Job, schedule: Schedule | None = None) -> str:
+        """The selected engine's definition module for a job (reference
+        protocol: raise_/transforms/orchestrator.py:62-66)."""
+        if self.engine == "airflow":
+            return generate_airflow_dag(job, schedule)
+        if self.engine == "dagster":
+            return generate_dagster_job(job, schedule)
+        if self.engine == "prefect":
+            return generate_prefect_flow(job, schedule)
+        raise ValueError(
+            f"internal orchestrator has no definition module (engine={self.engine!r})"
+        )
+
+
 def schedule_to_dagster(schedule: Schedule | None) -> str | None:
     """Dagster cron string, or None for unscheduled (manual/on-change).
     Interval schedules render as a */N-minute cron (Dagster schedules are
