@@ -56,6 +56,21 @@ class Parameter:
         if self.type in ("select", "multi_select") and not self.options:
             raise ValueError(f"{self.type} parameter needs options")
 
+    @classmethod
+    def date_range(cls, name: str, label: str = "", default: Any = None) -> "Parameter":
+        """reference README: ``DashboardParameter.date_range(...)``."""
+        p = cls(name=name, type="date_range", default=default)
+        p.label = label
+        return p
+
+    @classmethod
+    def dropdown(cls, name: str, options: list[Any], label: str = "",
+                 default: Any = None) -> "Parameter":
+        """reference README: ``DashboardParameter.dropdown(...)``."""
+        p = cls(name=name, type="select", options=options, default=default)
+        p.label = label
+        return p
+
     def resolve(self, overrides: dict[str, Any]) -> Any:
         value = overrides.get(self.name, self.default)
         if self.type == "select" and value is not None and value not in self.options:
@@ -143,3 +158,38 @@ class Dashboard:
                 entry["error"] = f"{type(ex).__name__}: {ex}"[:300]
             out["charts"].append(entry)
         return out
+
+    def publish(self, directory: str | None = None) -> str:
+        """Persist the dashboard SPEC (charts, parameters, layout — not
+        computed data) as JSON and return its URL (reference README:1063's
+        ``dashboard.publish()``; the reference returns a mock URL). A
+        serving layer renders from this spec; data stays in the engine."""
+        import json as _json
+        import os as _os
+        import tempfile as _tf
+
+        directory = directory or _tf.mkdtemp(prefix="dash_")
+        _os.makedirs(directory, exist_ok=True)
+        spec = {
+            "name": self.name,
+            "description": getattr(self, "description", ""),
+            "parameters": [
+                {"name": p.name, "type": p.type, "default": p.default,
+                 "options": list(p.options), "label": getattr(p, "label", "")}
+                for p in self.parameters
+            ],
+            "charts": [
+                {"title": c.title, "type": c.chart_type, "x": c.x, "y": c.y,
+                 "layout": {"w": c.width, "h": c.height}}
+                for c in self.charts
+            ],
+        }
+        path = _os.path.join(directory, f"{self.name}.json")
+        with open(path, "w") as fh:
+            _json.dump(spec, fh, indent=1, default=str)
+        return f"file://{path}"
+
+
+# Reference-named alias (raise_/analytics/dashboard.py calls the class
+# DashboardParameter; the README uses both)
+DashboardParameter = Parameter

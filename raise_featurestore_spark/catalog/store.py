@@ -51,6 +51,7 @@ class _Node:
     children: dict[str, "_Node"] = field(default_factory=dict)
     groups: dict[str, FeatureGroupMeta] = field(default_factory=dict)
     created_at: float = field(default_factory=time.time)
+    tags: list[str] = field(default_factory=list)
     # org-level audit retention/immutability settings (reference:
     # models/audit.py:256-285 AuditConfig; examples/05)
     audit_config: dict | None = None
@@ -113,11 +114,15 @@ class FeatureStore:
         return self._create(self._org(org).children, name, description, if_exists, "domain")
 
     def create_project(self, org: str, domain: str, name: str, description: str = "",
-                       if_exists: str = "error"):
+                       if_exists: str = "error", tags: list[str] | None = None):
         node = self._org(org).children.get(domain)
         if node is None:
             raise NotFoundError(f"domain {org}/{domain} not found")
-        return self._create(node.children, name, description, if_exists, "project")
+        proj = self._create(node.children, name, description, if_exists, "project")
+        if tags:
+            proj.tags = list(tags)
+            self._save()
+        return proj
 
     def _create(self, registry: dict, name: str, description: str, if_exists: str, kind: str):
         if name in registry:
@@ -239,6 +244,44 @@ class FeatureStore:
             raise NotFoundError(f"domain {org}/{domain} not found")
         return sorted(d.children)
 
+    def list_projects(self, tags: list[str] | None = None,
+                      org: str | None = None, domain: str | None = None) -> list[str]:
+        """Context-scoped project listing with optional tag filter
+        (reference: client.py — ``fs.list_projects(tags=["ml"])``)."""
+        org = org or self._ctx[0]
+        domain = domain or self._ctx[1]
+        if not (org and domain):
+            raise CatalogError("no org/domain context; pass them or use with_context()")
+        d = self._org(org).children.get(domain)
+        if d is None:
+            raise NotFoundError(f"domain {org}/{domain} not found")
+        out = []
+        for name, node in d.children.items():
+            if tags and not set(tags) <= set(node.tags):
+                continue
+            out.append(name)
+        return sorted(out)
+
+    def create_job(self, name: str, sources=None, transform=None, target=None,
+                   schedule=None, incremental=None, **kwargs):
+        """Job factory on the store facade (reference: client.py:689):
+        builds + deploys via ``fs.transforms`` and registers the job in
+        the store's registry so get_job/list_jobs/deploy_job see it."""
+        job = self.transforms.create_job(
+            name, sources=sources, transform=transform, target=target,
+            schedule=schedule, incremental=incremental, **kwargs,
+        )
+        self.register_job(job)
+        return job
+
+    def create_dashboard(self, name: str, description: str = ""):
+        """Dashboard factory (reference: client.py:2195 README contract)."""
+        from raise_featurestore_spark.analytics.dashboard import Dashboard
+
+        dash = Dashboard(name=name)
+        dash.description = description
+        return dash
+
     # feature_group() is the reference's accessor name (client.py:400)
     def feature_group(self, name: str, **kwargs) -> "BoundFeatureGroup":
         return self.get_feature_group(name, **kwargs)
@@ -355,6 +398,7 @@ class FeatureStore:
                 "description": n.description,
                 "children": {k: node_dict(v) for k, v in n.children.items()},
                 "groups": {k: g.to_dict() for k, g in n.groups.items()},
+                "tags": list(n.tags),
                 "audit_config": n.audit_config,
                 "acl": {
                     "readers": sorted(n.acl.readers),
@@ -378,7 +422,8 @@ class FeatureStore:
             state = json.load(fh)
 
         def node_from(d: dict) -> _Node:
-            n = _Node(name=d["name"], description=d.get("description", ""))
+            n = _Node(name=d["name"], description=d.get("description", ""),
+                      tags=list(d.get("tags", [])))
             n.children = {k: node_from(v) for k, v in d.get("children", {}).items()}
             n.groups = {k: FeatureGroupMeta.from_dict(v) for k, v in d.get("groups", {}).items()}
             n.audit_config = d.get("audit_config")
@@ -603,6 +648,35 @@ class BoundFeatureGroup:
     def list_external_grants(self) -> list:
         return list(self.meta.grants)
 
+    def create_live_table(self, name: str, analysis, refresh: str = "manual",
+                          description: str = "", storage_path: str | None = None):
+        """Materialized, auto-refreshable analysis over this group
+        (reference: raise_/analytics/live_table.py:162-209 + README:918 —
+        ``refresh`` is the policy mode: on_change/hourly/daily/weekly/
+        manual). The compute closure re-reads the group so derived
+        features resolve at refresh time."""
+        import os as _os
+
+        from raise_featurestore_spark.analytics.router import compile_analysis
+        from raise_featurestore_spark.streaming.live_table import (
+            LiveTable,
+            RefreshPolicy,
+        )
+
+        path = storage_path or _os.path.join(
+            self.store.path, "live", self.org, self.domain, self.project, name
+        )
+        lt = LiveTable(
+            name=name,
+            compute=lambda spark: compile_analysis(self.read(spark), analysis),
+            storage_path=path,
+            policy=RefreshPolicy(mode=refresh),
+        )
+        lt.description = description
+        self.store.audit.log("catalog", "create_live_table",
+                             f"{self.qualified_name()}/{name}")
+        return lt
+
     def get_lineage(self, feature_name: str) -> "Lineage":
         """Lineage handle for one feature of this group (reference:
         raise_/models/feature.py:182, lineage.py:156-232):
@@ -771,6 +845,11 @@ class BoundFeatureGroup:
         maps to the reader/writer roles."""
         role = {"read": "reader", "write": "writer"}.get(permission, permission)
         return self.grant_access(org, features, role=role, expires_at=expires_at)
+
+    def revoke_external_access(self, org: str) -> int:
+        """Reference-named form of :meth:`revoke_access`
+        (raise_/README.md:576)."""
+        return self.revoke_access(org)
 
     def revoke_access(self, grantee_org: str) -> int:
         before = len(self.meta.grants)

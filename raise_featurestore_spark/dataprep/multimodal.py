@@ -27,6 +27,7 @@ Design:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -291,6 +292,32 @@ def verify_checksums(refs_with_content: DataFrame, sample_rate: float = 1.0) -> 
     ).where(F.col("expected") != F.col("actual"))
 
 
+@dataclass
+class IntegrityPolicy:
+    """When referential integrity is enforced (reference README:1630-1650:
+    strict = every access, on_write = create/update, lazy = explicit check).
+
+    mode: "strict" | "on_write" | "lazy"
+    """
+
+    mode: str = "on_write"
+    fail_on_missing: bool = True
+    fail_on_mismatch: bool = True
+    cache_validation_seconds: int = 3600
+
+    @classmethod
+    def strict(cls) -> "IntegrityPolicy":
+        return cls(mode="strict")
+
+    @classmethod
+    def on_write(cls) -> "IntegrityPolicy":
+        return cls(mode="on_write")
+
+    @classmethod
+    def lazy(cls) -> "IntegrityPolicy":
+        return cls(mode="lazy")
+
+
 class BlobRegistry:
     """Registry of blob references, DataFrame-native (reference:
     raise_/transforms/multimodal.py:430-530's BlobRegistry, whose
@@ -304,17 +331,47 @@ class BlobRegistry:
     the small result as rows.
     """
 
-    def __init__(self, refs: DataFrame):
+    def __init__(self, refs: DataFrame, policy: "IntegrityPolicy | None" = None):
         self.refs = refs
+        self.policy = policy or IntegrityPolicy.on_write()
 
     @classmethod
     def from_bytes(cls, df: DataFrame, uri_col, content_col,
-                   content_type: str = "application/octet-stream") -> "BlobRegistry":
-        return cls(blob_refs_from_bytes(df, uri_col, content_col, content_type))
+                   content_type: str = "application/octet-stream",
+                   policy: "IntegrityPolicy | None" = None) -> "BlobRegistry":
+        return cls(blob_refs_from_bytes(df, uri_col, content_col, content_type), policy)
 
     def register(self, more: DataFrame) -> "BlobRegistry":
+        """Append refs; under an on_write/strict policy with content rows,
+        mismatching blobs are rejected before entering the registry."""
+        if self.policy.mode in ("strict", "on_write") and "content" in more.columns:
+            bad = self.validate_batch(more).where(~F.col("valid"))
+            if self.policy.fail_on_mismatch and not bad.isEmpty():
+                raise ValueError(
+                    f"integrity violation on register: "
+                    f"{[r['uri'] for r in bad.limit(5).collect()]}"
+                )
         self.refs = self.refs.unionByName(more, allowMissingColumns=True)
         return self
+
+    def get_by_uri(self, uri: str):
+        """One ref Row (or None) — reference README:1588; a point lookup
+        that prunes on the uri predicate at scan."""
+        return self.refs.where(F.col("blob_ref.uri") == uri).first()
+
+    def find_orphans(self, listing: DataFrame) -> DataFrame:
+        """Storage objects with no registered ref (reference README:1596)
+        — the orphan half of integrity_report's anti-join pair."""
+        l_ = listing.select(F.col("blob_ref.uri").alias("uri"))
+        r = self.refs.select(F.col("blob_ref.uri").alias("uri"))
+        return l_.join(r, "uri", "left_anti")
+
+    @staticmethod
+    def compute_checksum(data: bytes, algorithm: str = "sha256") -> str:
+        """Driver-side checksum helper (reference README:1599)."""
+        import hashlib
+
+        return hashlib.new(algorithm, data).hexdigest()
 
     def list_references(self, content_type: str | None = None,
                         prefix: str | None = None) -> DataFrame:

@@ -69,6 +69,22 @@ class IncrementalConfig:
         if self.lookback is not None:
             parse_duration_seconds(self.lookback)  # validate grammar s/m/h/d/w
 
+    @classmethod
+    def full(cls) -> "IncrementalConfig":
+        """Full-refresh config (reference: raise_/transforms/checkpoint.py —
+        ``IncrementalConfig.full()`` in examples/07)."""
+        return cls(mode=IncrementalMode.FULL)
+
+    @classmethod
+    def incremental(cls, checkpoint_column: str,
+                    checkpoint_type: "CheckpointType | str" = CheckpointType.TIMESTAMP,
+                    lookback: str | None = None) -> "IncrementalConfig":
+        """Incremental config keyed on a checkpoint column (reference
+        examples/07: ``IncrementalConfig.incremental("date")``)."""
+        return cls(mode=IncrementalMode.INCREMENTAL,
+                   checkpoint_column=checkpoint_column,
+                   checkpoint_type=checkpoint_type, lookback=lookback)
+
 
 @dataclass
 class Checkpoint:

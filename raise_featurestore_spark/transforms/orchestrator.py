@@ -148,6 +148,49 @@ class TransformsClient:
         self.engine_options = {}
         return self
 
+    def create_job(self, name: str, sources=None, transform=None, target=None,
+                   schedule: Schedule | None = None, incremental=None, **kwargs) -> Job:
+        """Job factory (reference: raise_/transforms/client.py:47 via
+        raise_/client.py:689): builds, validates, deploys, and registers
+        the job under ``name`` with its schedule."""
+        from raise_featurestore_spark.transforms.checkpoint import IncrementalConfig
+        from raise_featurestore_spark.transforms.job import Target
+
+        if sources is not None and not isinstance(sources, dict):
+            src_list = sources if isinstance(sources, (list, tuple)) else [sources]
+            sources = {
+                getattr(s, "alias", None) or f"src{i}": s
+                for i, s in enumerate(src_list)
+            }
+        if isinstance(target, str):
+            target = Target(path=target)
+        job = Job(
+            job_id=name,
+            sources=sources or {},
+            transform=transform,
+            target=target,
+            incremental=incremental or IncrementalConfig(),
+            **kwargs,
+        )
+        job.validate()
+        self.deploy(job, schedule)
+        return job
+
+    def get_job(self, name: str) -> Job:
+        return self.orchestrator.jobs[name][0]
+
+    def list_jobs(self) -> list[Job]:
+        return [j for j, _ in self.orchestrator.jobs.values()]
+
+    def generate_dag(self, job: Job | str) -> str:
+        """Reference-named alias of :meth:`generate_definition`
+        (raise_/transforms/client.py:238); accepts a job or its name."""
+        if isinstance(job, str):
+            job, sched = self.orchestrator.jobs[job]
+        else:
+            sched = self.orchestrator.jobs.get(job.job_id, (None, None))[1]
+        return self.generate_definition(job, sched)
+
     def deploy(self, job: Job, schedule: Schedule | None = None) -> None:
         self.orchestrator.deploy(job, schedule)
 

@@ -109,4 +109,48 @@ class OnceSchedule:
         return None if self.fired or self.at <= after else self.at
 
 
-Schedule = CronSchedule | IntervalSchedule | OnChangeSchedule | ManualSchedule | OnceSchedule
+# Typing union of the five kinds (kept for annotations and isinstance)
+ScheduleKind = (
+    CronSchedule | IntervalSchedule | OnChangeSchedule | ManualSchedule | OnceSchedule
+)
+
+
+class Schedule:
+    """Factory namespace matching the reference's ``Schedule.daily(...)`` /
+    ``.hourly`` / ``.cron`` / ``.every`` / ``.on_change`` / ``.manual`` /
+    ``.once`` constructors (reference: raise_/transforms/schedule.py:73-118).
+    Instances are the concrete dataclasses above, never this class."""
+
+    def __new__(cls, *a, **k):  # pragma: no cover - guard
+        raise TypeError("Schedule is a factory namespace; use Schedule.daily() etc.")
+
+    @staticmethod
+    def cron(expression: str, timezone: str = "UTC") -> CronSchedule:
+        return CronSchedule(expression, timezone)
+
+    @staticmethod
+    def hourly(minute: int = 0) -> CronSchedule:
+        return CronSchedule(f"{minute} * * * *")
+
+    @staticmethod
+    def daily(hour: int = 0, minute: int = 0) -> CronSchedule:
+        return CronSchedule(f"{minute} {hour} * * *")
+
+    @staticmethod
+    def every(interval: str | timedelta) -> IntervalSchedule:
+        if isinstance(interval, timedelta):
+            interval = f"{int(interval.total_seconds())}s"
+        return IntervalSchedule(interval)
+
+    @staticmethod
+    def on_change(sources: list[str] | None = None, debounce_seconds: int = 60,
+                  max_delay_seconds: int = 3600) -> OnChangeSchedule:
+        return OnChangeSchedule(sources or [], debounce_seconds, max_delay_seconds)
+
+    @staticmethod
+    def manual() -> ManualSchedule:
+        return ManualSchedule()
+
+    @staticmethod
+    def once(run_at: datetime) -> OnceSchedule:
+        return OnceSchedule(run_at)

@@ -135,3 +135,154 @@ def test_transforms_client_engine_selection(fs, tmp_path):
     assert "dagster" in dg
     tc.use_internal()
     assert fs.transforms.engine == "internal"
+
+
+def test_schedule_factory_constructors():
+    from raise_featurestore_spark.transforms.schedule import (
+        CronSchedule,
+        IntervalSchedule,
+        ManualSchedule,
+        OnChangeSchedule,
+        Schedule,
+    )
+
+    assert Schedule.daily(hour=2, minute=0) == CronSchedule("0 2 * * *")
+    assert Schedule.hourly(minute=30) == CronSchedule("30 * * * *")
+    assert Schedule.cron("*/5 * * * *").expression == "*/5 * * * *"
+    assert isinstance(Schedule.every("15m"), IntervalSchedule)
+    from datetime import timedelta
+
+    assert Schedule.every(timedelta(minutes=10)).seconds == 600
+    oc = Schedule.on_change(sources=["clicks"], debounce_seconds=30)
+    assert isinstance(oc, OnChangeSchedule) and oc.watched_sources == ["clicks"]
+    assert isinstance(Schedule.manual(), ManualSchedule)
+    with pytest.raises(TypeError):
+        Schedule()
+
+
+def test_incremental_config_factories():
+    from raise_featurestore_spark.transforms.checkpoint import (
+        IncrementalConfig,
+        IncrementalMode,
+    )
+
+    assert IncrementalConfig.full().mode == IncrementalMode.FULL
+    c = IncrementalConfig.incremental("ts", lookback="2h")
+    assert c.mode == IncrementalMode.INCREMENTAL and c.checkpoint_column == "ts"
+
+
+def test_store_create_job_and_generate_dag(fs, spark, tmp_path):
+    import os
+
+    from raise_featurestore_spark.transforms.schedule import Schedule
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+    from raise_featurestore_spark.transforms.transform import SQLTransform
+    from tests.conftest import SF_DIR
+
+    job = fs.create_job(
+        "rollup",
+        sources=FileSystemSource(path=os.path.join(SF_DIR, "region.parquet"), alias="r"),
+        transform=SQLTransform("SELECT r_regionkey, COUNT(*) AS n FROM r GROUP BY 1"),
+        target=str(tmp_path / "out"),
+        schedule=Schedule.daily(hour=2),
+    )
+    assert fs.get_job("rollup") is job
+    assert fs.list_jobs() == ["rollup"]
+    run = fs.transforms.trigger(spark, "rollup")
+    assert run.status == "completed"
+    dag = fs.transforms.use_airflow().generate_dag("rollup")
+    assert "featurestore_rollup" in dag and "'0 2 * * *'" in dag
+
+
+def test_list_projects_with_tags(fs):
+    base = fs.with_context("acme", "ml", None)
+    fs.create_project("acme", "ml", "tagged", tags=["ml", "prod"])
+    assert "tagged" in base.list_projects(tags=["ml"])
+    assert base.list_projects(tags=["nope"]) == []
+    # persisted across reload
+    from raise_featurestore_spark.catalog.store import FeatureStore
+
+    fs2 = FeatureStore(fs.path).with_context("acme", "ml")
+    assert "tagged" in fs2.list_projects(tags=["prod"])
+
+
+def test_dashboard_parameter_conveniences_and_publish(tmp_path):
+    from raise_featurestore_spark.analytics.dashboard import (
+        Dashboard,
+        DashboardParameter,
+    )
+
+    d = Dashboard(name="ops")
+    d.add_parameter(DashboardParameter.date_range("dr", label="Dates"))
+    d.add_parameter(DashboardParameter.dropdown("tier", ["a", "b"], default="a"))
+    url = d.publish(str(tmp_path))
+    assert url.startswith("file://")
+    import json
+
+    spec = json.load(open(url[len("file://"):]))
+    assert spec["parameters"][0]["type"] == "date_range"
+    assert spec["parameters"][1]["options"] == ["a", "b"]
+
+
+def test_blob_registry_integrity_policy_and_lookups(spark):
+    from raise_featurestore_spark.dataprep.multimodal import (
+        BlobRegistry,
+        IntegrityPolicy,
+        blob_refs_from_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [("s3://a/1", b"abc"), ("s3://a/2", b"defg")], "uri string, content binary"
+    )
+    reg = BlobRegistry.from_bytes(df, "uri", "content")
+    assert reg.policy.mode == "on_write"
+
+    # on_write: registering a tampered batch raises
+    bad = blob_refs_from_bytes(
+        spark.createDataFrame([("s3://a/3", b"x")], "uri string, content binary"),
+        "uri", "content",
+    ).withColumn("content", F.lit(b"TAMPERED"))
+    with pytest.raises(ValueError, match="integrity"):
+        reg.register(bad)
+    # lazy policy lets it through
+    reg_lazy = BlobRegistry.from_bytes(df, "uri", "content", policy=IntegrityPolicy.lazy())
+    reg_lazy.register(bad)
+    assert reg_lazy.refs.count() == 3
+
+    row = reg.get_by_uri("s3://a/1")
+    assert row is not None and row["blob_ref"]["size_bytes"] == 3
+    assert reg.get_by_uri("s3://nope") is None
+
+    listing = blob_refs_from_bytes(
+        spark.createDataFrame(
+            [("s3://a/1", b"abc"), ("s3://a/orphan", b"zz")], "uri string, content binary"
+        ),
+        "uri", "content",
+    )
+    orphans = [r["uri"] for r in reg.find_orphans(listing).collect()]
+    assert orphans == ["s3://a/orphan"]
+
+    import hashlib
+
+    assert BlobRegistry.compute_checksum(b"abc") == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_group_create_live_table(fs, spark, tmp_path):
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    g = fs.create_feature_group("events_g", entity_key="eid")
+    src = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 50.0)], "eid long, v double"
+    )
+    g.write(src)
+
+    lt = g.create_live_table(
+        "v_summary",
+        Aggregation(features=["v"], metrics=["count", "sum"]),
+        refresh="manual",
+        description="v rollup",
+    )
+    lt.refresh(spark)
+    got = lt.query(spark).collect()[0]
+    assert got["count_v"] == 3 and got["sum_v"] == 90.0
+    assert lt.policy.mode == "manual" and lt.description == "v rollup"
