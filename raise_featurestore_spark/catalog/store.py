@@ -223,6 +223,25 @@ class FeatureStore:
     def organization(self, name: str) -> "OrganizationHandle":
         return OrganizationHandle(self, self._org(name))
 
+    def domain(self, name: str, org: str | None = None) -> _Node:
+        """Domain accessor (reference README:243 — ``fs.domain("x")``)."""
+        org = org or self._ctx[0]
+        if not org:
+            raise CatalogError("no org context; pass org= or use with_context()")
+        d = self._org(org).children.get(name)
+        if d is None:
+            raise NotFoundError(f"domain {org}/{name} not found")
+        return d
+
+    def project(self, name: str, org: str | None = None,
+                domain: str | None = None) -> _Node:
+        """Project accessor (reference README:247 — ``fs.project("x")``)."""
+        org = org or self._ctx[0]
+        domain = domain or self._ctx[1]
+        if not (org and domain):
+            raise CatalogError("no org/domain context; pass them or use with_context()")
+        return self._project(org, domain, name)
+
     # -- namespace listings (reference: client.py:225-356) -------------------
 
     def list_organizations(self) -> list[str]:

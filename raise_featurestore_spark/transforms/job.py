@@ -168,6 +168,27 @@ class Job:
         self.validate()
         self.status = JobStatus.ACTIVE
 
+    # lifecycle (reference: raise_/transforms/job.py:227-252)
+
+    def activate(self) -> "Job":
+        self.validate()
+        self.status = JobStatus.ACTIVE
+        return self
+
+    def pause(self) -> "Job":
+        self.status = JobStatus.PAUSED
+        return self
+
+    def resume(self) -> "Job":
+        if self.status != JobStatus.PAUSED:
+            raise ValueError(f"cannot resume a {self.status.value} job")
+        self.status = JobStatus.ACTIVE
+        return self
+
+    def deprecate(self) -> "Job":
+        self.status = JobStatus.DEPRECATED
+        return self
+
     def run(self, spark: SparkSession, execution_date: datetime | None = None) -> JobRun:
         attempts = self.max_retries + 1
         last: JobRun | None = None

@@ -286,3 +286,36 @@ def test_group_create_live_table(fs, spark, tmp_path):
     got = lt.query(spark).collect()[0]
     assert got["count_v"] == 3 and got["sum_v"] == 90.0
     assert lt.policy.mode == "manual" and lt.description == "v rollup"
+
+
+def test_job_lifecycle_and_namespace_accessors(fs, tmp_path):
+    import os
+
+    from raise_featurestore_spark.transforms.job import Job, JobStatus, Target
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+    from raise_featurestore_spark.transforms.transform import SQLTransform
+    from tests.conftest import SF_DIR
+
+    job = Job(
+        job_id="lc",
+        sources={"r": FileSystemSource(path=os.path.join(SF_DIR, "region.parquet"))},
+        transform=SQLTransform("SELECT * FROM r"),
+        target=Target(path=str(tmp_path / "o")),
+    )
+    assert job.status == JobStatus.DRAFT
+    job.activate()
+    assert job.status == JobStatus.ACTIVE
+    job.pause()
+    assert job.status == JobStatus.PAUSED
+    job.resume()
+    assert job.status == JobStatus.ACTIVE
+    job.pause()
+    job.deprecate()
+    assert job.status == JobStatus.DEPRECATED
+    with pytest.raises(ValueError):
+        job.resume()
+
+    assert fs.domain("ml").name == "ml"
+    assert fs.project("recsys").name == "recsys"
+    with pytest.raises(Exception):
+        fs.domain("nope")
