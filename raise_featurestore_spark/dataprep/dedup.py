@@ -231,13 +231,23 @@ def jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # PPJoin length prefilter BEFORE the in-row verification: jaccard ≥ t
+    # needs inter ≥ t·union ≥ t·max(|A|,|B|), and inter ≤ min(|A|,|B|), so
+    # min ≥ t·max is necessary. Joining the (tiny int) size frames first
+    # and filtering drops most surviving candidates before they ever carry
+    # the two shingle ARRAYS through a join — the arrays are ~100× wider
+    # than the id+size rows, so this is the cheap half of verification.
     arrs = doc_sets.select("id", "arr")
     out = (
-        cand.join(arrs.withColumnRenamed("id", "id_a").withColumnRenamed("arr", "arr_a"), "id_a")
+        cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.lit(t_eff) * F.greatest("sz_a", "sz_b")
+        )
+        .join(arrs.withColumnRenamed("id", "id_a").withColumnRenamed("arr", "arr_a"), "id_a")
         .join(arrs.withColumnRenamed("id", "id_b").withColumnRenamed("arr", "arr_b"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
