@@ -1,0 +1,136 @@
+"""Composite corpus quality filtering: Gopher-style rule sets.
+
+The standard pre-training curation step after per-document metrics are
+computed: a conjunction of threshold rules (token-count window, duplicate
+-token cap, repeated-bigram cap, quality-score floor, language allowlist)
+decides keep/drop per document, and the pipeline reports HOW MANY
+documents each rule rejected — the number a data engineer actually tunes
+against when designing a data recipe. The reference has no curation
+surface; engine addition per the task brief.
+
+Scale design: every rule is a pure column predicate over ONE joined pass
+of the metric frames (quality_score + repetition_metrics + detect_language
+— each itself a single projection/fold over the text), so the whole filter
+is a handful of narrow joins on doc_id and zero Python. The per-rule
+rejection counts are ONE aggregate over the boolean columns — documents
+are never shuffled by rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.dataprep.text import (
+    detect_language,
+    detect_language_sql,
+    quality_score,
+    quality_score_sql,
+    repetition_metrics,
+    repetition_metrics_sql,
+)
+
+
+@dataclass
+class QualityRules:
+    """Gopher-flavored default thresholds, tuned loose for synthetic text."""
+
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    max_dup_token_frac: float = 0.9
+    max_top_bigram_count: int = 20
+    min_quality_score: float = 0.3
+    allowed_langs: list[str] = field(default_factory=lambda: ["en"])
+
+
+def _rule_cols(rules: QualityRules) -> dict[str, F.Column]:
+    """rule name → PASS predicate (true = document survives the rule)."""
+    return {
+        "min_tokens": F.col("n_tokens") >= rules.min_tokens,
+        "max_tokens": F.col("n_tokens") <= rules.max_tokens,
+        "dup_token_frac": F.col("dup_token_frac") <= rules.max_dup_token_frac,
+        "top_bigram": F.col("top_bigram_count") <= rules.max_top_bigram_count,
+        "quality_score": F.col("quality_score") >= rules.min_quality_score,
+        "lang": F.col("lang_pred").isin(rules.allowed_langs),
+    }
+
+
+def _metrics_frame(df: DataFrame, id_col: str, text_col: str,
+                   rules: QualityRules) -> DataFrame:
+    q = quality_score(df, id_col, text_col).select(id_col, "quality_score")
+    r = repetition_metrics(df, id_col, text_col).select(
+        id_col, "n_tokens", "dup_token_frac", "top_bigram_count"
+    )
+    l_ = detect_language(df, id_col, text_col).select(
+        F.col(id_col), F.col("predicted_lang").alias("lang_pred")
+    )
+    joined = df.select(id_col).join(q, id_col).join(r, id_col).join(l_, id_col)
+    passes = _rule_cols(rules)
+    for name, pred in passes.items():
+        joined = joined.withColumn(f"__pass_{name}", pred)
+    return joined
+
+
+def quality_filter(df: DataFrame, rules: QualityRules | None = None,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rows of ``df`` surviving EVERY rule (left-semi against the pass set)."""
+    rules = rules or QualityRules()
+    m = _metrics_frame(df, id_col, text_col, rules)
+    keep = F.lit(True)
+    for name in _rule_cols(rules):
+        keep = keep & F.col(f"__pass_{name}")
+    ids = m.where(keep).select(id_col)
+    return df.join(ids, id_col, "left_semi")
+
+
+def quality_filter_report(df: DataFrame, rules: QualityRules | None = None,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          ) -> DataFrame:
+    """One row: total docs, per-rule rejection counts (independently — a
+    doc failing two rules counts in both), and the kept count."""
+    rules = rules or QualityRules()
+    m = _metrics_frame(df, id_col, text_col, rules)
+    names = list(_rule_cols(rules))
+    keep = F.lit(True)
+    for name in names:
+        keep = keep & F.col(f"__pass_{name}")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.sum((~F.col(f"__pass_{n}")).cast("long")).alias(f"rej_{n}") for n in names
+    ]
+    aggs.append(F.sum(keep.cast("long")).alias("n_kept"))
+    return m.agg(*aggs)
+
+
+def quality_filter_report_sql(table: str, rules: QualityRules | None = None,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              ) -> str:
+    """DuckDB twin of :func:`quality_filter_report` (same metric SQL)."""
+    rules = rules or QualityRules()
+    q = quality_score_sql(table, id_col, text_col)
+    r = repetition_metrics_sql(table, id_col, text_col)
+    l_ = detect_language_sql(table, id_col, text_col)
+    langs = ", ".join(f"'{x}'" for x in rules.allowed_langs)
+    passes = {
+        "min_tokens": f"r.n_tokens >= {rules.min_tokens}",
+        "max_tokens": f"r.n_tokens <= {rules.max_tokens}",
+        "dup_token_frac": f"r.dup_token_frac <= {rules.max_dup_token_frac}",
+        "top_bigram": f"r.top_bigram_count <= {rules.max_top_bigram_count}",
+        "quality_score": f"q.quality_score >= {rules.min_quality_score}",
+        "lang": f"l.predicted_lang IN ({langs})",
+    }
+    rej = ", ".join(
+        f"SUM(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END) AS rej_{n}"
+        for n, p in passes.items()
+    )
+    keep = " AND ".join(f"({p})" for p in passes.values())
+    return (
+        f"WITH __q AS ({q}), __r AS ({r}), __l AS ({l_}) "
+        f"SELECT COUNT(*) AS n_docs, {rej}, "
+        f"SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS n_kept "
+        f"FROM {table} d JOIN __q q ON d.{id_col} = q.{id_col} "
+        f"JOIN __r r ON d.{id_col} = r.{id_col} "
+        f"JOIN __l l ON d.{id_col} = l.{id_col}"
+    )

@@ -1449,6 +1449,24 @@ def _mix_report_sql() -> str:
 register("mix_temperature_sample", _mix_report, _mix_report_sql())
 
 
+def _quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter: per-rule rejection counts +
+    kept count over documents — one joined metric pass, one aggregate
+    (dataprep/filters.py)."""
+    from raise_featurestore_spark.dataprep.filters import quality_filter_report
+
+    return quality_filter_report(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_filter_report_sql() -> str:
+    from raise_featurestore_spark.dataprep.filters import quality_filter_report_sql
+
+    return quality_filter_report_sql("documents")
+
+
+register("filter_quality_rules", _quality_filter_report, _quality_filter_report_sql())
+
+
 # --------------------------------------------------------------------------
 # §2.14 Point-in-time (as-of) join — leak-free training-set assembly
 # --------------------------------------------------------------------------
@@ -1757,6 +1775,7 @@ _PROMOTED = [
     # new this round
     "source_jdbc_query",
     "mix_temperature_sample",
+    "filter_quality_rules",
     # never driver-verdicted
     "corpus_health_by_source",
     "agg_global_stats_approx",

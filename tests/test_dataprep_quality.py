@@ -335,3 +335,36 @@ def test_jaccard_hot_prefix_shingle_salted_join_same_results(spark):
         .toString()
     )
     assert "salt" in plan, plan
+
+
+def test_quality_filter_rules_semantics(spark):
+    """Each rule rejects exactly the documents it should; the kept set is
+    the conjunction; the report counts match the filter output."""
+    from raise_featurestore_spark.dataprep.filters import (
+        QualityRules,
+        quality_filter,
+        quality_filter_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then it sleeps"),  # good
+            (2, "too short"),  # fails min_tokens
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),  # dup/bigram
+            (4, "der hund und die katze sind nicht mit der maus von dem haus"),  # german
+        ],
+        "doc_id long, text string",
+    )
+    rules = QualityRules(min_tokens=5, max_top_bigram_count=5,
+                         max_dup_token_frac=0.5, min_quality_score=0.0)
+    kept = sorted(r["doc_id"] for r in quality_filter(docs, rules).collect())
+    assert kept == [1]
+
+    rep = quality_filter_report(docs, rules).collect()[0]
+    assert rep["n_docs"] == 4 and rep["n_kept"] == 1
+    assert rep["rej_min_tokens"] == 1  # doc 2
+    assert rep["rej_dup_token_frac"] == 1  # doc 3
+    assert rep["rej_top_bigram"] == 1  # doc 3 (also)
+    # rules count independently: docs 2 and 3 have no English stopwords
+    # either, so lang rejects them too alongside the German doc 4
+    assert rep["rej_lang"] == 3
