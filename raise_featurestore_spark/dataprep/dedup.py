@@ -364,9 +364,13 @@ def minhash_lsh_pairs(
         # scans). One compact row per doc; at 100 TB materialize the
         # signature table instead (same note as simhash below).
         sig = sig.persist()
+    # Candidate generation shuffles ONLY (id, band, bh) — 3 narrow columns
+    # per banded row, not the k signature components (k=128 at scale would
+    # multiply the exploded shuffle ~40×). Signatures are attached to the
+    # surviving DISTINCT pairs afterwards by two id-equi-joins against the
+    # persisted signature frame.
     bands_df = sig.select(
         "id",
-        *[F.col(f"mh_{i}") for i in range(k)],
         F.explode(
             F.array(
                 *[
@@ -378,25 +382,35 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__b"),
-    ).select("id", *[f"mh_{i}" for i in range(k)], "__b.band", "__b.bh")
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    matches = sum(
-        (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int") for i in range(k)
-    )
-    pairs = (
-        a.join(
-            b,
+    ).select("id", "__b.band", "__b.bh")
+    cand = (
+        bands_df.alias("a")
+        .join(
+            bands_df.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"__a_mh_{i}") for i in range(k)]
+    )
+    sig_b = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"__b_mh_{i}") for i in range(k)]
+    )
+    matches = sum(
+        (F.col(f"__a_mh_{i}") == F.col(f"__b_mh_{i}")).cast("int") for i in range(k)
+    )
+    pairs = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (matches / F.lit(float(k))).alias("est_jaccard"),
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(k)), round_to).alias("est_jaccard"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.first("est_jaccard"), round_to).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= min_est)
     )
     return pairs
@@ -595,11 +609,17 @@ def incremental_minhash_dedup(
         raise ValueError("k must be divisible by bands")
     r = k // bands
 
-    def banded(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text_col, n, k, seed)
+    # Band join carries ONLY (id, band, bh); signatures attach to the
+    # distinct candidate pairs afterwards (same narrow-shuffle shape as
+    # minhash_lsh_pairs — at k=128 the banded shuffle would otherwise be
+    # ~40× wider). The new batch's band table is the small side, so
+    # Catalyst broadcasts it and the corpus streams through unshuffled.
+    def signatures(df: DataFrame) -> DataFrame:
+        return minhash_signatures(df, id_col, text_col, n, k, seed).persist()
+
+    def banded(sig: DataFrame) -> DataFrame:
         return sig.select(
             "id",
-            *[F.col(f"mh_{i}") for i in range(k)],
             F.explode(
                 F.array(
                     *[
@@ -613,31 +633,31 @@ def incremental_minhash_dedup(
                     ]
                 )
             ).alias("__b"),
-        ).select("id", *[f"mh_{i}" for i in range(k)], "__b.band", "__b.bh")
+        ).select("id", "__b.band", "__b.bh")
 
-    bn = banded(new_df)
-    bc = banded(corpus_df)
+    sn, sc = signatures(new_df), signatures(corpus_df)
+    cand_ids = (
+        banded(sn).select(F.col("id").alias("new_id"), "band", "bh")
+        .join(banded(sc).select(F.col("id").alias("match_id"), "band", "bh"),
+              on=["band", "bh"])
+        .select("new_id", "match_id")
+        .dropDuplicates(["new_id", "match_id"])
+    )
     est = sum(
         F.when(F.col(f"__n_mh_{i}") == F.col(f"__c_mh_{i}"), 1).otherwise(0) for i in range(k)
     ) / float(k)
     cand = (
-        bn.select(
-            F.col("id").alias("new_id"),
-            *[F.col(f"mh_{i}").alias(f"__n_mh_{i}") for i in range(k)],
-            "band",
-            "bh",
+        cand_ids.join(
+            sn.select(F.col("id").alias("new_id"),
+                      *[F.col(f"mh_{i}").alias(f"__n_mh_{i}") for i in range(k)]),
+            "new_id",
         )
         .join(
-            bc.select(
-                F.col("id").alias("match_id"),
-                *[F.col(f"mh_{i}").alias(f"__c_mh_{i}") for i in range(k)],
-                "band",
-                "bh",
-            ),
-            on=["band", "bh"],
+            sc.select(F.col("id").alias("match_id"),
+                      *[F.col(f"mh_{i}").alias(f"__c_mh_{i}") for i in range(k)]),
+            "match_id",
         )
-        .groupBy("new_id", "match_id")
-        .agg(F.round(F.max(est), round_to).alias("est_jaccard"))
+        .select("new_id", "match_id", F.round(est, round_to).alias("est_jaccard"))
     )
     w = Window.partitionBy("new_id").orderBy(F.col("est_jaccard").desc(), F.col("match_id"))
     best = (
