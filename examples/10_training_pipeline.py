@@ -50,7 +50,9 @@ def main(sf_dir: str = SF_DIR) -> dict:
     assert n_dedup == n_raw - 25  # every re-fetch deduped, keeper kept
 
     # 2. quality + repetition filter: heuristic score and Gopher-style
-    #    duplicate-token fraction, both scan predicates (no UDF)
+    #    duplicate-token fraction, both scan predicates (no UDF). (The
+    #    packaged form of this step — thresholds + per-rule rejection
+    #    accounting — is dataprep.filters.quality_filter/_report.)
     from raise_featurestore_spark.dataprep.text import repetition_metrics
 
     scored = quality_score(deduped).select("doc_id", "quality_score")
@@ -87,6 +89,13 @@ def main(sf_dir: str = SF_DIR) -> dict:
     sampled = stratified_sample(
         with_lang, "doc_id", "lang_pred", {"en": 1.0}, default_fraction=0.5
     )
+
+    # 3b. temperature mixing: rebalance the per-source shares toward
+    #     n^0.5-proportional — deterministic hash membership, the corpus
+    #     itself never shuffles (dataprep/mixing.py)
+    from raise_featurestore_spark.dataprep.mixing import MixSpec, temperature_mix
+
+    sampled = temperature_mix(sampled, MixSpec(alpha=0.5, target_rows=400))
     n_sampled = sampled.count()
 
     # 4. deterministic split: stable under growth, retries, repartitioning
