@@ -207,7 +207,8 @@ def compile_aggregation(
         # a group_by the groups already spread the partial work; on a real
         # lake the split count exceeds the slot count and this no-ops.
         slots = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < slots:
+        files = df.inputFiles()
+        if files and len(files) < slots:
             df = df.repartition(slots)
     grouped = df.groupBy(spec.group_by).agg(*aggs) if spec.group_by else df.agg(*aggs)
     if distinct_aggs:

@@ -65,8 +65,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     if name in _COMPUTE_HEAVY:
+        # file count is a metadata-only proxy for the split count (each
+        # fixture file is one row group = one split); df.rdd would force a
+        # plan-to-RDD conversion costing ~0.3 s of driver work per call
         slots = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < slots:
+        if len(df.inputFiles()) < slots:
             df = df.repartition(slots)
     return df
 
