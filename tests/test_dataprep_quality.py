@@ -368,3 +368,32 @@ def test_quality_filter_rules_semantics(spark):
     # rules count independently: docs 2 and 3 have no English stopwords
     # either, so lang rejects them too alongside the German doc 4
     assert rep["rej_lang"] == 3
+
+
+def test_build_data_card(spark):
+    """The datasheet composes size/sources/quality/mixing from the
+    distributed ops into one JSON-able dict."""
+    import json
+
+    from raise_featurestore_spark.analytics.datacard import build_data_card
+    from raise_featurestore_spark.dataprep.filters import QualityRules
+    from raise_featurestore_spark.dataprep.mixing import MixSpec
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "web"),
+            (2, "another english document with the usual words in it", "web"),
+            (3, "short", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    card = build_data_card(
+        docs, name="toy",
+        quality_rules=QualityRules(min_tokens=3),
+        mix_spec=MixSpec(alpha=0.5, target_rows=2),
+    )
+    assert card["size"]["n_docs"] == 3
+    assert [s["source"] for s in card["sources"]] == ["books", "web"]
+    assert card["quality"]["report"]["rej_min_tokens"] == 1  # the short doc
+    assert len(card["mixing"]["rates"]) == 2
+    json.dumps(card, default=str)  # fully serializable
