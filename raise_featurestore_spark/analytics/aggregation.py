@@ -201,15 +201,11 @@ def compile_aggregation(
 
     if pct_metrics and not spec.approx_percentiles and not spec.group_by:
         # global EXACT percentiles buffer every value in the partial
-        # aggregate; when the scan yielded fewer splits than the cluster
-        # has slots (single-row-group fixture files), that buffering runs
-        # on one core — fan out first so partials build in parallel. With
-        # a group_by the groups already spread the partial work; on a real
-        # lake the split count exceeds the slot count and this no-ops.
-        slots = df.sparkSession.sparkContext.defaultParallelism
-        files = df.inputFiles()
-        if files and len(files) < slots:
-            df = df.repartition(slots)
+        # aggregate; an under-split scan would build that buffer on one
+        # core. With a group_by the groups already spread the partial work.
+        from raise_featurestore_spark.tables import fan_out_if_undersplit
+
+        df = fan_out_if_undersplit(df)
     grouped = df.groupBy(spec.group_by).agg(*aggs) if spec.group_by else df.agg(*aggs)
     if distinct_aggs:
         dg = df.groupBy(spec.group_by).agg(*distinct_aggs) if spec.group_by else df.agg(*distinct_aggs)

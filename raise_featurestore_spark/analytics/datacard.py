@@ -84,6 +84,11 @@ def build_data_card(
         card["mixing"] = {
             "alpha": spec.alpha,
             "target_rows": spec.target_rows,
-            "rates": [r.asDict() for r in source_rates(docs, spec).orderBy(source_col).collect()],
+            # order by the SPEC's source column — it may differ from this
+            # function's source_col when the mix groups by another key
+            "rates": [
+                r.asDict()
+                for r in source_rates(docs, spec).orderBy(spec.source_col).collect()
+            ],
         }
     return card

@@ -101,7 +101,9 @@ class FeatureStore:
         fs.lineage = self.lineage
         fs.audit = self.audit
         fs._jobs = self._jobs
-        fs._transforms = self._transforms
+        # force-instantiate so every context view shares ONE orchestrator
+        # registry (a lazily-copied None would give each view its own)
+        fs._transforms = self.transforms
         fs._ctx = (org, domain, project)
         return fs
 

@@ -197,9 +197,14 @@ def jaccard_pairs(
     k = salt_buckets
     if k > 1:
         hot_min_df = max(max_df // 2, 2)
-        hot = df_counts.where(F.col("__df") >= hot_min_df).select(
-            "sh", F.lit(True).alias("__hot")
-        )
+        # the upper cap is load-bearing: shingles with df > max_df never
+        # enter the prefix index (dropped from `rare`), so without it the
+        # broadcast would carry EVERY frequent shingle in the corpus —
+        # unbounded on boilerplate-heavy data — not the [hot_min_df,
+        # max_df] band
+        hot = df_counts.where(
+            (F.col("__df") >= hot_min_df) & (F.col("__df") <= max_df)
+        ).select("sh", F.lit(True).alias("__hot"))
         tagged = pref.join(F.broadcast(hot), "sh", "left")
         left = tagged.select(
             "id",
@@ -587,6 +592,7 @@ def incremental_minhash_dedup(
     seed: int = 7,
     min_est: float = 0.5,
     round_to: int = 4,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus: per new document, the
     best minhash-estimated match in the corpus (if any band collides) and
@@ -614,8 +620,15 @@ def incremental_minhash_dedup(
     # minhash_lsh_pairs — at k=128 the banded shuffle would otherwise be
     # ~40× wider). The new batch's band table is the small side, so
     # Catalyst broadcasts it and the corpus streams through unshuffled.
+    # persist_signatures=False for REPEATED callers (the streaming curation
+    # loop runs this once per micro-batch): each call builds fresh frames
+    # the CacheManager can't dedup, so persisted entries would accumulate
+    # one corpus-sized cache per batch with no unpersist hook. The cost of
+    # False is recomputing each side's signature pipeline twice (banded +
+    # attach) within the single batch.
     def signatures(df: DataFrame) -> DataFrame:
-        return minhash_signatures(df, id_col, text_col, n, k, seed).persist()
+        sig = minhash_signatures(df, id_col, text_col, n, k, seed)
+        return sig.persist() if persist_signatures else sig
 
     def banded(sig: DataFrame) -> DataFrame:
         return sig.select(

@@ -63,11 +63,16 @@ def source_rates(df: DataFrame, spec: MixSpec) -> DataFrame:
     )
 
 
-def temperature_mix(df: DataFrame, spec: MixSpec | None = None) -> DataFrame:
+def temperature_mix(df: DataFrame, spec: MixSpec | None = None,
+                    rates: DataFrame | None = None) -> DataFrame:
     """Rows of ``df`` kept by the alpha-sampling acceptance rates —
-    deterministic per (id, salt), map-side after one small broadcast."""
+    deterministic per (id, salt), map-side after one small broadcast.
+    Pass a precomputed ``rates`` frame (from :func:`source_rates`) to
+    avoid re-running the grouped count when the caller already has one."""
     spec = spec or MixSpec()
-    rates = source_rates(df, spec).select(spec.source_col, "keep_threshold")
+    if rates is None:
+        rates = source_rates(df, spec)
+    rates = rates.select(spec.source_col, "keep_threshold")
     return (
         df.join(F.broadcast(rates), spec.source_col)
         .where(_bucket(F.col(spec.id_col), spec.salt) < F.col("keep_threshold"))
@@ -77,13 +82,19 @@ def temperature_mix(df: DataFrame, spec: MixSpec | None = None) -> DataFrame:
 
 def mix_report(df: DataFrame, spec: MixSpec | None = None) -> DataFrame:
     """(source, n_docs, rate, n_kept) — the mixture designer's summary:
-    natural size, acceptance rate, and the deterministic kept count."""
+    natural size, acceptance rate, and the deterministic kept count. The
+    rate table is computed ONCE and shared with the keep-filter (the
+    grouped count is the only corpus-wide job here)."""
     spec = spec or MixSpec()
     s = spec.source_col
-    kept = temperature_mix(df, spec).groupBy(s).agg(F.count(F.lit(1)).alias("n_kept"))
+    rates = source_rates(df, spec)
+    kept = (
+        temperature_mix(df, spec, rates=rates)
+        .groupBy(s)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
     return (
-        source_rates(df, spec)
-        .join(kept, s, "left")
+        rates.join(kept, s, "left")
         .select(
             s,
             "n_docs",

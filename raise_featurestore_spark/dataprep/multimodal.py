@@ -343,13 +343,21 @@ class BlobRegistry:
 
     def register(self, more: DataFrame) -> "BlobRegistry":
         """Append refs; under an on_write/strict policy with content rows,
-        mismatching blobs are rejected before entering the registry."""
-        if self.policy.mode in ("strict", "on_write") and "content" in more.columns:
-            bad = self.validate_batch(more).where(~F.col("valid"))
-            if self.policy.fail_on_mismatch and not bad.isEmpty():
+        mismatching blobs are rejected before entering the registry.
+        (``fail_on_missing`` governs the storage-side checks instead —
+        :meth:`find_orphans` / :func:`integrity_report` — where "missing"
+        is meaningful; a register batch always carries its own content.)"""
+        if (
+            self.policy.mode in ("strict", "on_write")
+            and self.policy.fail_on_mismatch
+            and "content" in more.columns
+        ):
+            # ONE job: take(5) both answers emptiness and samples the
+            # evidence (isEmpty + collect would recompute the checksums)
+            bad = self.validate_batch(more).where(~F.col("valid")).take(5)
+            if bad:
                 raise ValueError(
-                    f"integrity violation on register: "
-                    f"{[r['uri'] for r in bad.limit(5).collect()]}"
+                    f"integrity violation on register: {[r['uri'] for r in bad]}"
                 )
         self.refs = self.refs.unionByName(more, allowMissingColumns=True)
         return self

@@ -65,12 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     if name in _COMPUTE_HEAVY:
-        # file count is a metadata-only proxy for the split count (each
-        # fixture file is one row group = one split); df.rdd would force a
-        # plan-to-RDD conversion costing ~0.3 s of driver work per call
-        slots = spark.sparkContext.defaultParallelism
-        if len(df.inputFiles()) < slots:
-            df = df.repartition(slots)
+        df = fan_out_if_undersplit(df)
+    return df
+
+
+def fan_out_if_undersplit(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's slot count when the scan produced
+    fewer file splits than slots — compute-heavy work downstream of a
+    single-row-group fixture file would otherwise run on one core. The
+    file count is a metadata-only split proxy (``df.rdd`` would force a
+    plan-to-RDD conversion costing ~0.3 s of driver work per call); on a
+    real lake scans yield thousands of files and this no-ops. Frames not
+    backed by files (in-memory test data) are returned unchanged."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < slots:
+        return df.repartition(slots)
     return df
 
 

@@ -34,6 +34,16 @@ from raise_featurestore_spark.transforms.schedule import (
 )
 
 
+def _ident(job_id: str) -> str:
+    """job_id → a safe Python identifier fragment for generated modules.
+    Job ids are arbitrary strings (``daily-rollup``); interpolating them
+    into def/variable names verbatim would emit SyntaxError modules."""
+    import re
+
+    out = re.sub(r"\W", "_", job_id)
+    return f"_{out}" if out and out[0].isdigit() else (out or "job")
+
+
 @dataclass
 class InternalOrchestrator:
     """In-process job registry + trigger (reference: raise_/transforms/orchestrator.py:18-163)."""
@@ -76,6 +86,7 @@ def generate_airflow_dag(job: Job, schedule: Schedule | None = None,
     """Emit a runnable Airflow DAG module for one job
     (reference: raise_/transforms/airflow.py:145-268, raise_/PRD.md:1663-1757)."""
     retries = job.max_retries
+    ident = _ident(job.job_id)
     return f'''"""Auto-generated Airflow DAG for featurestore job {job.job_id!r}."""
 from datetime import datetime, timedelta
 
@@ -85,10 +96,10 @@ from airflow.operators.python import PythonOperator
 
 def _run_job(**context):
     from pyspark.sql import SparkSession
-    from my_featurestore_jobs import build_job_{job.job_id}  # user-provided factory
+    from my_featurestore_jobs import build_job_{ident}  # user-provided factory
 
     spark = SparkSession.builder.getOrCreate()
-    job = build_job_{job.job_id}()
+    job = build_job_{ident}()
     run = job.run(spark, execution_date=context["logical_date"])
     if run.status != "completed":
         raise RuntimeError(f"job failed: {{run.error}}")
@@ -96,7 +107,7 @@ def _run_job(**context):
 
 
 with DAG(
-    dag_id="featurestore_{job.job_id}",
+    dag_id="featurestore_{ident}",
     schedule_interval={schedule_to_airflow(schedule)},
     start_date=datetime(2024, 1, 1),
     catchup=False,
@@ -214,13 +225,30 @@ class TransformsClient:
 
 def schedule_to_dagster(schedule: Schedule | None) -> str | None:
     """Dagster cron string, or None for unscheduled (manual/on-change).
-    Interval schedules render as a */N-minute cron (Dagster schedules are
-    cron-based; sub-minute intervals round up to 1 minute)."""
+    Interval schedules render as a */N cron, which only preserves the
+    cadence when N divides the clock period (a */35 cron fires at :00 and
+    :35 — 35- and 25-minute gaps). Intervals that don't divide evenly into
+    an hour (or whole hours into a day) are REJECTED rather than silently
+    distorted; express those as an explicit CronSchedule instead.
+    Sub-minute intervals round up to 1 minute."""
     if isinstance(schedule, CronSchedule):
         return schedule.expression
     if isinstance(schedule, IntervalSchedule):
         minutes = max(1, int(schedule.seconds // 60))
-        return f"*/{minutes} * * * *" if minutes < 60 else f"0 */{minutes // 60} * * *"
+        if minutes < 60:
+            if 60 % minutes != 0:
+                raise ValueError(
+                    f"{minutes}-minute interval does not divide an hour; a */N "
+                    f"cron would distort the cadence — use an explicit CronSchedule"
+                )
+            return f"*/{minutes} * * * *"
+        hours, rem = divmod(minutes, 60)
+        if rem != 0 or 24 % hours != 0:
+            raise ValueError(
+                f"{minutes}-minute interval does not map to an even cron cadence; "
+                f"use an explicit CronSchedule"
+            )
+        return f"0 */{hours} * * *"
     if isinstance(schedule, OnceSchedule):
         return None  # trigger once externally; Dagster has no "@once"
     return None
@@ -232,23 +260,24 @@ def generate_dagster_job(job: Job, schedule: Schedule | None = None) -> str:
     (reference protocol: raise_/transforms/orchestrator.py:18-66)."""
     cron = schedule_to_dagster(schedule)
     retries = job.max_retries
+    ident = _ident(job.job_id)
     sched_block = (
         f'''
 
-featurestore_{job.job_id}_schedule = ScheduleDefinition(
-    job=featurestore_{job.job_id},
+featurestore_{ident}_schedule = ScheduleDefinition(
+    job=featurestore_{ident},
     cron_schedule={cron!r},
 )
 
 defs = Definitions(
-    jobs=[featurestore_{job.job_id}],
-    schedules=[featurestore_{job.job_id}_schedule],
+    jobs=[featurestore_{ident}],
+    schedules=[featurestore_{ident}_schedule],
 )
 '''
         if cron
         else f'''
 
-defs = Definitions(jobs=[featurestore_{job.job_id}])
+defs = Definitions(jobs=[featurestore_{ident}])
 '''
     )
     return f'''"""Auto-generated Dagster definitions for featurestore job {job.job_id!r}."""
@@ -256,20 +285,20 @@ from dagster import Definitions, OpExecutionContext, RetryPolicy, ScheduleDefini
 
 
 @op(retry_policy=RetryPolicy(max_retries={retries}))
-def run_transform_{job.job_id}(context: OpExecutionContext):
+def run_transform_{ident}(context: OpExecutionContext):
     from pyspark.sql import SparkSession
-    from my_featurestore_jobs import build_job_{job.job_id}  # user-provided factory
+    from my_featurestore_jobs import build_job_{ident}  # user-provided factory
 
     spark = SparkSession.builder.getOrCreate()
-    run = build_job_{job.job_id}().run(spark)
+    run = build_job_{ident}().run(spark)
     if run.status != "completed":
         raise RuntimeError(f"job failed: {{run.error}}")
     return run.metrics()
 
 
 @job(tags={{"featurestore": "true"}})
-def featurestore_{job.job_id}():
-    run_transform_{job.job_id}()
+def featurestore_{ident}():
+    run_transform_{ident}()
 {sched_block}'''
 
 
@@ -287,13 +316,14 @@ def generate_prefect_flow(job: Job, schedule: Schedule | None = None) -> str:
     attached via ``Flow.serve`` when the kind maps to one."""
     sched_src = schedule_to_prefect(schedule)
     retries = job.max_retries
+    ident = _ident(job.job_id)
     serve = (
-        f"    featurestore_{job.job_id}.serve(\n"
+        f"    featurestore_{ident}.serve(\n"
         f'        name="featurestore_{job.job_id}",\n'
         f"        schedule={sched_src},\n"
         f"    )"
         if sched_src
-        else f'    featurestore_{job.job_id}.serve(name="featurestore_{job.job_id}")'
+        else f'    featurestore_{ident}.serve(name="featurestore_{job.job_id}")'
     )
     return f'''"""Auto-generated Prefect flow for featurestore job {job.job_id!r}."""
 from datetime import timedelta
@@ -303,12 +333,12 @@ from prefect.client.schemas.schedules import CronSchedule, IntervalSchedule
 
 
 @flow(name="featurestore_{job.job_id}", retries={retries}, retry_delay_seconds=300)
-def featurestore_{job.job_id}():
+def featurestore_{ident}():
     from pyspark.sql import SparkSession
-    from my_featurestore_jobs import build_job_{job.job_id}  # user-provided factory
+    from my_featurestore_jobs import build_job_{ident}  # user-provided factory
 
     spark = SparkSession.builder.getOrCreate()
-    run = build_job_{job.job_id}().run(spark)
+    run = build_job_{ident}().run(spark)
     if run.status != "completed":
         raise RuntimeError(f"job failed: {{run.error}}")
     return run.metrics()

@@ -319,3 +319,61 @@ def test_job_lifecycle_and_namespace_accessors(fs, tmp_path):
     assert fs.project("recsys").name == "recsys"
     with pytest.raises(Exception):
         fs.domain("nope")
+
+
+def test_codegen_sanitizes_non_identifier_job_ids(fs, tmp_path):
+    """Review finding: a job id like 'daily-rollup' must still generate
+    syntactically valid Airflow/Dagster/Prefect modules."""
+    import os
+
+    from raise_featurestore_spark.transforms.orchestrator import (
+        generate_airflow_dag,
+        generate_dagster_job,
+        generate_prefect_flow,
+    )
+    from raise_featurestore_spark.transforms.job import Job, Target
+    from raise_featurestore_spark.transforms.schedule import Schedule
+    from raise_featurestore_spark.transforms.source import FileSystemSource
+    from raise_featurestore_spark.transforms.transform import SQLTransform
+    from tests.conftest import SF_DIR
+
+    job = Job(
+        job_id="daily-rollup.v2",
+        sources={"r": FileSystemSource(path=os.path.join(SF_DIR, "region.parquet"))},
+        transform=SQLTransform("SELECT * FROM r"),
+        target=Target(path=str(tmp_path / "o")),
+    )
+    for gen in (generate_airflow_dag, generate_dagster_job, generate_prefect_flow):
+        mod = gen(job, Schedule.daily(hour=1))
+        compile(mod, "<gen>", "exec")  # would SyntaxError without sanitization
+
+
+def test_dagster_interval_rejects_uneven_cadence():
+    """Review finding: */N crons distort intervals that don't divide the
+    clock period — those must be rejected, not silently rescheduled."""
+    from raise_featurestore_spark.transforms.orchestrator import schedule_to_dagster
+    from raise_featurestore_spark.transforms.schedule import IntervalSchedule
+
+    assert schedule_to_dagster(IntervalSchedule("20m")) == "*/20 * * * *"
+    assert schedule_to_dagster(IntervalSchedule("2h")) == "0 */2 * * *"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distort|even cron"):
+        schedule_to_dagster(IntervalSchedule("35m"))
+    with _pytest.raises(ValueError, match="even cron"):
+        schedule_to_dagster(IntervalSchedule("90m"))
+
+
+def test_with_context_views_share_one_transforms_client(tmp_path):
+    """Review finding: context views created before first .transforms
+    access must still share one orchestrator registry."""
+    from raise_featurestore_spark.catalog.store import FeatureStore
+
+    fs = FeatureStore(str(tmp_path / "store"))
+    fs.create_organization("o")
+    fs.create_domain("o", "d")
+    fs.create_project("o", "d", "p1")
+    fs.create_project("o", "d", "p2")
+    a = fs.with_context("o", "d", "p1")
+    b = fs.with_context("o", "d", "p2")
+    assert a.transforms is b.transforms is fs.transforms
