@@ -1,0 +1,99 @@
+"""Cross-document boilerplate mining: repeated word n-grams and removal.
+
+License headers, navigation chrome, cookie banners — spans repeated
+verbatim across many crawl documents — are the classic pretraining-data
+contaminant (and, per the round-4 LSH stress test, the thing that blows
+up banded minhash when left in). This module finds them: the word-n-gram
+analogue of suffix-array duplicated-substring mining, at the granularity
+a distributed engine can afford.
+
+``mine_boilerplate`` emits the top-k n-grams by document frequency —
+each counted once per containing doc (``array_distinct`` before the
+explode), so a phrase repeated inside ONE doc doesn't masquerade as
+corpus boilerplate. ``strip_boilerplate`` removes a mined gram list from
+the text (the grams are top-k, i.e. driver-bounded, so they ship as plan
+literals — no join).
+
+Scale design: mining is explode → groupBy(gram) count → global top-k,
+the exact shape of ``vocab_topk`` (one shuffle on the gram hash; the
+top-k lowers to TakeOrderedAndProject so no global sort materializes).
+The explode factor is n_tokens per doc — linear, not quadratic; df
+concentration on true boilerplate is the point, and the groupBy partial-
+aggregates it map-side. Removal is a pure per-row expression chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.dataprep.dedup import _norm_text, _norm_text_sql
+
+
+def _word_grams(text_col: Column, n: int) -> Column:
+    """Distinct word n-grams of the normalized text (empty if < n tokens)."""
+    toks = F.filter(F.split(_norm_text(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
+def _word_grams_sql(text_expr: str, n: int) -> str:
+    toks = (
+        f"list_filter(string_split_regex({_norm_text_sql(text_expr)}, '\\s+'), "
+        f"w -> length(w) > 0)"
+    )
+    grams = (
+        f"list_transform(range(1, GREATEST(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return f"list_distinct(list_filter({grams}, g -> length(g) > 0))"
+
+
+def mine_boilerplate(
+    df: DataFrame,
+    n: int = 6,
+    min_df: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` word ``n``-grams appearing in ≥ ``min_df`` distinct
+    documents, ordered by document frequency (gram string tiebreak)."""
+    grams = df.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        counted.where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("gram"))
+        .limit(top_k)
+    )
+
+
+def mine_boilerplate_sql(
+    table: str, n: int = 6, min_df: int = 2, top_k: int = 100, text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`mine_boilerplate`."""
+    return (
+        f"SELECT gram, COUNT(*) AS df FROM ("
+        f"SELECT UNNEST({_word_grams_sql(text_col, n)}) AS gram FROM {table}) __g "
+        f"GROUP BY gram HAVING COUNT(*) >= {min_df} "
+        f"ORDER BY df DESC, gram LIMIT {top_k}"
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, grams: list[str], text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Remove every occurrence of each mined gram (literal match on the
+    normalized text), longest-first so sub-grams of a longer boilerplate
+    span don't leave fragments. Collapses the resulting double spaces.
+
+    ``grams`` is a driver-side list (top-k mining output — bounded by
+    construction); each becomes one JVM ``replace`` in a fused expression
+    chain, so removal stays inside the scan stage."""
+    cleaned: Column = _norm_text(F.col(text_col))
+    for g in sorted(grams, key=len, reverse=True):
+        cleaned = F.replace(cleaned, F.lit(g), F.lit(""))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumn(out_col or text_col, cleaned)

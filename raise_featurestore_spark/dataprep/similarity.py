@@ -318,3 +318,53 @@ def quantize_int8_sql(table: str, id_col: str = "vec_id", emb_col: str = "embedd
         f"x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT))), 'sum') AS INT) AS q_l1 "
         f"FROM q"
     )
+
+
+def semantic_dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: list[list[int]] | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate clusters: hyperplane-LSH-bucketed
+    cosine near-dup pairs (:func:`embedding_near_dup_pairs`) resolved to
+    transitive clusters by the alternating-star connected-components
+    kernel (dataprep/components.py) — cluster label = min vec_id, so
+    ``labels.where(node != cluster)`` is the drop set and the keepers are
+    one representative per semantic group.
+
+    Scale: pair generation is bucketed (no all-pairs join); CC is the
+    same shuffles-per-round plan as ``dedup_clusters``. At 100 TB the
+    bucket width (n planes) is the knob: more planes → fewer candidate
+    pairs and a recall/width trade identical to the banded-LSH one
+    documented in dedup.minhash_lsh_pairs."""
+    pairs = embedding_near_dup_pairs(
+        df, threshold=threshold, planes=planes, dim=dim,
+        id_col=id_col, emb_col=emb_col,
+    )
+    from raise_featurestore_spark.dataprep.components import connected_components
+
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(F.col("node").alias(id_col), "cluster")
+
+
+def semantic_dedup_clusters_sql(
+    table: str,
+    threshold: float = 0.95,
+    planes: list[list[int]] | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin (recursive-CTE label propagation — oracle-scale only)."""
+    from raise_featurestore_spark.dataprep.components import components_sql
+
+    inner = components_sql(
+        embedding_near_dup_pairs_sql(
+            table, threshold=threshold, planes=planes, dim=dim,
+            id_col=id_col, emb_col=emb_col,
+        )
+    )
+    return f"SELECT node AS {id_col}, cluster FROM ({inner}) __cc"

@@ -662,7 +662,11 @@ register(
 # search, text analysis — all on documents/embeddings
 # --------------------------------------------------------------------------
 
+from raise_featurestore_spark.dataprep import boilerplate as BP
+from raise_featurestore_spark.dataprep import chunking as CH
 from raise_featurestore_spark.dataprep import dedup as DD
+from raise_featurestore_spark.dataprep import selection as SEL
+from raise_featurestore_spark.dataprep import shards as SH
 from raise_featurestore_spark.dataprep import similarity as SIM
 from raise_featurestore_spark.dataprep import text as TX
 
@@ -1766,6 +1770,63 @@ register("corpus_health_by_source", _corpus_health, _corpus_health_sql())
 
 
 # --------------------------------------------------------------------------
+# Round-4 curation tier: budgeted selection, chunking, boilerplate mining,
+# semantic dedup clustering, shard manifests
+# --------------------------------------------------------------------------
+
+register(
+    # "best 10k tokens of the corpus": quality-ordered selection via the
+    # distributed prefix sum — no global-sort window (see selection.py)
+    "select_token_budget",
+    lambda spark, sf_dir: SEL.select_token_budget(
+        load_table(spark, sf_dir, "documents"), budget=10_000
+    ),
+    SEL.select_token_budget_sql("documents", budget=10_000),
+)
+
+register(
+    # RAG/long-context chunker: 64-token windows, stride 48 — pure
+    # per-row flatMap, zero shuffle (see chunking.py)
+    "chunk_sliding_window",
+    lambda spark, sf_dir: CH.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=64, stride=48
+    ),
+    CH.chunk_documents_sql("documents", window=64, stride=48),
+)
+
+register(
+    # cross-doc repeated word-6-grams (license/nav boilerplate miner) —
+    # vocab_topk shape: one shuffle + TakeOrderedAndProject
+    "boilerplate_ngram_mine",
+    lambda spark, sf_dir: BP.mine_boilerplate(
+        load_table(spark, sf_dir, "documents"), n=6, min_df=2, top_k=100
+    ),
+    BP.mine_boilerplate_sql("documents", n=6, min_df=2, top_k=100),
+)
+
+register(
+    # SemDeDup-style: LSH-bucketed cosine pairs -> alternating-star CC;
+    # threshold 0.45 per the dedup_embedding_cosine note (synthetic
+    # vectors are near-orthogonal; production would use ~0.95)
+    "semantic_dedup_clusters",
+    lambda spark, sf_dir: SIM.semantic_dedup_clusters(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    ),
+    SIM.semantic_dedup_clusters_sql("embeddings", threshold=0.45),
+)
+
+register(
+    # deterministic 16-way shard deal + per-shard manifest (shards.py);
+    # the h32 assignment is engine-independent, hence oracle-checkable
+    "shard_manifest",
+    lambda spark, sf_dir: SH.shard_manifest(
+        load_table(spark, sf_dir, "documents"), n_shards=16
+    ),
+    SH.shard_manifest_sql("documents", n_shards=16),
+)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # verdict the FIRST 50 slots each round. Rotate so the least-recently-
 # verdicted entries come first: round 3 verdicted the then-first 50, so this
@@ -1777,6 +1838,11 @@ register("corpus_health_by_source", _corpus_health, _corpus_health_sql())
 
 _PROMOTED = [
     # new this round
+    "select_token_budget",
+    "chunk_sliding_window",
+    "boilerplate_ngram_mine",
+    "semantic_dedup_clusters",
+    "shard_manifest",
     "source_jdbc_query",
     "mix_temperature_sample",
     "filter_quality_rules",
