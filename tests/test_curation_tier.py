@@ -180,3 +180,28 @@ def test_semantic_clusters_are_consistent_with_pairs(spark):
     pairs = embedding_near_dup_pairs(emb, threshold=0.999, dim=8).collect()
     nodes = {p.id_a for p in pairs} | {p.id_b for p in pairs}
     assert set(got) == nodes
+
+
+@pytest.mark.parametrize("window,stride", [(8, 8), (8, 5), (16, 1), (5, 2)])
+def test_chunk_coverage_property(spark, window, stride):
+    """Every token position of every doc is inside >= 1 chunk; starts
+    follow the stride grid; the final chunk reaches the last token."""
+    docs = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = chunk_documents(df, window=window, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_start for c in chunks] == [
+            1 + i * stride for i in range(len(chunks))
+        ]
+        covered = set()
+        for c in chunks:
+            assert c.n_chunk_tokens <= window
+            covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
+        assert covered == set(range(1, n + 1)), f"n={n}"
+        if n > 0:
+            last = chunks[-1]
+            assert last.chunk_start + last.n_chunk_tokens - 1 == n

@@ -130,3 +130,12 @@ def test_example_governed_ingestion(spark):
     assert out["stored"] == 2
     assert out["wrong_dim_rejected"] is True
     assert out["sources"] > 0 and out["mixed_rows"] > 0
+
+
+def test_example_corpus_finishing(spark):
+    out = _load("12_corpus_finishing.py").main(SF_DIR)
+    assert out["mined_grams"] > 0
+    assert 0 < out["selected_docs"]
+    assert 0 < out["tokens_used"] <= 5_000
+    assert out["chunks"] >= out["selected_docs"]
+    assert out["shards"] <= 8
