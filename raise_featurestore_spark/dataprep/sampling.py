@@ -136,3 +136,61 @@ def stratified_sample_sql(
     )
     thresh = f"CASE {whens} ELSE {int(round(default_fraction * BUCKETS))} END"
     return f"SELECT * FROM {table} WHERE {bucket} < {thresh}"
+
+
+def exact_k_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "exactk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
+    the k smallest md5(salt‖id) values within each stratum — the balanced
+    per-class sample ("100 docs per source") that fraction-based
+    ``stratified_sample`` can't express.
+
+    Scale design: the naive plan is ``ROW_NUMBER() OVER (PARTITION BY
+    stratum ORDER BY h)`` — one task per stratum, a straggler whenever one
+    stratum dominates the corpus. Here the per-stratum rank comes from the
+    grouped distributed prefix sum (functions/prefix.py): (stratum, h)
+    range-shuffle, per-partition local counts, broadcast offset join — a
+    hot stratum spans many partitions. The order key is the full 128-bit
+    md5 hex string, so rank ties are impossible and the selection is
+    bit-reproducible on any engine (hex compares identically everywhere).
+
+    Output: the selected rows' (id, stratum) plus their ``rank`` in
+    [1, k].
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from raise_featurestore_spark.functions.prefix import grouped_range_prefix_sums
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.md5(
+            F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")).cast("binary")
+        ).alias("__h"),
+        F.lit(1).cast("long").alias("__one"),
+    )
+    ranked = grouped_range_prefix_sums(
+        keyed, [strata_col], "__h", {"rank": "__one"}, num_partitions
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        id_col, strata_col, F.col("rank").cast("long").alias("rank")
+    )
+
+
+def exact_k_per_stratum_sql(
+    table: str, id_col: str, strata_col: str, k: int, salt: str = "exactk"
+) -> str:
+    """DuckDB twin of :func:`exact_k_per_stratum` (window form)."""
+    h = f"md5('{salt}|' || CAST({id_col} AS VARCHAR))"
+    return (
+        f"SELECT {id_col}, {strata_col}, rank FROM ("
+        f"SELECT {id_col}, {strata_col}, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {strata_col} ORDER BY {h}) AS BIGINT) "
+        f"AS rank FROM {table}) __r WHERE rank <= {k}"
+    )

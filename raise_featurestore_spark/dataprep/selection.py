@@ -45,9 +45,12 @@ def select_token_budget(
     document; ``cum_tokens`` is the inclusive running total in selection
     order, so the last kept row shows how much of the budget was used.
     """
-    m = quality_score(df, id_col, text_col).select(
-        id_col, "n_tokens", "quality_score"
-    )
+    # null-text docs carry no tokens and a null quality score; Spark orders
+    # NULLS FIRST where DuckDB orders NULLS LAST, so excluding them is the
+    # only cross-engine-stable (and semantically right) treatment
+    m = quality_score(
+        df.where(F.col(text_col).isNotNull()), id_col, text_col
+    ).select(id_col, "n_tokens", "quality_score")
     key = (
         F.lit(QUALITY_STEPS) - F.round(F.col("quality_score") * QUALITY_STEPS)
     ).cast("long") * F.lit(KEY_STRIDE) + F.col(id_col).cast("long")
@@ -68,7 +71,9 @@ def select_token_budget_sql(
 ) -> str:
     """DuckDB twin of :func:`select_token_budget` (window form — the
     oracle may use the global-sort plan the engine avoids)."""
-    q = quality_score_sql(table, id_col, text_col)
+    q = quality_score_sql(
+        f"(SELECT * FROM {table} WHERE {text_col} IS NOT NULL) __nn", id_col, text_col
+    )
     key = (
         f"({QUALITY_STEPS} - CAST(ROUND(quality_score * {QUALITY_STEPS}) AS BIGINT))"
         f" * {KEY_STRIDE} + CAST({id_col} AS BIGINT)"

@@ -55,6 +55,22 @@ def grouped_range_prefix_sums(
     part = df.repartitionByRange(num_partitions, *range_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # CORRECTNESS: the local-sums branch and the totals branch below both
+    # read this frame. Without pinning it, the optimizer may plant TWO
+    # independent range exchanges — and RangePartitioner's sampled bounds
+    # are seeded per RDD instance, so the two branches can disagree on
+    # which partition a key lands in. The offset join then stitches
+    # partition i's local sums to partition i's total under a DIFFERENT
+    # boundary — silently wrong running totals (observed: ~25k of 26k
+    # cums wrong on a 50k-row corpus; invisible at small scale where the
+    # bound sample is exhaustive). persist() pins one physical instance:
+    # both branches read the same InMemoryRelation, and even a cache-miss
+    # recompute replays the same RDD lineage (same seed, same bounds).
+    # At 100 TB this doubles the table's transient storage (executor
+    # memory spilling to disk) on top of the shuffle — the price of a
+    # consistent boundary; swap for a materialized intermediate table in
+    # a multi-query pipeline.
+    part = part.persist()
     w_local = (
         Window.partitionBy(*group_cols, "__pid")
         .orderBy(order_col)

@@ -665,6 +665,7 @@ register(
 from raise_featurestore_spark.dataprep import boilerplate as BP
 from raise_featurestore_spark.dataprep import chunking as CH
 from raise_featurestore_spark.dataprep import dedup as DD
+from raise_featurestore_spark.dataprep import sampling as SAMP
 from raise_featurestore_spark.dataprep import selection as SEL
 from raise_featurestore_spark.dataprep import shards as SH
 from raise_featurestore_spark.dataprep import similarity as SIM
@@ -1816,6 +1817,17 @@ register(
 )
 
 register(
+    # balanced per-class sample: exactly k docs per source, k smallest
+    # md5 keys — per-stratum rank via the grouped distributed prefix sum,
+    # not a one-task-per-stratum ROW_NUMBER window (sampling.py)
+    "sample_exact_k_per_source",
+    lambda spark, sf_dir: SAMP.exact_k_per_stratum(
+        load_table(spark, sf_dir, "documents"), "doc_id", "source", k=20
+    ),
+    SAMP.exact_k_per_stratum_sql("documents", "doc_id", "source", k=20),
+)
+
+register(
     # deterministic 16-way shard deal + per-shard manifest (shards.py);
     # the h32 assignment is engine-independent, hence oracle-checkable
     "shard_manifest",
@@ -1843,6 +1855,7 @@ _PROMOTED = [
     "boilerplate_ngram_mine",
     "semantic_dedup_clusters",
     "shard_manifest",
+    "sample_exact_k_per_source",
     "source_jdbc_query",
     "mix_temperature_sample",
     "filter_quality_rules",

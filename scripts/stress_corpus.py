@@ -70,6 +70,43 @@ def main() -> None:
     n = DD.jaccard_pairs(df, n=12, threshold=0.5, max_df=200).count()
     print(f"jaccard_prefix: {time.time() - t:.1f}s pairs={n}")
 
+    # ---- curation tier on the same corpus ----
+    from raise_featurestore_spark.dataprep import boilerplate as BP
+    from raise_featurestore_spark.dataprep.chunking import chunk_documents
+    from raise_featurestore_spark.dataprep.selection import select_token_budget
+    from raise_featurestore_spark.dataprep.shards import shard_manifest
+
+    # min_df at half the corpus: only the universal license sentence
+    # qualifies (within-template grams have df = n_docs / n_templates)
+    t = time.time()
+    grams = [r.gram for r in BP.mine_boilerplate(df, n=6, min_df=n_docs // 2, top_k=20).collect()]
+    print(f"boilerplate_mine: {time.time() - t:.1f}s grams={len(grams)}")
+    assert all("license" in g or "document" in g or "terms" in g or "standard" in g
+               or "provided" in g or "conditions" in g for g in grams), grams
+
+    t = time.time()
+    stripped = BP.strip_boilerplate(df, grams)
+    shrink = (
+        df.agg(F.sum(F.length("text"))).first()[0]
+        - stripped.agg(F.sum(F.length("text"))).first()[0]
+    )
+    print(f"boilerplate_strip: {time.time() - t:.1f}s chars_removed={shrink}")
+
+    t = time.time()
+    sel = select_token_budget(df, budget=20 * n_docs // 2)
+    n_sel, used = sel.agg(F.count(F.lit(1)), F.max("cum_tokens")).first()
+    print(f"select_token_budget: {time.time() - t:.1f}s kept={n_sel} tokens={used}")
+
+    t = time.time()
+    n = chunk_documents(df, window=16, stride=12).count()
+    print(f"chunk_sliding: {time.time() - t:.1f}s chunks={n}")
+
+    t = time.time()
+    m = shard_manifest(df, n_shards=64).agg(
+        F.count(F.lit(1)), F.max("n_rows"), F.min("n_rows")
+    ).first()
+    print(f"shard_manifest: {time.time() - t:.1f}s shards={m[0]} max={m[1]} min={m[2]}")
+
     spark.stop()
 
 

@@ -205,3 +205,24 @@ def test_chunk_coverage_property(spark, window, stride):
         if n > 0:
             last = chunks[-1]
             assert last.chunk_start + last.n_chunk_tokens - 1 == n
+
+
+def test_token_budget_ignores_null_text_cross_engine(spark, ddb):
+    """Null-text docs must not poison the selection order: Spark sorts
+    NULLS FIRST, DuckDB NULLS LAST, so the operator excludes them."""
+    import duckdb
+
+    from raise_featurestore_spark.dataprep.selection import (
+        select_token_budget_sql,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = [(i, f"doc number {i} " * (i + 1)) for i in range(8)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("t_nulls", df.toPandas())
+    out = select_token_budget(df, budget=60)
+    want = con.sql(select_token_budget_sql("t_nulls", budget=60)).df()
+    assert_frames_match(out, want)
+    assert out.where(F.col("doc_id") >= 100).count() == 0

@@ -40,3 +40,32 @@ def test_ranked_by_value_average_ranks(spark):
     df = spark.createDataFrame([(3,), (1,), (1,), (2,), (2,), (2,)], "v long")
     got = {r["v"]: (r["t"], r["avg_rank"]) for r in ranked_by_value(df, "v", 4).collect()}
     assert got == {1: (2, 1.5), 2: (3, 4.0), 3: (1, 6.0)}
+
+
+def test_prefix_sums_consistent_at_partial_sample_scale(spark):
+    """Regression: the local-sums and totals branches both read the range
+    -shuffled frame; before the persist() pin, the optimizer could plant
+    two independent range exchanges whose per-RDD-seeded bound samples
+    disagreed — partition i's local sums got stitched to a DIFFERENT
+    partition i's offset, silently corrupting ~95% of running totals at
+    50k rows (invisible at oracle scale, where the bound sample is
+    exhaustive). Verify against an exact driver-side prefix sum, twice."""
+    n = 50_000
+    df = spark.range(n).select(
+        F.col("id"),
+        # non-monotone order key exercises real range boundaries
+        ((F.col("id") * 2654435761) % 1_000_003).alias("k"),
+        (F.col("id") % 97 + 1).alias("w"),
+    ).repartition(32)
+    rows = df.collect()
+    cum, want = 0, {}
+    for r in sorted(rows, key=lambda r: r.k):  # k is unique mod 1e6+3 for n=50k
+        cum += r.w
+        want[r.id] = cum
+    assert len(want) == n  # key uniqueness precondition
+    for _ in range(2):
+        got = {
+            r.id: r.cw
+            for r in range_prefix_sums(df, "k", {"cw": "w"}).collect()
+        }
+        assert got == want

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from raise_featurestore_spark.dataprep.sampling import hash_split, stratified_sample
 
@@ -118,3 +119,23 @@ def test_temperature_mix_corpus_never_shuffles(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_k_per_stratum_counts_and_determinism(spark):
+    from raise_featurestore_spark.dataprep.sampling import exact_k_per_stratum
+
+    # skewed strata: 'big' has 1500 rows, 'tiny' has 3
+    df = spark.range(0, 1503).selectExpr(
+        "id", "CASE WHEN id < 1500 THEN 'big' ELSE 'tiny' END AS src"
+    )
+    out = exact_k_per_stratum(df, "id", "src", k=10)
+    counts = {r.src: r.n for r in out.groupBy("src")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 10, "tiny": 3}  # min(k, |stratum|)
+    ranks = sorted(r.rank for r in out.where("src = 'big'").collect())
+    assert ranks == list(range(1, 11))
+    # deterministic under any physical layout
+    again = exact_k_per_stratum(df.repartition(17), "id", "src", k=10)
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+    with pytest.raises(ValueError):
+        exact_k_per_stratum(df, "id", "src", k=0)
