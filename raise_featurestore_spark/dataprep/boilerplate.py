@@ -90,10 +90,17 @@ def strip_boilerplate(
     span don't leave fragments. Collapses the resulting double spaces.
 
     ``grams`` is a driver-side list (top-k mining output — bounded by
-    construction); each becomes one JVM ``replace`` in a fused expression
-    chain, so removal stays inside the scan stage."""
+    construction); each becomes one JVM ``regexp_replace`` in a fused
+    expression chain, so removal stays inside the scan stage. Matches are
+    ``\\b``-anchored: mining is token-granular, so a gram must not match
+    mid-word (raw substring replace would truncate 'tuba b c…' when
+    removing 'a b c…')."""
+    import re as _re
+
     cleaned: Column = _norm_text(F.col(text_col))
     for g in sorted(grams, key=len, reverse=True):
-        cleaned = F.replace(cleaned, F.lit(g), F.lit(""))
+        cleaned = F.regexp_replace(
+            cleaned, r"\b" + _re.escape(g) + r"\b", ""
+        )
     cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return df.withColumn(out_col or text_col, cleaned)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.dataprep import hashing as H
+from raise_featurestore_spark.dataprep import text as TX
 
 
 def chunk_documents(
@@ -40,7 +41,10 @@ def chunk_documents(
     window`` gives a disjoint split."""
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    # null text -> no chunks (without the filter, NULL propagates through
+    # size() but greatest(NULL, 1) = 1, emitting a phantom all-NULL chunk)
+    df = df.where(F.col(text_col).isNotNull())
+    toks = TX.ws_tokens(F.col(text_col))
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.size(toks) - F.lit(window - stride), F.lit(1)),
@@ -70,9 +74,8 @@ def chunk_documents_sql(
     slc = f"list_slice(toks, st, st + {window} - 1)"
     joined = f"array_to_string({slc}, ' ')"
     return (
-        f"WITH __t AS (SELECT {id_col}, "
-        f"list_filter(string_split_regex({text_col}, '\\s+'), w -> length(w) > 0) "
-        f"AS toks FROM {table}), "
+        f"WITH __t AS (SELECT {id_col}, {TX.ws_tokens_sql(text_col)} "
+        f"AS toks FROM {table} WHERE {text_col} IS NOT NULL), "
         f"__s AS (SELECT {id_col}, toks, "
         f"generate_series(1, GREATEST(len(toks) - {window - stride}, 1), {stride}) "
         f"AS starts FROM __t), "

@@ -46,9 +46,9 @@ def _n_tok(spec: PackingSpec):
         return F.expr(spec.token_count_expr)
     # filtered whitespace tokenizer — consecutive/leading whitespace must not
     # mint empty-string tokens, matching every other text operator's count
-    return F.size(
-        F.filter(F.split(F.col(spec.text_col), r"\s+"), lambda w: F.length(w) > 0)
-    )
+    from raise_featurestore_spark.dataprep.text import ws_tokens
+
+    return F.size(ws_tokens(F.col(spec.text_col)))
 
 
 def pack_documents(df: DataFrame, spec: PackingSpec | None = None) -> DataFrame:
@@ -85,13 +85,12 @@ def pack_documents(df: DataFrame, spec: PackingSpec | None = None) -> DataFrame:
 def pack_documents_sql(table: str, spec: PackingSpec | None = None) -> str:
     """DuckDB twin of :func:`pack_documents`."""
     spec = spec or PackingSpec()
+    from raise_featurestore_spark.dataprep.text import ws_tokens_sql
+
     tok = (
         spec.token_count_expr
         if spec.token_count_expr
-        else (
-            f"len(list_filter(string_split_regex({spec.text_col}, '\\s+'), "
-            f"w -> length(w) > 0))"
-        )
+        else f"len({ws_tokens_sql(spec.text_col)})"
     )
     return (
         f"WITH d AS (SELECT {spec.id_col}, {spec.shard_col}, {tok} AS n_tok, "

@@ -92,12 +92,18 @@ def write_shards(
     n_shards: int,
     id_col: str = "doc_id",
     salt: str = "shard",
-    mode: str = "overwrite",
+    mode: str = "error",
 ) -> None:
     """Write the corpus as ``path/shard=K/`` parquet directories, one
     coherent file set per shard (see module docstring for the
-    repartition-before-partitionBy rationale)."""
+    repartition-before-partitionBy rationale). ``mode`` keeps Spark's
+    errorifexists default — pass ``"overwrite"`` explicitly to clobber.
+
+    Range- rather than hash-repartitioning by the shard column: hashing N
+    distinct shard ids into N partitions is not a permutation (balls-into
+    -bins leaves ~1/e of tasks empty and doubles up others); range
+    boundaries over the N ids give the intended one-task-per-shard deal."""
     out = assign_shards(df, n_shards, id_col, salt)
-    out.repartition(n_shards, F.col("shard")).write.mode(mode).partitionBy(
+    out.repartitionByRange(n_shards, F.col("shard")).write.mode(mode).partitionBy(
         "shard"
     ).parquet(path)

@@ -48,6 +48,17 @@ def _tokens_sql(e: str) -> str:
     return f"list_filter(string_split_regex(LOWER({e}), '\\W+'), w -> length(w) > 0)"
 
 
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokenizer shared by token_counts / chunking / packing —
+    the Spark form and :func:`ws_tokens_sql` must stay byte-equivalent or
+    cross-engine token budgets silently drift."""
+    return F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
+
+
+def ws_tokens_sql(e: str) -> str:
+    return f"list_filter(string_split_regex({e}, '\\s+'), w -> length(w) > 0)"
+
+
 def _lang_scores(toks: Column) -> dict[str, Column]:
     d = F.array_distinct(toks)
     return {
@@ -150,7 +161,7 @@ def token_counts(
 ) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
     t = F.col(text_col)
-    ws = F.size(F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0))
+    ws = F.size(ws_tokens(t))
     bpe = F.regexp_count(t, F.lit(BPE_RE))
     return df.select(
         F.col(id_col),
@@ -163,8 +174,7 @@ def token_counts_sql(table: str, id_col: str = "doc_id", text_col: str = "text")
     t = text_col
     return (
         f"SELECT {id_col}, "
-        f"CAST(len(list_filter(string_split_regex({t}, '\\s+'), w -> length(w) > 0)) AS INT) "
-        f"AS ws_tokens, "
+        f"CAST(len({ws_tokens_sql(t)}) AS INT) AS ws_tokens, "
         f"CAST(len(regexp_extract_all({t}, '{BPE_RE}')) AS INT) AS bpe_tokens "
         f"FROM {table}"
     )

@@ -17,12 +17,14 @@ same inclusive running totals with the classic distributed scan:
    totals would re-introduce the unpartitioned-window warning; the
    triangular join never concentrates data.)
 
-Total cost: one range shuffle + one broadcast join; no single-task sort of
-the full relation. Both consumers of the repartitioned frame (local sums,
-totals) hang off the same Exchange, which Spark reuses within one action —
-the upstream is scanned once. Determinism note: the range partitioner
-samples boundaries with a partition-id-derived seed, so recomputation over
-the same immutable source yields identical placement.
+Total cost: one range shuffle + one broadcast join + one transient
+materialization of the shuffled frame; no single-task sort of the full
+relation. The materialization (``localCheckpoint``) is NOT an
+optimization: the local-sums and totals branches MUST observe the same
+range boundaries, and without pinning one physical instance the optimizer
+can plant two independent range exchanges whose per-RDD-seeded boundary
+samples disagree — see the CORRECTNESS comment at the pin site for the
+observed corruption.
 
 Rows are expected to be UNIQUE in (group cols, order col) — call after a
 ``groupBy`` on them, which is how every caller here uses it; ties within a
@@ -63,14 +65,15 @@ def grouped_range_prefix_sums(
     # partition i's local sums to partition i's total under a DIFFERENT
     # boundary — silently wrong running totals (observed: ~25k of 26k
     # cums wrong on a 50k-row corpus; invisible at small scale where the
-    # bound sample is exhaustive). persist() pins one physical instance:
-    # both branches read the same InMemoryRelation, and even a cache-miss
-    # recompute replays the same RDD lineage (same seed, same bounds).
-    # At 100 TB this doubles the table's transient storage (executor
-    # memory spilling to disk) on top of the shuffle — the price of a
-    # consistent boundary; swap for a materialized intermediate table in
-    # a multi-query pipeline.
-    part = part.persist()
+    # bound sample is exhaustive). localCheckpoint pins ONE physical RDD
+    # instance both branches read; unlike persist(), its storage is
+    # reclaimed by the ContextCleaner once the result is unreferenced
+    # (persist would pin a copy in the CacheManager for the whole session
+    # per call — a leak for a primitive this widely reused). Trade: a
+    # lost executor cannot recompute truncated lineage and fails the job
+    # (same posture as components.py's iterative checkpoints); storage is
+    # one transient MEMORY_AND_DISK copy on top of the shuffle.
+    part = part.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy(*group_cols, "__pid")
         .orderBy(order_col)

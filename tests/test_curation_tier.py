@@ -226,3 +226,31 @@ def test_token_budget_ignores_null_text_cross_engine(spark, ddb):
     want = con.sql(select_token_budget_sql("t_nulls", budget=60)).df()
     assert_frames_match(out, want)
     assert out.where(F.col("doc_id") >= 100).count() == 0
+
+
+def test_chunking_drops_null_text_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, window=4, stride=4).collect()
+    assert [r.doc_id for r in out] == [1]  # no phantom NULL chunk for doc 2
+
+
+def test_strip_boilerplate_is_token_anchored(spark):
+    # 'tuba b c d e f g' contains the raw substring 'a b c d e f' starting
+    # mid-word; token-granular removal must leave the text alone
+    df = spark.createDataFrame(
+        [(1, "tuba b c d e f g"), (2, "x a b c d e f y")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in strip_boilerplate(df, ["a b c d e f"]).collect()}
+    assert out[1] == "tuba b c d e f g"  # untouched
+    assert out[2] == "x y"  # true token-boundary occurrence removed
+
+
+def test_write_shards_refuses_to_clobber_by_default(spark, docs, tmp_path):
+    path = str(tmp_path / "no_clobber")
+    write_shards(docs, path, n_shards=2)
+    with pytest.raises(Exception):
+        write_shards(docs, path, n_shards=2)  # errorifexists default
+    write_shards(docs, path, n_shards=2, mode="overwrite")  # explicit opt-in
