@@ -116,7 +116,9 @@ def compile_correlation(
         f"stack({n}, {', '.join(stack_items)}) AS (feature_a, feature_b, corr)"
     )
     if round_to is not None:
-        out = out.withColumn("corr", F.round("corr", round_to))
+        # + 0.0 canonicalizes IEEE −0.0 after rounding (a correlation in
+        # (−5e-5, 0) would otherwise hash as "-0" on one engine only)
+        out = out.withColumn("corr", F.round("corr", round_to) + F.lit(0.0))
     return out
 
 
@@ -147,7 +149,7 @@ def kendall_to_sql(
         "CAST(s AS DOUBLE) / SQRT(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))"
     )
     if round_to is not None:
-        tau = f"ROUND({tau}, {round_to})"
+        tau = f"ROUND({tau}, {round_to}) + 0.0"
     return (
         f"WITH __s AS (SELECT {f1}, {f2} FROM {table} "
         f"WHERE {where}{f1} IS NOT NULL AND {f2} IS NOT NULL "
@@ -190,7 +192,7 @@ def correlation_to_sql(
         for ft in feats
     ] + [
         f"SELECT '{feats[i]}', '{feats[j]}', "
-        f"ROUND(CORR(CAST({feats[i]} AS DOUBLE), CAST({feats[j]} AS DOUBLE)), {round_to}) "
+        f"ROUND(CORR(CAST({feats[i]} AS DOUBLE), CAST({feats[j]} AS DOUBLE)), {round_to}) + 0.0 "
         f"FROM {src}"
         for i, j in pairs
     ]
@@ -273,7 +275,8 @@ def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame
             x = pdf[feats[i]].to_numpy(dtype=float)
             y = pdf[feats[j]].to_numpy(dtype=float)
             tau = _tau_b(x, y)
-            r = round(tau, round_to) if round_to is not None else tau
+            # + 0.0 canonicalizes −0.0, mirroring the SQL twin
+            r = round(tau, round_to) + 0.0 if round_to is not None else tau
             rows.append((feats[i], feats[j], r))
         return pd.DataFrame(rows, columns=["feature_a", "feature_b", "corr"])
 

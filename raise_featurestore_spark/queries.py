@@ -529,14 +529,16 @@ def _derived_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = load_table(spark, sf_dir, "customer")
     df, col = compile_expression(df, "(c_acctbal - AVG(c_acctbal)) / STDDEV(c_acctbal)")
-    return df.select("c_custkey", F.round(col, 4).alias("acctbal_z"))
+    # + 0.0 canonicalizes IEEE −0.0 (a z in (−5e-5, 0) rounds to −0.0 on
+    # one engine and +0.0 on the other — caught by the sf0.1 gate)
+    return df.select("c_custkey", (F.round(col, 4) + F.lit(0.0)).alias("acctbal_z"))
 
 
 register(
     "expr_zscore_hoisted",
     _derived_zscore,
     "SELECT c_custkey, ROUND((c_acctbal - (SELECT AVG(c_acctbal) FROM customer)) / "
-    "(SELECT STDDEV_SAMP(c_acctbal) FROM customer), 4) AS acctbal_z FROM customer",
+    "(SELECT STDDEV_SAMP(c_acctbal) FROM customer), 4) + 0.0 AS acctbal_z FROM customer",
 )
 
 
@@ -604,11 +606,13 @@ def _vector_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = df.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = df.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
     pair = a.join(b, "vec_id")
+    # + 0.0: cosine and unit components are ± continuous — canonicalize
+    # IEEE −0.0 after rounding (sf0.1 gate caught a (−5e-5, 0) straddle)
     return pair.select(
         "vec_id",
-        F.round(V.cosine_similarity("ea", "eb"), 4).alias("cos_next"),
-        F.round(V.l1_distance("ea", "eb"), 4).alias("l1_next"),
-        F.round(F.element_at(V.normalize("ea"), 1), 4).alias("unit_first"),
+        (F.round(V.cosine_similarity("ea", "eb"), 4) + F.lit(0.0)).alias("cos_next"),
+        (F.round(V.l1_distance("ea", "eb"), 4) + F.lit(0.0)).alias("l1_next"),
+        (F.round(F.element_at(V.normalize("ea"), 1), 4) + F.lit(0.0)).alias("unit_first"),
     )
 
 
@@ -620,9 +624,9 @@ register(
     "SELECT vec_id, "
     "ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') "
     "/ (SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')) * "
-    "SQRT(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * x), 'sum'))), 4) AS cos_next, "
-    "ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> ABS(CAST(x[1] AS DOUBLE) - x[2])), 'sum'), 4) AS l1_next, "
-    "ROUND(CAST(ea[1] AS DOUBLE) / SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')), 4) AS unit_first "
+    "SQRT(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * x), 'sum'))), 4) + 0.0 AS cos_next, "
+    "ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> ABS(CAST(x[1] AS DOUBLE) - x[2])), 'sum'), 4) + 0.0 AS l1_next, "
+    "ROUND(CAST(ea[1] AS DOUBLE) / SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')), 4) + 0.0 AS unit_first "
     "FROM p",
 )
 
@@ -645,14 +649,17 @@ def _window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, col = compile_expression(
         df, "value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)"
     )
-    return df.select("event_id", "user_id", F.round(col, 4).alias("value_delta"))
+    # + 0.0: deltas are ± continuous over ~100k rows — canonicalize −0.0
+    return df.select(
+        "event_id", "user_id", (F.round(col, 4) + F.lit(0.0)).alias("value_delta")
+    )
 
 
 register(
     "expr_window_lag",
     _window_lag,
     "SELECT event_id, user_id, "
-    "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS value_delta "
+    "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) + 0.0 AS value_delta "
     "FROM events",
 )
 
