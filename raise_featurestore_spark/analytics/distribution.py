@@ -145,13 +145,14 @@ def _moments(df, spec, x, seg, round_to):
     out_cols: list[Column] = [F.col(c) for c in seg] + [F.col("n")]
     if "skewness" in spec.metrics:
         out_cols.append(
-            F.round(F.col("__m3") / F.pow(F.col("__m2"), 1.5), round_to).alias("skewness")
+            (F.round(F.col("__m3") / F.pow(F.col("__m2"), 1.5), round_to) + F.lit(0.0)).alias("skewness")
         )
     if "kurtosis" in spec.metrics:
         out_cols.append(
-            F.round(F.col("__m4") / (F.col("__m2") * F.col("__m2")) - 3.0, round_to).alias(
-                "kurtosis"
-            )
+            (
+                F.round(F.col("__m4") / (F.col("__m2") * F.col("__m2")) - 3.0, round_to)
+                + F.lit(0.0)
+            ).alias("kurtosis")
         )
     return moments.select(*out_cols)
 
@@ -211,10 +212,10 @@ def distribution_to_sql(spec: Distribution, table: str, round_to: int | None = D
     sel = ["n"]
     if "skewness" in spec.metrics:
         outs.append(f"AVG({d}*{d}*{d}) AS __m3")
-        sel.append(f"ROUND(__m3 / POWER(__m2, 1.5), {round_to}) AS skewness")
+        sel.append(f"ROUND(__m3 / POWER(__m2, 1.5), {round_to}) + 0.0 AS skewness")
     if "kurtosis" in spec.metrics:
         outs.append(f"AVG({d}*{d}*{d}*{d}) AS __m4")
-        sel.append(f"ROUND(__m4 / (__m2 * __m2) - 3.0, {round_to}) AS kurtosis")
+        sel.append(f"ROUND(__m4 / (__m2 * __m2) - 3.0, {round_to}) + 0.0 AS kurtosis")
     return (
         f"WITH __m AS (SELECT {seg_sel}AVG({x}) AS __mean, COUNT({x}) AS __n "
         f"FROM {table}{where}{grp}), "

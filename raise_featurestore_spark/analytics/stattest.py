@@ -82,7 +82,9 @@ def stattest_to_sql(spec: StatTest, table: str, round_to: int | None = DEFAULT_R
 
 
 def _rnd(c: Column, round_to: int | None) -> Column:
-    return F.round(c, round_to) if round_to is not None else c
+    # + 0.0 canonicalizes IEEE −0.0 after rounding (statistics are ±
+    # continuous; mirrors the `ROUND(...) + 0.0` in every SQL twin)
+    return F.round(c, round_to) + F.lit(0.0) if round_to is not None else c
 
 
 # ---------------------------------------------------------------- t tests
@@ -182,9 +184,9 @@ def _ttest_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         eff = "(m1 - m2) / SQRT((v1 + v2) / 2.0)"
     return (
         f"SELECT '{spec.test}' AS test, n1 AS n_control, n2 AS n_treatment, "
-        f"ROUND(m1, {round_to}) AS mean_control, ROUND(m2, {round_to}) AS mean_treatment, "
-        f"ROUND({tstat}, {round_to}) AS statistic, ROUND({dof}, {round_to}) AS df, "
-        f"ROUND({eff}, {round_to}) AS effect_size FROM ({inner}) __m"
+        f"ROUND(m1, {round_to}) + 0.0 AS mean_control, ROUND(m2, {round_to}) + 0.0 AS mean_treatment, "
+        f"ROUND({tstat}, {round_to}) + 0.0 AS statistic, ROUND({dof}, {round_to}) + 0.0 AS df, "
+        f"ROUND({eff}, {round_to}) + 0.0 AS effect_size FROM ({inner}) __m"
     )
 
 
@@ -234,9 +236,9 @@ def _anova_sql(spec: StatTest, table: str, round_to: int | None) -> str:
     fstat = f"({ssb} / (k - 1)) / (ssw / (N - k))"
     return (
         f"SELECT 'anova' AS test, N AS n_total, k AS k_groups, "
-        f"ROUND({fstat}, {round_to}) AS statistic, "
+        f"ROUND({fstat}, {round_to}) + 0.0 AS statistic, "
         f"CAST(k - 1 AS DOUBLE) AS df1, CAST(N - k AS DOUBLE) AS df2, "
-        f"ROUND({ssb} / ({ssb} + ssw), {round_to}) AS effect_size FROM ({s}) __s"
+        f"ROUND({ssb} / ({ssb} + ssw), {round_to}) + 0.0 AS effect_size FROM ({s}) __s"
     )
 
 
@@ -280,9 +282,9 @@ def _chi2_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         f"COUNT(DISTINCT __ct.{f_}) AS r, COUNT(DISTINCT __ct.{s_}) AS c "
         f"FROM __ct JOIN __rt USING ({f_}) JOIN __cl USING ({s_})) "
         f"SELECT 'chi2' AS test, N AS n_total, r AS r_levels, c AS c_levels, "
-        f"ROUND(N * (q - 1), {round_to}) AS statistic, "
+        f"ROUND(N * (q - 1), {round_to}) + 0.0 AS statistic, "
         f"CAST((r - 1) * (c - 1) AS DOUBLE) AS df, "
-        f"ROUND(SQRT(N * (q - 1) / (N * LEAST(r - 1, c - 1))), {round_to}) AS effect_size "
+        f"ROUND(SQRT(N * (q - 1) / (N * LEAST(r - 1, c - 1))), {round_to}) + 0.0 AS effect_size "
         f"FROM __s"
     )
 
@@ -355,11 +357,11 @@ def _mannwhitney_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         "CAST(SUM(t - tc) AS BIGINT) AS n2, "
         "SUM(CAST(t AS DOUBLE) * t * t - t) AS tie3 FROM __r) "
         "SELECT 'mannwhitney' AS test, n1 AS n_control, n2 AS n_treatment, "
-        f"ROUND(R1 - n1 * (n1 + 1) / 2.0, {round_to}) AS statistic, "
+        f"ROUND(R1 - n1 * (n1 + 1) / 2.0, {round_to}) + 0.0 AS statistic, "
         f"ROUND((R1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / "
         "SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1) - tie3 / ((n1 + n2) * (n1 + n2 - 1)))), "
-        f"{round_to}) AS z, "
-        f"ROUND(2.0 * (R1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0, {round_to}) AS effect_size "
+        f"{round_to}) + 0.0 AS z, "
+        f"ROUND(2.0 * (R1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0, {round_to}) + 0.0 AS effect_size "
         "FROM __s"
     )
 

@@ -63,7 +63,9 @@ def compile_version_diff(
             F.count(b).alias("count_to"),
             mean_a.alias("mean_from"),
             mean_b.alias("mean_to"),
-            F.round((mean_b - mean_a) / mean_a * 100.0, round_to).alias("mean_change_pct"),
+            (F.round((mean_b - mean_a) / mean_a * 100.0, round_to) + F.lit(0.0)).alias(
+                "mean_change_pct"  # + 0.0: −0.0 canonicalization, mirrors SQL
+            ),
             F.round(F.stddev_samp(a), round_to).alias("stddev_from"),
             F.round(F.stddev_samp(b), round_to).alias("stddev_to"),
         )
@@ -104,7 +106,7 @@ def version_diff_to_sql(
         parts.append(
             f"(SELECT COUNT({a}) AS count_from, COUNT({b}) AS count_to, "
             f"{mean_a} AS mean_from, {mean_b} AS mean_to, "
-            f"ROUND(({mean_b} - {mean_a}) / {mean_a} * 100.0, {round_to}) AS mean_change_pct, "
+            f"ROUND(({mean_b} - {mean_a}) / {mean_a} * 100.0, {round_to}) + 0.0 AS mean_change_pct, "
             f"ROUND(STDDEV_SAMP({a}), {round_to}) AS stddev_from, "
             f"ROUND(STDDEV_SAMP({b}), {round_to}) AS stddev_to FROM {table}) __st"
         )
