@@ -93,7 +93,11 @@ def decontaminate(
     bench = word_ngram_hashes(benchmark_df, id_col, text_col, n).select("gh").distinct()
     use_broadcast = True
     if max_broadcast_grams is not None:
-        bench = bench.persist()
+        # localCheckpoint, not persist(): the pinned gram set is reclaimed
+        # by the ContextCleaner once the result is dropped, so repeated
+        # decontaminate() calls (per benchmark suite / corpus shard) don't
+        # accumulate dead cache entries for the session's lifetime
+        bench = bench.localCheckpoint(eager=False)
         use_broadcast = bench.count() <= max_broadcast_grams
     corpus = word_ngram_hashes(corpus_df, id_col, text_col, n)
     bench_side = F.broadcast(bench) if use_broadcast else bench.hint("shuffle_hash")

@@ -90,11 +90,21 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    def fill(c: str) -> Column:
-        return F.last(c, ignorenulls=True).over(w)
-
-    matched_ts = F.last(
-        F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True
+    # Fill ONE struct of (value cols, feature ts) rather than each column
+    # independently: per-column last(ignorenulls) lets a genuinely-NULL
+    # feature value fall through to an OLDER feature row, blending fields
+    # from different rows (and sneaking stale values past the tolerance
+    # gate, which only sees the newest matched ts). The struct is non-null
+    # exactly on feature rows, so the fill is atomic per matched row —
+    # identical to DuckDB ASOF semantics.
+    payload = F.last(
+        F.when(
+            F.col("__tag") == 0,
+            F.struct(
+                *[F.col(c) for c in value_cols], F.col("__ts").alias("__fts")
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
 
     out = u.select(
@@ -102,8 +112,8 @@ def asof_join(
         F.col("__ts"),
         F.col("__tag"),
         *spine_extra,
-        *[fill(c).alias(c) for c in value_cols],
-        matched_ts.alias("__matched_ts"),
+        *[payload[c].alias(c) for c in value_cols],
+        payload["__fts"].alias("__matched_ts"),
     ).where(F.col("__tag") == 1)
 
     if tolerance_seconds is not None:

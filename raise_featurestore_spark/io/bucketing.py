@@ -55,6 +55,12 @@ def colocated_join(
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the executed plan."""
+    """Number of SHUFFLE Exchange operators in the executed plan.
+
+    ``BroadcastExchange`` also contains the substring "Exchange " but is
+    not a shuffle — a colocated join must still be allowed to broadcast a
+    small side, so broadcast exchanges are excluded from the count."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange ")
+    return len(re.findall(r"(?<!Broadcast)Exchange ", plan))

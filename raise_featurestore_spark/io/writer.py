@@ -19,6 +19,7 @@ the helper keeps that contract by requiring explicit key_columns.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
@@ -94,13 +95,16 @@ def _try_delta_merge(updates: DataFrame, path: str, key_columns: list[str],
         return False
     deduped = _latest_per_key(updates, key_columns, sequence_column)
     cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_columns)
-    (
-        target.alias("t")
-        .merge(deduped.alias("s"), cond)
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .execute()
-    )
+    m = target.alias("t").merge(deduped.alias("s"), cond)
+    if sequence_column is None:
+        m = m.whenMatchedUpdateAll()
+    else:
+        # sequenced MERGE: a late/replayed batch carrying an OLDER sequence
+        # must not regress the stored row; updates win sequence ties
+        m = m.whenMatchedUpdateAll(
+            condition=f"s.`{sequence_column}` >= t.`{sequence_column}`"
+        )
+    m.whenNotMatchedInsertAll().execute()
     return True
 
 
@@ -115,19 +119,45 @@ def _upsert(updates: DataFrame, path: str, key_columns: list[str],
             w = w.partitionBy(*partition_by)
         w.mode("overwrite").parquet(path)
         return
-    # updates win on key collision; dedupe the batch itself first so the
-    # anti-join and union are deterministic
+    # dedupe the batch itself first so the merge is deterministic; no
+    # broadcast hint on the key frame — a backfill-sized update batch
+    # would blow the broadcast limit, and Catalyst/AQE already broadcasts
+    # small sides on its own
     deduped = _latest_per_key(updates, key_columns, sequence_column)
     old = spark.read.parquet(path)
-    kept = old.join(F.broadcast(deduped.select(*key_columns)), on=key_columns, how="left_anti")
-    merged = kept.unionByName(deduped, allowMissingColumns=True)
+    if sequence_column is None:
+        # updates win on key collision
+        kept = old.join(deduped.select(*key_columns), on=key_columns, how="left_anti")
+        merged = kept.unionByName(deduped, allowMissingColumns=True)
+    else:
+        # sequenced upsert across batches: the STORED row wins when its
+        # sequence is newer (late/replayed batches must not regress a
+        # key); updates win ties. Mirrors the Delta MERGE condition above.
+        tagged = old.withColumn("__src", F.lit(0)).unionByName(
+            deduped.withColumn("__src", F.lit(1)), allowMissingColumns=True
+        )
+        w_seq = Window.partitionBy(*key_columns).orderBy(
+            F.col(sequence_column).desc(), F.col("__src").desc()
+        )
+        merged = (
+            tagged.withColumn("__rn", F.row_number().over(w_seq))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
 
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     w = merged.write
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.mode("overwrite").parquet(staging)
+    # Prune backups from PREVIOUS upserts, then keep this one until the
+    # next refresh: an in-flight reader that resolved file paths against
+    # the pre-swap directory keeps scanning the retained backup instead of
+    # failing mid-query. (Local-FS staging can't swap two directories
+    # atomically; the retained generation is the pragmatic middle ground —
+    # the transactional answer is the Delta MERGE branch above.)
+    for leftover in glob.glob(f"{path}__old_*"):
+        shutil.rmtree(leftover, ignore_errors=True)
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, backup)
     os.rename(staging, path)
-    shutil.rmtree(backup)

@@ -89,28 +89,34 @@ class LiveTable:
     # ------------------------------------------------------------- refresh
 
     def refresh(self, spark: SparkSession, trigger: str = "manual",
-                changes_detected: int = 0) -> RefreshEvent:
+                changes_detected: int = 0, at: datetime | None = None) -> RefreshEvent:
         t0 = time.perf_counter()
         ev = RefreshEvent(
             trigger=trigger,
             status="completed",
             changes_detected=changes_detected,
-            at=datetime.now(timezone.utc).isoformat(),
+            at=(at or datetime.now(timezone.utc)).isoformat(),
         )
         try:
             result = self.compute(spark)
-            # stage-and-swap (same pattern as the upsert writer) so readers
-            # never observe a half-written materialization
+            # stage-and-swap (same pattern as the upsert writer): readers
+            # never see a half-written materialization, and the PREVIOUS
+            # generation is retained until the next refresh so an in-flight
+            # query holding pre-swap file references keeps scanning the
+            # retained backup instead of failing mid-scan (local-FS
+            # directories can't be swapped atomically)
             staging = f"{self.storage_path}__staging_{uuid.uuid4().hex[:8]}"
             result.write.mode("overwrite").parquet(staging)
             n = spark.read.parquet(staging).count()
             if os.path.exists(self.storage_path):
+                import glob
                 import shutil
 
+                for leftover in glob.glob(f"{self.storage_path}__old_*"):
+                    shutil.rmtree(leftover, ignore_errors=True)
                 old = f"{self.storage_path}__old_{uuid.uuid4().hex[:8]}"
                 os.rename(self.storage_path, old)
                 os.rename(staging, self.storage_path)
-                shutil.rmtree(old)
             else:
                 os.rename(staging, self.storage_path)
             ev.rows_affected = n
@@ -126,6 +132,48 @@ class LiveTable:
         os.makedirs(os.path.dirname(self._history_path) or ".", exist_ok=True)
         with open(self._history_path, "a") as f:
             f.write(json.dumps(ev.__dict__) + "\n")
+
+    # ----------------------------------------------------------- schedule
+
+    def scheduled_due(self, now: datetime | None = None) -> bool:
+        """True when the hourly/daily/weekly policy calls for a refresh:
+        the most recent scheduling boundary (top of hour; ``schedule_time``
+        today; Monday ``schedule_time``) has passed with no completed
+        refresh since. Callers drive this from their own ticker (cron, the
+        orchestrator codegen, a driver loop) — the engine deliberately
+        owns no background thread, matching the job scheduler split in
+        transforms/schedule.py."""
+        from datetime import timedelta
+        from zoneinfo import ZoneInfo
+
+        p = self.policy
+        if p.mode not in ("hourly", "daily", "weekly"):
+            return False
+        tz = ZoneInfo(p.timezone)
+        now_l = (now or datetime.now(timezone.utc)).astimezone(tz)
+        if p.mode == "hourly":
+            boundary = now_l.replace(minute=0, second=0, microsecond=0)
+        else:
+            hh, mm = map(int, (p.schedule_time or "00:00").split(":"))
+            boundary = now_l.replace(hour=hh, minute=mm, second=0, microsecond=0)
+            if boundary > now_l:
+                boundary -= timedelta(days=1)
+            if p.mode == "weekly":
+                boundary -= timedelta(days=boundary.weekday())  # back to Monday
+        done = [
+            datetime.fromisoformat(e.at).astimezone(tz)
+            for e in self.refresh_history()
+            if e.status == "completed" and e.at
+        ]
+        return not done or max(done) < boundary
+
+    def run_pending(
+        self, spark: SparkSession, now: datetime | None = None
+    ) -> RefreshEvent | None:
+        """Refresh if the schedule is due; the scheduled-mode entry point."""
+        if self.scheduled_due(now):
+            return self.refresh(spark, trigger="scheduled", at=now)
+        return None
 
     def refresh_history(self) -> list[RefreshEvent]:
         if not self.events and os.path.exists(self._history_path):

@@ -54,7 +54,10 @@ def _decay_series(
         if mean is None:
             mean = float(v)
         else:
-            w = math.exp(-lam * max(t - (last or t), 0.0))
+            # explicit None check: a legitimate prev_ts of exactly 0.0
+            # (epoch) must not be treated as missing (`last or t` would)
+            gap = (t - last) if last is not None else 0.0
+            w = math.exp(-lam * max(gap, 0.0))
             mean = w * mean + (1.0 - w) * float(v)
         last = t
         out.append(mean)
@@ -98,26 +101,28 @@ def decayed_mean_stream(
             state.remove()
             return
         prev_mean, prev_ts = state.get if state.exists else (None, None)
-        outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_column)
-            means, prev_mean, prev_ts = _decay_series(
-                pdf[time_column], pdf[value_column], hl, prev_mean, prev_ts
-            )
-            outs.append(
-                pd.DataFrame(
-                    {
-                        key: pdf[key].to_numpy(),
-                        time_column: pdf[time_column].to_numpy(),
-                        value_column: pdf[value_column].to_numpy(),
-                        "decayed_mean": means.round(6).to_numpy(),
-                    }
-                )
-            )
+        # The runtime hands a key's micro-batch as an ITERATOR of Arrow
+        # chunks in no guaranteed order; folding each chunk independently
+        # would process a large key's rows out of global time order and
+        # corrupt both the emitted means and the persisted state. Concat
+        # and sort ONCE — bounded by one key's rows in one micro-batch.
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(time_column)
+        if batch.empty:
+            return
+        means, prev_mean, prev_ts = _decay_series(
+            batch[time_column], batch[value_column], hl, prev_mean, prev_ts
+        )
         if prev_mean is not None:
             state.update((float(prev_mean), float(prev_ts)))
             state.setTimeoutDuration(ttl_ms)
-        yield from outs
+        yield pd.DataFrame(
+            {
+                key: batch[key].to_numpy(),
+                time_column: batch[time_column].to_numpy(),
+                value_column: batch[value_column].to_numpy(),
+                "decayed_mean": means.round(6).to_numpy(),
+            }
+        )
 
     out_schema = (
         f"{key} {key_type}, {time_column} timestamp, "

@@ -171,8 +171,14 @@ def window_agg_to_sql(spec: WindowSpec, table: str) -> str:
     )
     key_sql = ("".join(f"{k}, " for k in keys))
 
+    # epoch origin: DuckDB time_bucket's default origin is 2000-01-03,
+    # while Spark F.window aligns buckets to the epoch — identical results
+    # only for widths dividing 86400 s; "5h" or "1w" would shift every
+    # window_start without the explicit origin
+    _EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+
     if isinstance(spec, TumblingWindowSpec):
-        bucket = f"time_bucket({_duration_sql(spec.size)}, {ts})"
+        bucket = f"time_bucket({_duration_sql(spec.size)}, {ts}, {_EPOCH})"
         return (
             f"SELECT strftime({bucket}, '{_TS_FMT_DUCK}') AS window_start, "
             f"{key_sql}{metric_sql} FROM {table} GROUP BY {bucket}"
@@ -183,7 +189,8 @@ def window_agg_to_sql(spec: WindowSpec, table: str) -> str:
         # row → its size/slide overlapping windows: shifted-bucket UNION
         slide = _duration_sql(spec.slide)
         shifted = " UNION ALL ".join(
-            f"SELECT time_bucket({slide}, {ts}) - {k} * {slide} AS ws, * FROM {table}"
+            f"SELECT time_bucket({slide}, {ts}, {_EPOCH}) - {k} * {slide} AS ws, * "
+            f"FROM {table}"
             for k in range(spec.windows_per_row)
         )
         return (

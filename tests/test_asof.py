@@ -98,3 +98,38 @@ def test_single_shuffle_plan(frames):
     spine, feats = frames
     plan = asof_join(spine, feats, on="k")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_null_feature_value_does_not_fall_through(spark):
+    """A genuinely NULL feature value must stay NULL on the matched row —
+    per-column filling would blend it with an OLDER row's value (and sneak
+    stale data past the tolerance gate). Matches DuckDB ASOF semantics."""
+    import duckdb
+
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 0, 0, 10))], ["uid", "ts"]
+    )
+    feat = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 1, 0, 0, 5), 1.0, 9.0),
+            (1, dt.datetime(2026, 1, 1, 0, 0, 10), None, 2.0),
+        ],
+        "uid long, ts timestamp, a double, b double",
+    )
+    row = asof_join(spine, feat, on="uid", value_cols=["a", "b"]).collect()[0]
+    assert row.a is None and row.b == 2.0  # no blend with the ts=5 row
+    # tolerance: the NULL-carrying row IS the match; a 2s window must not
+    # resurrect the 5s-old a=1.0
+    row2 = asof_join(
+        spine, feat, on="uid", value_cols=["a", "b"], tolerance_seconds=2
+    ).collect()[0]
+    assert row2.a is None and row2.b == 2.0
+    # cross-engine: DuckDB ASOF returns the same shape
+    con = duckdb.connect()
+    con.register("s", spine.toPandas())
+    con.register("f", feat.toPandas())
+    want = con.sql(
+        "SELECT s.uid, s.ts, f.a, f.b FROM s ASOF LEFT JOIN f "
+        "ON s.uid = f.uid AND s.ts >= f.ts"
+    ).fetchall()[0]
+    assert want[2] is None or (want[2] != want[2])  # NULL/NaN, never 1.0

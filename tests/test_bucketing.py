@@ -47,3 +47,19 @@ def test_colocated_join_has_no_shuffle(spark, bucketed_pair):
 def test_bucketed_write_requires_keys(spark):
     with pytest.raises(ValueError):
         write_bucketed(spark.range(3), "b_bad", [])
+
+
+def test_exchange_count_excludes_broadcast(spark):
+    """exchange_count is a SHUFFLE counter: a broadcast-joined plan has a
+    BroadcastExchange node (which contains the substring "Exchange ") but
+    zero shuffles and must report 0."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.io.bucketing import exchange_count
+
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    small = spark.createDataFrame([(i, f"v{i}") for i in range(5)], ["k", "v"])
+    joined = big.join(F.broadcast(small), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # precondition: broadcast happened
+    assert exchange_count(joined) == 0

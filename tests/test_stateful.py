@@ -119,3 +119,52 @@ def test_stateful_dedup_stream(spark, tmp_path):
     rows = spark.sql("SELECT k, COUNT(*) AS n FROM dedup_test GROUP BY k").collect()
     counts = {r["k"]: r["n"] for r in rows}
     assert counts == {"a": 1, "b": 1}
+
+
+def test_stream_folds_multi_chunk_groups_in_time_order(spark, tmp_path):
+    """Regression: a key whose micro-batch spans multiple Arrow chunks must
+    be folded in GLOBAL time order — per-chunk sorting produced wrong means
+    and wrong persisted state. Force tiny Arrow chunks and compare the
+    streaming fold against the batch fold on identical data."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.streaming.stateful import (
+        decayed_mean_batch,
+        decayed_mean_stream,
+    )
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "7")
+    try:
+        rows = [
+            # one key, 40 events, timestamps deliberately NOT in input order
+            (1, datetime(2026, 1, 1) + timedelta(seconds=((i * 17) % 40) * 30), float(i))
+            for i in range(40)
+        ]
+        src = str(tmp_path / "in")
+        df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema("uid long, ts timestamp, v double").parquet(src)
+        out_rows = []
+        q = (
+            decayed_mean_stream(stream, "uid", "ts", "v", half_life="5m")
+            .writeStream.format("memory")
+            .queryName("chunk_fold")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.uid, r.ts): r.decayed_mean
+            for r in spark.sql("SELECT * FROM chunk_fold").collect()
+        }
+        want = {
+            (r.uid, r.ts): r.decayed_mean
+            for r in decayed_mean_batch(df, "uid", "ts", "v", half_life="5m").collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(conf, old)

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import os
 import time
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 import pytest
 from pyspark.sql import functions as F
@@ -333,3 +333,79 @@ def test_watermark_late_data_inclusion_and_exclusion(spark, tmp_path):
     assert got["2024-01-01 12:00:00"] == (2, 8.5), got
     # w13 never closes (watermark never passes 14:00) -> not emitted
     assert "2024-01-01 13:00:00" not in got, got
+
+
+def test_window_oracle_epoch_alignment_nondaily_sizes(spark):
+    """Regression: DuckDB time_bucket defaults to a 2000-01-03 origin while
+    Spark windows are epoch-aligned — identical only for widths dividing a
+    day. A 5-hour tumbling window must produce the same window_start on
+    both engines."""
+    import duckdb
+
+    from raise_featurestore_spark.streaming.windows import (
+        TumblingWindowSpec,
+        compile_window_agg,
+        window_agg_to_sql,
+    )
+
+    rows = [
+        (i, datetime(2026, 1, 1) + timedelta(hours=3 * i), float(i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    spec = TumblingWindowSpec(
+        size="5h", time_column="ts", feature="value", metrics=["count", "sum"]
+    )
+    got = {
+        r.window_start: (r.count_value, r.sum_value)
+        for r in compile_window_agg(df, spec).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(window_agg_to_sql(spec, "t")).fetchall()
+    }
+    assert got == want
+
+
+def test_live_table_scheduled_refresh(spark, tmp_path):
+    """hourly/daily/weekly policies are driven by run_pending(): due when
+    the latest scheduling boundary passed without a completed refresh."""
+    from raise_featurestore_spark.streaming.live_table import (
+        LiveTable,
+        RefreshPolicy,
+    )
+
+    lt = LiveTable(
+        name="sched",
+        compute=lambda s: s.range(3),
+        storage_path=str(tmp_path / "sched_tbl"),
+        policy=RefreshPolicy(mode="daily", schedule_time="06:00", timezone="UTC"),
+    )
+    t0 = datetime(2026, 3, 2, 7, 0, tzinfo=timezone.utc)  # past 06:00 boundary
+    ev = lt.run_pending(spark, now=t0)
+    assert ev is not None and ev.status == "completed" and ev.trigger == "scheduled"
+    # same day, later: boundary already satisfied -> not due
+    assert lt.run_pending(spark, now=t0.replace(hour=23)) is None
+    # next day after 06:00 -> due again
+    assert lt.scheduled_due(datetime(2026, 3, 3, 6, 1, tzinfo=timezone.utc))
+    # before the boundary -> not due
+    assert not lt.scheduled_due(datetime(2026, 3, 3, 5, 59, tzinfo=timezone.utc))
+    # weekly: boundary is Monday schedule_time (2026-03-02 is a Monday)
+    lt2 = LiveTable(
+        name="sched_w",
+        compute=lambda s: s.range(1),
+        storage_path=str(tmp_path / "sched_tbl2"),
+        policy=RefreshPolicy(mode="weekly", schedule_time="06:00", timezone="UTC"),
+    )
+    assert lt2.scheduled_due(datetime(2026, 3, 4, 12, 0, tzinfo=timezone.utc))
+    lt2.run_pending(spark, now=datetime(2026, 3, 4, 12, 0, tzinfo=timezone.utc))
+    # Sunday of the same week: same Monday boundary already satisfied
+    assert not lt2.scheduled_due(datetime(2026, 3, 8, 12, 0, tzinfo=timezone.utc))
+    # manual mode never schedules
+    lt3 = LiveTable(
+        name="manual", compute=lambda s: s.range(1),
+        storage_path=str(tmp_path / "m"), policy=RefreshPolicy(mode="manual"),
+    )
+    assert not lt3.scheduled_due(t0)

@@ -685,8 +685,9 @@ def test_upsert_branch_selection_and_delta_merge_contract(spark, tmp_path, monke
             calls["cond"] = cond
             calls["chain"] = []
 
-        def whenMatchedUpdateAll(self):
+        def whenMatchedUpdateAll(self, condition=None):
             calls["chain"].append("matched_update")
+            calls["matched_condition"] = condition
             return self
 
         def whenNotMatchedInsertAll(self):
@@ -736,6 +737,8 @@ def test_upsert_branch_selection_and_delta_merge_contract(spark, tmp_path, monke
     write_feature_group(ups3, path, mode="upsert", key_columns=["k"], sequence_column="seq")
     assert calls["chain"] == ["matched_update", "not_matched_insert", "execute"]
     assert calls["cond"] == "t.`k` = s.`k`"
+    # sequenced MERGE guards against late batches regressing a stored row
+    assert calls["matched_condition"] == "s.`seq` >= t.`seq`"
     assert calls["source_rows"] == [(5, "e-new", 9)]  # deduped to max seq
     # MERGE branch handled the write: parquet table untouched by ups3
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2, 3, 4}
@@ -785,3 +788,32 @@ def test_dagster_and_prefect_codegen(tmp_path):
     manual_flow = generate_prefect_flow(job, ManualSchedule())
     assert "schedule=" not in manual_flow
     compile(manual_flow, "<prefect>", "exec")
+
+
+def test_upsert_stored_row_wins_when_sequence_newer(spark, tmp_path):
+    """Cross-batch sequence semantics: a late/replayed batch carrying an
+    OLDER sequence must not regress the stored row (previously the
+    anti-join let any update batch clobber newer stored data); updates
+    win sequence ties."""
+    from raise_featurestore_spark.io.writer import write_feature_group
+
+    path = str(tmp_path / "seq_tbl")
+    write_feature_group(
+        spark.createDataFrame([(1, "v10", 10)], "k long, v string, seq long"),
+        path, mode="overwrite",
+    )
+    # late batch with older sequence: stored row must survive
+    write_feature_group(
+        spark.createDataFrame([(1, "stale", 5), (2, "new", 1)],
+                              "k long, v string, seq long"),
+        path, mode="upsert", key_columns=["k"], sequence_column="seq",
+    )
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("v10", 10), 2: ("new", 1)}
+    # equal sequence: the update wins (upsert tie semantics)
+    write_feature_group(
+        spark.createDataFrame([(1, "tie", 10)], "k long, v string, seq long"),
+        path, mode="upsert", key_columns=["k"], sequence_column="seq",
+    )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[1] == "tie"
