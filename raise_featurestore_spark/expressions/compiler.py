@@ -121,9 +121,12 @@ def hoist_global_aggregates(df: DataFrame, expr: str) -> tuple[DataFrame, str]:
             uniq[call] = f"__gagg_{len(uniq)}"
     agg_frame = df.agg(*[F.expr(call).alias(alias) for call, alias in uniq.items()])
     joined = df.join(F.broadcast(agg_frame))
+    # splice by the exact spans _find_bare_aggregates reported, back to
+    # front — a plain str.replace would also clobber a textually identical
+    # WINDOWED call ("AVG(x) OVER (...)") or text inside a string literal
     new_expr = expr
-    for call, alias in sorted(uniq.items(), key=lambda kv: -len(kv[0])):
-        new_expr = new_expr.replace(call, alias)
+    for start, end, call in sorted(calls, key=lambda c: -c[0]):
+        new_expr = new_expr[:start] + uniq[call] + new_expr[end:]
     return joined, new_expr
 
 

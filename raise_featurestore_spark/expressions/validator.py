@@ -97,7 +97,9 @@ KEYWORDS = {
 _STRING_LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.)*'")
 _NUMBER_RE = re.compile(r"^\d+(\.\d+)?([eE][+-]?\d+)?$")
 # candidate reference tokens, including path syntax: @org/d/p/g.f, p/g.f, g.f, f, f@v2
-_TOKEN_RE = re.compile(r"@?[A-Za-z_][\w\-./@]*|\d+\.?\d*")
+# numbers first so scientific notation (1.5e3) lexes as ONE numeric token
+# instead of number + bogus identifier 'e3'
+_TOKEN_RE = re.compile(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|@?[A-Za-z_][\w\-./@]*")
 
 
 @dataclass
@@ -151,8 +153,19 @@ def _suggest(name: str, known: set[str]) -> str | None:
     return None
 
 
-def extract_references(expr: str) -> tuple[list[str], list[str]]:
-    """Return (candidate reference tokens, function call names)."""
+def extract_references(
+    expr: str, known_features: set[str] | None = None
+) -> tuple[list[str], list[str]]:
+    """Return (candidate reference tokens, function call names).
+
+    ``-`` and ``/`` are legal INSIDE path references (hyphenated group
+    names, path separators) but are also arithmetic operators, so an
+    unspaced ``clicks/impressions`` lexes as one token. A genuine path
+    reference always contains ``.`` (it ends in ``group.feature``) — a
+    DOTLESS token containing ``-`` or ``/`` that isn't itself a known
+    local feature is therefore unspaced arithmetic and is re-split into
+    its operand identifiers. (``a/b.c`` stays a path reference: write
+    division around dotted names with spaces.)"""
     stripped = _strip_literals(expr)
     funcs: list[str] = []
     refs: list[str] = []
@@ -162,6 +175,21 @@ def extract_references(expr: str) -> tuple[list[str], list[str]]:
         if _NUMBER_RE.match(tok):
             continue
         if tok.upper() in KEYWORDS:
+            continue
+        if (
+            "." not in tok
+            and not tok.startswith("@")
+            and ("/" in tok or "-" in tok)
+            and not (known_features and tok in known_features)
+        ):
+            parts = [p for p in re.split(r"[-/]+", tok) if p]
+            for i, p in enumerate(parts):
+                if _NUMBER_RE.match(p) or p.upper() in KEYWORDS:
+                    continue
+                if i == len(parts) - 1 and rest.startswith("("):
+                    funcs.append(p)
+                else:
+                    refs.append(p)
             continue
         if rest.startswith("("):
             funcs.append(tok)
@@ -191,7 +219,7 @@ def validate_expression(
     if not _paren_balanced(_strip_literals(expr)):
         errors.append(ValidationIssue("UNBALANCED_PARENS", "unbalanced parentheses"))
 
-    ref_tokens, func_tokens = extract_references(expr)
+    ref_tokens, func_tokens = extract_references(expr, known_features)
 
     for fn in func_tokens:
         if fn.upper() not in ALL_FUNCTIONS:

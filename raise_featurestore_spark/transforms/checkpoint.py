@@ -95,10 +95,17 @@ class Checkpoint:
     updated_at: str | None = None
 
     def effective_lower_bound(self, lookback: str | None) -> Any:
-        """checkpoint - lookback (late-data window); None if no checkpoint yet."""
+        """checkpoint - lookback (late-data window); None if no checkpoint yet.
+
+        Lookback only applies to time-valued checkpoints; OFFSET/SEQUENCE
+        and COMPOSITE (dict-valued) marks pass through unchanged — a
+        composite's members advance together and rewinding one member
+        without the others would re-read an inconsistent slice."""
         if self.value is None:
             return None
-        if lookback is None or self.type in (CheckpointType.OFFSET, CheckpointType.SEQUENCE):
+        if lookback is None or not isinstance(self.value, str):
+            return self.value
+        if self.type in (CheckpointType.OFFSET, CheckpointType.SEQUENCE):
             return self.value
         secs = parse_duration_seconds(lookback)
         ts = datetime.fromisoformat(self.value)

@@ -200,9 +200,18 @@ class InferenceTransform:
         ) + f", {out_col} {out_type}"
 
         def predict_chunk(model, chunk: pd.DataFrame) -> pd.DataFrame:
-            mat = _to_matrix(chunk, in_cols)
-            if pre is not None:
-                mat = pre(mat)
+            try:
+                mat = _to_matrix(chunk, in_cols)
+                if pre is not None:
+                    mat = pre(mat)
+            except (ValueError, TypeError):
+                if pre is None:
+                    raise
+                # non-numeric inputs (text prompts, raw bytes): float64
+                # conversion can't work, so the preprocess hook IS the
+                # featurizer — hand it the raw column frame instead of
+                # failing before it ever runs (embedding/llm_inference)
+                mat = pre(chunk[in_cols])
             preds = np.asarray(model.predict(mat))
             if post is not None:
                 preds = post(preds)

@@ -267,10 +267,19 @@ class Job:
             run.rows_read = sum(int(o.get["n"]) for o in read_obs)
             run.user_metrics = dict(ctx.metrics)
 
-            # quality gate on what was just written (one fused scan)
+            # quality gate on the BATCH that was just written, not the
+            # accumulated table — an append target re-checked over history
+            # would drift (RowCountCheck fails on run 2) and cost O(table)
+            # per run instead of O(batch). For overwrite the table IS the
+            # batch, so re-reading the written parquet is the cheap form;
+            # append/upsert re-run the (lazy) batch pipeline for the check.
             if self.quality_checks:
-                written = spark.read.parquet(self.target.path)
-                run.quality = run_checks(written, self.quality_checks)
+                scope = (
+                    spark.read.parquet(self.target.path)
+                    if mode == "overwrite"
+                    else out
+                )
+                run.quality = run_checks(scope, self.quality_checks)
                 if run.quality.should_fail_job():
                     raise QualityGateError(
                         "quality checks failed: "

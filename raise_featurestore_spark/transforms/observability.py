@@ -128,9 +128,15 @@ class UniqueCheck(_AggCheck):
         self.name = self.name or f"unique_{'_'.join(self.columns)}"
 
     def agg_exprs(self, p: str) -> list[Column]:
+        # null-safe distinct: countDistinct DROPS rows with any NULL key
+        # column, which would count every null-keyed row as a duplicate.
+        # Hashing the key struct keeps nulls as a distinct value (xxhash64
+        # collision odds are 2^-64-scale — negligible against row counts).
         return [
             F.count(F.lit(1)).alias(f"{p}_n"),
-            F.countDistinct(*[F.col(c) for c in self.columns]).alias(f"{p}_d"),
+            F.countDistinct(
+                F.xxhash64(F.struct(*[F.col(c) for c in self.columns]))
+            ).alias(f"{p}_d"),
         ]
 
     def evaluate(self, row: dict[str, Any], p: str) -> CheckResult:

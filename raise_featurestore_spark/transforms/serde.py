@@ -71,8 +71,16 @@ def transform_to_dict(t: Any) -> dict:
     if isinstance(t, SQLTransform):
         return {"type": "sql", "sql": t.sql, "source_aliases": dict(t.source_aliases)}
     if isinstance(t, PandasBatchTransform):
+        from pyspark.sql.types import StructType
+
+        # StructType's str() is a repr, not DDL — simpleString() round-trips
+        schema = (
+            t.schema.simpleString()
+            if isinstance(t.schema, StructType)
+            else str(t.schema)
+        )
         return {"type": "pandas_batch", "fn": _fn_ref(t.fn),
-                "schema": str(t.schema), "name": t.name}
+                "schema": schema, "name": t.name}
     if isinstance(t, PythonTransform):
         return {"type": "python", "fn": _fn_ref(t.fn), "name": t.name}
     if isinstance(t, HybridTransform):
@@ -105,13 +113,22 @@ def source_to_dict(s: Any) -> dict:
         raise TypeError(f"source type {tname} is not serializable")
     d = {f.name: getattr(s, f.name) for f in fields(s) if not f.name.startswith("_")}
     d["type"] = tname
+    # partition narrowing is builder state outside the public fields — a
+    # round-trip that dropped it would silently scan the ENTIRE dataset
+    pv = getattr(s, "_partition_values", None)
+    if pv:
+        d["partitions"] = [list(p) for p in pv]
     return d
 
 
 def source_from_dict(d: dict) -> Any:
     d = dict(d)
     cls = _SOURCE_TYPES[d.pop("type")]
-    return cls(**d)
+    partitions = d.pop("partitions", None)
+    src = cls(**d)
+    for col, val in partitions or []:
+        src = src.with_partition(col, val)
+    return src
 
 
 # ---------------------------------------------------------------- target/job

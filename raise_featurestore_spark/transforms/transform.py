@@ -99,6 +99,11 @@ class SQLTransform:
     ) -> DataFrame:
         for alias, df in sources.items():
             df.createOrReplaceTempView(alias)
+        # source_aliases maps SQL view name -> sources key, letting the SQL
+        # refer to a source under a different name than the job wired it as
+        for view, src in (self.source_aliases or {}).items():
+            if src in sources:
+                sources[src].createOrReplaceTempView(view)
         return spark.sql(self.get_sql(context))
 
 

@@ -115,3 +115,37 @@ class TestLineage:
             g.add("a", {"c"})
         with pytest.raises(CycleError):
             g.add("x", {"x"})
+
+
+def test_unspaced_arithmetic_and_scientific_literals(spark):
+    """Regression: '-' and '/' are path-reference characters, but a DOTLESS
+    token containing them is unspaced arithmetic; exponent literals lex as
+    one number (not number + bogus 'e3' reference)."""
+    from raise_featurestore_spark.expressions.compiler import compile_expression
+    from raise_featurestore_spark.expressions.validator import validate_expression
+
+    r = validate_expression("clicks/impressions", known_features={"clicks", "impressions"})
+    assert r.valid, [i.message for i in r.errors]
+    r2 = validate_expression("price-cost", known_features={"price", "cost"})
+    assert r2.valid
+    r3 = validate_expression("x * 1.5e3", known_features={"x"})
+    assert r3.valid
+    # dotted names keep path-reference semantics
+    r4 = validate_expression("item-signals.item_embedding")
+    assert r4.valid and r4.reference_strings == ["?/?/?/item-signals/item_embedding"]
+    df = spark.createDataFrame([(10.0, 4.0)], "price double, cost double")
+    _, col = compile_expression(df, "price-cost")
+    assert df.select(col.alias("m")).first().m == 6.0
+
+
+def test_hoisted_aggregate_does_not_clobber_windowed_twin(spark):
+    """Regression: hoisting rewrote by str.replace, clobbering a textually
+    identical WINDOWED aggregate; spans are spliced individually now."""
+    from raise_featurestore_spark.expressions.compiler import compile_expression
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (2, 5.0)], "g int, x double"
+    )
+    d2, col = compile_expression(df, "AVG(x) - AVG(x) OVER (PARTITION BY g)")
+    got = sorted(round(r.v, 6) for r in d2.select(col.alias("v")).collect())
+    assert got == [-2.0, 1.0, 1.0]  # global 3.0 minus group means 2.0/2.0/5.0

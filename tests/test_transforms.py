@@ -817,3 +817,98 @@ def test_upsert_stored_row_wins_when_sequence_newer(spark, tmp_path):
     )
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got[1] == "tie"
+
+
+def test_sql_transform_source_aliases_register_views(spark):
+    t = SQLTransform("SELECT COUNT(*) AS n FROM o", source_aliases={"o": "orders"})
+    orders = spark.range(7).withColumnRenamed("id", "o_id")
+    out = t.apply(spark, _ctx(), {"orders": orders})
+    assert out.first().n == 7
+
+
+def test_serde_round_trips_partitions_and_structtype_schema(spark):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from raise_featurestore_spark.transforms.serde import (
+        source_from_dict,
+        source_to_dict,
+        transform_from_dict,
+        transform_to_dict,
+    )
+
+    src = ObjectStorageSource(path="s3://b/t").with_partition("dt", "2024-01-01")
+    back = source_from_dict(source_to_dict(src))
+    assert back.resolved_path == "s3://b/t/dt=2024-01-01"
+
+    t = PandasBatchTransform(
+        fn=_serde_schema_fn,
+        schema=StructType([StructField("a", IntegerType())]),
+    )
+    d = transform_to_dict(t)
+    assert d["schema"] == "struct<a:int>"  # DDL, not the StructType repr
+    t2 = transform_from_dict(d)
+    # schema parses at plan-build time (lazy — no executor round-trip,
+    # which module-level test functions can't survive)
+    spark.createDataFrame([(1,)], "a int").mapInPandas(
+        lambda it: it, schema=t2.schema
+    )
+
+
+def _serde_schema_fn(pdf):
+    return pdf
+
+
+def test_composite_checkpoint_lookback_passthrough():
+    chk = Checkpoint(CheckpointType.COMPOSITE, {"dt": "2024-01-01", "seq": 5})
+    assert chk.effective_lower_bound("2h") == {"dt": "2024-01-01", "seq": 5}
+
+
+def test_unique_check_tolerates_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (None,)], "k int"
+    )
+    rep = run_checks(df, [UniqueCheck(columns=["k"])])
+    assert rep.passed  # a single null-keyed row is not a duplicate
+    dup = spark.createDataFrame([(1,), (1,), (None,), (None,)], "k int")
+    rep2 = run_checks(dup, [UniqueCheck(columns=["k"])])
+    assert not rep2.passed  # two nulls ARE duplicates of each other
+
+
+def test_inference_preprocess_receives_raw_text_columns(spark):
+    """Non-numeric input columns reach the preprocess hook as the raw
+    column frame (float64 conversion cannot run first)."""
+    import numpy as np
+
+    class LenModel:  # local class: cloudpickled by value for the workers
+        def predict(self, mat):
+            return mat[:, 0]
+
+    t = InferenceTransform(
+        model=ModelSpec(uri="len", loader=lambda uri: LenModel()),
+        input_columns=["text"],
+        output_column="n",
+        preprocess=lambda sub: np.array([[float(len(s))] for s in sub["text"]]),
+    )
+    df = spark.createDataFrame([("abc",), ("de",)], "text string")
+    got = {r.text: r.n for r in t.apply(df).collect()}
+    assert got == {"abc": 3.0, "de": 2.0}
+
+
+def test_quality_gate_scopes_to_batch_on_append(spark, tmp_path):
+    """Append-target quality checks evaluate the batch, not accumulated
+    history — a RowCountCheck(expected=batch) must pass on every run."""
+    out_path = str(tmp_path / "batch_scope")
+    src_path = str(tmp_path / "src")
+    spark.range(5).write.mode("overwrite").parquet(src_path)
+    job = Job(
+        job_id="append_batch",
+        sources={"s": FileSystemSource(path=src_path)},
+        transform=SQLTransform("SELECT * FROM s"),
+        target=Target(path=out_path, write_mode="append"),
+        quality_checks=[RowCountCheck(expected=5)],
+    )
+    job.deploy()
+    assert job.run(spark).status == "completed"
+    run2 = job.run(spark)  # second append: table has 10 rows, batch has 5
+    assert run2.status == "completed", run2.error
+    assert spark.read.parquet(out_path).count() == 10
