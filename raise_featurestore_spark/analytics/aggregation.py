@@ -209,11 +209,17 @@ def compile_aggregation(
     grouped = df.groupBy(spec.group_by).agg(*aggs) if spec.group_by else df.agg(*aggs)
     if distinct_aggs:
         dg = df.groupBy(spec.group_by).agg(*distinct_aggs) if spec.group_by else df.agg(*distinct_aggs)
-        grouped = (
-            grouped.join(dg, on=spec.group_by, how="inner")
-            if spec.group_by
-            else grouped.crossJoin(dg)
-        )
+        if spec.group_by:
+            # eqNullSafe: a plain equi-join would drop the NULL group that
+            # both groupBy results contain (only the split path rejoins,
+            # so percentiles+distinct_count would lose rows other metric
+            # combinations keep)
+            dg = dg.withColumnRenamed(spec.group_by, "__gb_dist")
+            grouped = grouped.join(
+                dg, F.col(spec.group_by).eqNullSafe(F.col("__gb_dist")), "inner"
+            ).drop("__gb_dist")
+        else:
+            grouped = grouped.crossJoin(dg)
     if not pct_metrics:
         return grouped
 
@@ -241,8 +247,13 @@ def aggregation_to_sql(
         where.append(f"({spec.filter})")
     if spec.window:
         secs = parse_duration_seconds(spec.window)
+        # anchor MAX under the same filter the compiled plan applies —
+        # an unfiltered anchor would pick a different 7-day slice whenever
+        # the filter excludes the newest rows
+        anchor_where = f" WHERE ({spec.filter})" if spec.filter else ""
         where.append(
-            f"{spec.time_column} >= (SELECT MAX({spec.time_column}) FROM {table})"
+            f"{spec.time_column} >= "
+            f"(SELECT MAX({spec.time_column}) FROM {table}{anchor_where})"
             f" - INTERVAL {secs} SECOND"
         )
     where_sql = (" WHERE " + " AND ".join(where)) if where else ""

@@ -62,6 +62,11 @@ class Condition:
         if self.metric not in result:
             raise KeyError(f"metric {self.metric!r} not in result {sorted(result)}")
         observed = result[self.metric]
+        if observed is None:
+            # NULL metric (e.g. a stat test on empty input): nothing was
+            # observed, so no threshold can have been crossed — don't
+            # crash the whole alert sweep on a None comparison
+            return False
         op = self.op
         if op in (Op.GT, Op.PSI_GT, Op.KL_GT, Op.CHANGE_PCT_GT):
             return observed > self.value

@@ -167,7 +167,8 @@ def kendall_to_sql(
 
 
 def correlation_to_sql(
-    spec: Correlation, table: str, round_to: int | None = DEFAULT_ROUND
+    spec: Correlation, table: str, round_to: int | None = DEFAULT_ROUND,
+    seed: int = 42,
 ) -> str:
     """DuckDB SQL for pearson/spearman (sampled kendall: kendall_to_sql)."""
     if spec.method == "kendall":
@@ -177,14 +178,27 @@ def correlation_to_sql(
     notnull = " AND ".join(f"{ft} IS NOT NULL" for ft in feats)
     where = f"{where} AND {notnull}" if where else f" WHERE {notnull}"
 
+    base = f"SELECT {', '.join(feats)} FROM {table}{where}"
+    if spec.sample_size:
+        # mirror _prepare's deterministic sample (same salted-hash order
+        # kendall_to_sql uses) — without it the oracle correlates the FULL
+        # table against Spark's sampled rows
+        from raise_featurestore_spark.dataprep import hashing as H
+
+        key = H.h32_sql(
+            f"'{seed}' || '|' || "
+            + " || '|' || ".join(f"CAST({ft} AS VARCHAR)" for ft in feats)
+        )
+        base += f" ORDER BY {key}, {', '.join(feats)} LIMIT {spec.sample_size}"
+
     if spec.method == "spearman":
         ranked = ", ".join(
             f"RANK() OVER (ORDER BY {ft}) + (COUNT(*) OVER (PARTITION BY {ft}) - 1) / 2.0 AS {ft}"
             for ft in feats
         )
-        src = f"(SELECT {ranked} FROM {table}{where}) __r"
+        src = f"(SELECT {ranked} FROM ({base}) __s) __r"
     else:
-        src = f"(SELECT {', '.join(feats)} FROM {table}{where}) __r"
+        src = f"({base}) __r"
 
     pairs = list(combinations(range(len(feats)), 2))
     sels = [

@@ -162,6 +162,8 @@ def _p_alias(p: float) -> str:
 
 
 def distribution_to_sql(spec: Distribution, table: str, round_to: int | None = DEFAULT_ROUND) -> str:
+    if round_to is None:  # ROUND(x, None) is invalid SQL — fail clearly here
+        raise ValueError("distribution_to_sql requires an integer round_to")
     where = f" WHERE {spec.filter}" if spec.filter else ""
     x = f"CAST({spec.feature} AS DOUBLE)"
     xt = f"CAST(t.{spec.feature} AS DOUBLE)"
@@ -185,8 +187,10 @@ def distribution_to_sql(spec: Distribution, table: str, round_to: int | None = D
         return (
             f"WITH __b AS (SELECT {seg_sel}MIN({x}) AS __mn, MAX({x}) AS __mx "
             f"FROM {table}{where}{grp}), "
+            # pre-filter in a derived table: rewriting the filter string to
+            # qualify columns corrupted literals containing the feature name
             f"__bk AS (SELECT {seg_t}{bucket} AS bucket, __mn, __mx, COUNT(*) AS bucket_count "
-            f"FROM {table} t {join}{where.replace(spec.feature, 't.' + spec.feature) if where else ''} "
+            f"FROM (SELECT * FROM {table}{where}) t {join} "
             f"GROUP BY {seg_grp}bucket, __mn, __mx) "
             f"SELECT {seg_sel}bucket, "
             f"ROUND(__mn + (bucket - 1) * {width}, {round_to}) AS bucket_lo, "
@@ -219,7 +223,7 @@ def distribution_to_sql(spec: Distribution, table: str, round_to: int | None = D
     return (
         f"WITH __m AS (SELECT {seg_sel}AVG({x}) AS __mean, COUNT({x}) AS __n "
         f"FROM {table}{where}{grp}), "
-        f"__mo AS (SELECT {seg_t}{', '.join(outs)} FROM {table} t {join}"
-        f"{where.replace(spec.feature, 't.' + spec.feature) if where else ''}{seg_grp}) "
+        f"__mo AS (SELECT {seg_t}{', '.join(outs)} "
+        f"FROM (SELECT * FROM {table}{where}) t {join}{seg_grp}) "
         f"SELECT {seg_sel}{', '.join(sel)} FROM __mo"
     )

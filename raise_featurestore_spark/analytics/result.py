@@ -91,6 +91,12 @@ class AnalysisJob:
         self._done = threading.Event()
 
         def target() -> None:
+            # a cancel() that raced thread startup must stick — blindly
+            # setting "running" here would overwrite it and execute the
+            # full job while cancel() already returned True
+            if self.status == "cancelled":
+                self._done.set()
+                return
             self.status = "running"
             try:
                 # thread-local job tag → cancel() interrupts exactly this

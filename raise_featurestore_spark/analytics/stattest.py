@@ -69,7 +69,13 @@ def compile_stattest(
 
 
 def stattest_to_sql(spec: StatTest, table: str, round_to: int | None = DEFAULT_ROUND) -> str:
-    """DuckDB SQL for the statistic columns (everything except p_value)."""
+    """DuckDB SQL for the statistic columns (everything except p_value).
+
+    Unlike the Spark side, the SQL twins interpolate ``round_to`` into
+    ``ROUND()`` — ``None`` (unrounded) would render invalid SQL, so it is
+    rejected here rather than failing later in the oracle engine."""
+    if round_to is None:
+        raise ValueError("stattest_to_sql requires an integer round_to")
     fn = {
         "ttest": _ttest_sql,
         "welch": _ttest_sql,

@@ -170,15 +170,31 @@ class FeatureStore:
         storage_path: str | None = None,
         tags: dict[str, str] | None = None,
     ) -> "BoundFeatureGroup":
+        if if_exists not in ("error", "skip", "update"):
+            raise ValueError(
+                f"if_exists must be error|skip|update, got {if_exists!r}"
+            )
         org, domain, project = self._resolve_ctx(org, domain, project)
         node = self._project(org, domain, project)
+        if isinstance(tags, (list, tuple, set)):
+            tags = {t: "" for t in tags}
         if name in node.groups:
             if if_exists == "error":
                 raise AlreadyExistsError(f"feature group {name!r} already exists")
             if if_exists == "skip":
                 return self.get_feature_group(name, org=org, domain=domain, project=project)
-        if isinstance(tags, (list, tuple, set)):
-            tags = {t: "" for t in tags}
+            # update: refresh the descriptive metadata IN PLACE — features,
+            # versions, grants, and ACLs survive (a fresh meta here would
+            # silently wipe them all)
+            meta = node.groups[name]
+            meta.description = description or meta.description
+            if tags:
+                meta.tags.update(tags)
+            self.audit.log(
+                "catalog", "update_feature_group", f"{org}/{domain}/{project}/{name}"
+            )
+            self._save()
+            return BoundFeatureGroup(self, org, domain, project, meta)
         meta = FeatureGroupMeta(
             name=name,
             entity_key=entity_key,
@@ -584,11 +600,16 @@ class BoundFeatureGroup:
 
     def create_features(self, specs: list[dict], if_exists: str = "error") -> list[Feature]:
         """Bulk creation from a list of spec dicts (name/dtype + any
-        create_feature kwarg). Specs are validated before any is created so a
-        bad spec fails the batch atomically."""
+        create_feature kwarg). Shapes and dtypes are validated up front so
+        the common bad-spec cases fail before any feature is created;
+        expression (derived_from) errors still surface per-feature since
+        they need the group context of the features created before them."""
         for spec in specs:
             if "name" not in spec or "dtype" not in spec:
                 raise CatalogError(f"feature spec needs name+dtype: {spec!r}")
+            # parse eagerly so an invalid dtype fails BEFORE any feature is
+            # created — the batch-atomicity the docstring promises
+            parse_dtype(spec["dtype"])
         out: list[Feature] = []
         for spec in specs:
             s = dict(spec)

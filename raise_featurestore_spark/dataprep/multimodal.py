@@ -285,11 +285,14 @@ def verify_checksums(refs_with_content: DataFrame, sample_rate: float = 1.0) -> 
     if sample_rate < 1.0:
         df = df.sample(fraction=sample_rate, seed=7)
     actual = F.sha2(F.col("content"), 256)
+    # null-safe compare: a ref with NO stored checksum cannot be verified
+    # and must surface as a finding — a plain != is NULL for it and the
+    # row silently vanishes from the report
     return df.select(
         F.col("blob_ref.uri").alias("uri"),
         F.col("blob_ref.checksum").alias("expected"),
         actual.alias("actual"),
-    ).where(F.col("expected") != F.col("actual"))
+    ).where(~F.col("expected").eqNullSafe(F.col("actual")))
 
 
 @dataclass
@@ -402,11 +405,14 @@ class BlobRegistry:
             raise ValueError("validate_batch needs rows that carry `content`")
         actual_ck = F.sha2(F.col("content"), 256)
         actual_sz = F.octet_length(F.col("content")).cast("long")
+        # fail-closed on NULL metadata: a ref without a stored checksum or
+        # size is UNVERIFIABLE, not valid — a raw == would yield NULL and
+        # the strict register gate's ~valid filter would wave it through
         return df.select(
             F.col("blob_ref.uri").alias("uri"),
             (
-                (F.col("blob_ref.checksum") == actual_ck)
-                & (F.col("blob_ref.size_bytes") == actual_sz)
+                F.coalesce(F.col("blob_ref.checksum") == actual_ck, F.lit(False))
+                & F.coalesce(F.col("blob_ref.size_bytes") == actual_sz, F.lit(False))
             ).alias("valid"),
             actual_ck.alias("actual_checksum"),
             actual_sz.alias("actual_size"),

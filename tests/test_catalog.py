@@ -367,3 +367,27 @@ def test_group_delete_and_grants_listing(fs):
         fs.get_feature_group("tmp-group")
     # deletion is audited
     assert fs.audit.query(actions=["delete_feature_group"]).total_count == 1
+
+
+def test_if_exists_update_preserves_features(fs):
+    """Regression: if_exists='update' (and any unrecognized value) used to
+    fall through and REPLACE the group with a fresh empty meta, wiping
+    features; update now edits metadata in place and bad values raise."""
+    g = fs.create_feature_group("keepme", entity_key="id")
+    g.create_feature("f1", "float64")
+    g2 = fs.create_feature_group(
+        "keepme", entity_key="id", description="updated", if_exists="update"
+    )
+    assert [f.name for f in g2.list_features()] == ["f1"]
+    assert g2.meta.description == "updated"
+    with pytest.raises(ValueError, match="error|skip|update"):
+        fs.create_feature_group("keepme", entity_key="id", if_exists="Skip")
+
+
+def test_create_features_bad_dtype_fails_before_any_creation(fs):
+    g = fs.create_feature_group("atomic", entity_key="id")
+    with pytest.raises(Exception):
+        g.create_features(
+            [{"name": "ok", "dtype": "float64"}, {"name": "bad", "dtype": "flaot64"}]
+        )
+    assert [f.name for f in g.list_features()] == []  # nothing half-applied

@@ -257,3 +257,106 @@ def test_approx_distinct_count_metric(spark):
         df, Aggregation(features=["v"], metrics=["approx_distinct_count"])
     )._jdf.queryExecution().toString()
     assert "approx_count_distinct" in plan
+
+
+def test_alert_condition_tolerates_null_metric():
+    """A NULL observed metric (stat test over empty input) must evaluate
+    as not-fired, not crash the alert sweep with a None comparison."""
+    c = Condition(metric="p_value", op=Op.P_VALUE_LT, value=0.05)
+    assert c.evaluate({"p_value": None}) is False
+    assert c.evaluate({"p_value": 0.01}) is True
+
+
+def test_windowed_aggregation_anchor_respects_filter(spark, ddb):
+    """Regression: the SQL twin anchored MAX(ts) over the UNFILTERED table
+    while the compiled plan anchors after the filter — different 7d slices
+    whenever the filter excludes the newest rows."""
+    import duckdb
+
+    from raise_featurestore_spark.analytics.aggregation import (
+        aggregation_to_sql,
+        compile_aggregation,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = [
+        # 'click' rows end 2026-01-10; later 'view' rows would shift an
+        # unfiltered anchor
+        (i, "click", f"2026-01-{i:02d} 00:00:00", float(i)) for i in range(1, 11)
+    ] + [(99, "view", "2026-01-20 00:00:00", 99.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string, value double"
+    ).selectExpr("event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    spec = Aggregation(
+        features=["value"], metrics=["count", "sum"], window="3d",
+        time_column="ts", filter="event_type = 'click'",
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got = compile_aggregation(df, spec)
+    want = con.sql(aggregation_to_sql(spec, "t")).df()
+    assert_frames_match(got, want)
+    # the filtered anchor is 01-10, so 3d covers 01-07..01-10 (4 rows)
+    assert got.first()["count_value"] == 4
+
+
+def test_distinct_plus_percentile_keeps_null_group(spark):
+    """Regression: the split distinct path rejoined with an equi-join that
+    dropped the NULL group."""
+    from raise_featurestore_spark.analytics.aggregation import compile_aggregation
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 3.0), (None, 4.0)],
+        "region string, value double",
+    )
+    spec = Aggregation(
+        features=["value"], metrics=["p50", "distinct_count"], group_by="region"
+    )
+    out = compile_aggregation(df, spec)
+    assert out.count() == 2  # 'a' AND the NULL group
+    assert out.where(F.col("region").isNull()).count() == 1
+
+
+def test_distribution_filter_with_feature_substring_literal(spark, ddb):
+    """Regression: the SQL twin rewrote the filter with str.replace of the
+    feature name, corrupting literals containing it ('v' in 'vip')."""
+    import duckdb
+
+    from raise_featurestore_spark.analytics.analysis import Distribution
+    from raise_featurestore_spark.analytics.distribution import (
+        compile_distribution,
+        distribution_to_sql,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = [(float(i), "vip" if i % 2 else "std") for i in range(20)]
+    df = spark.createDataFrame(rows, "v double, tag string")
+    spec = Distribution(feature="v", metrics=["histogram"], bins=4,
+                        filter="tag = 'vip'")
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    assert_frames_match(
+        compile_distribution(df, spec), con.sql(distribution_to_sql(spec, "t")).df()
+    )
+
+
+def test_correlation_oracle_applies_sample_size(spark, ddb):
+    """Regression: pearson/spearman SQL twins ignored sample_size, so the
+    oracle correlated the full table against Spark's sample."""
+    import duckdb
+
+    from raise_featurestore_spark.analytics.analysis import Correlation
+    from raise_featurestore_spark.analytics.correlation import (
+        compile_correlation,
+        correlation_to_sql,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = [(float(i), float((i * 13) % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    spec = Correlation(features=["x", "y"], method="pearson", sample_size=100)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    assert_frames_match(
+        compile_correlation(df, spec), con.sql(correlation_to_sql(spec, "t")).df()
+    )

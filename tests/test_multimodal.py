@@ -108,3 +108,25 @@ def test_derive_blobs_thumbnail_pattern(spark, blob_dir):
         assert ref.checksum == hashlib.sha256(bytes(r.content)).hexdigest()
         assert ref.metadata["derived_from"] + ".thumb.png" == ref.uri
         assert "source_checksum" in ref.metadata
+
+
+def test_null_checksum_refs_are_reported_not_waved_through(spark):
+    """Regression: NULL stored checksums made both verify_checksums and the
+    strict register gate silently pass (NULL != x is NULL)."""
+    import raise_featurestore_spark.dataprep.multimodal as MM
+
+    ref = {
+        "uri": "mem://a", "content_type": "text/plain", "checksum": None,
+        "hash_algorithm": "sha256", "size_bytes": None, "etag": None,
+        "version_id": None, "created_at": None, "metadata": {},
+    }
+    df = spark.createDataFrame(
+        [(ref, bytearray(b"payload"))],
+        "blob_ref struct<uri:string,content_type:string,checksum:string,"
+        "hash_algorithm:string,size_bytes:bigint,etag:string,version_id:string,"
+        "created_at:timestamp,metadata:map<string,string>>, content binary",
+    )
+    assert MM.verify_checksums(df).count() == 1  # unverifiable IS a finding
+    reg = MM.BlobRegistry(df.limit(0), policy=MM.IntegrityPolicy.strict())
+    with pytest.raises(ValueError, match="integrity violation"):
+        reg.register(df)
