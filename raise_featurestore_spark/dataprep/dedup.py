@@ -282,10 +282,12 @@ def jaccard_pairs_sql(
         f"__sz AS (SELECT id, COUNT(*) AS sz FROM __sh GROUP BY id), "
         f"__i AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter "
         f"FROM __r a JOIN __r b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2) "
+        # threshold on the ROUNDED jaccard, matching the Spark twin — a raw
+        # compare disagrees on boundary pairs that round up to the threshold
         f"SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {round_to}) "
         f"AS jaccard FROM __i "
         f"JOIN __sz sa ON sa.id = id_a JOIN __sz sb ON sb.id = id_b "
-        f"WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}"
+        f"WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {round_to}) >= {threshold}"
     )
 
 
@@ -333,6 +335,40 @@ def _band_hash(sig_cols: list[Column]) -> Column:
     return F.md5(F.concat_ws(":", *[c.cast("string") for c in sig_cols]))
 
 
+
+def _banded_frame(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bh) — one NARROW row per (doc, band): band id plus the
+    hash of that band's signature slice. Shared by the self-join and the
+    incremental new-vs-corpus variant so the banding scheme cannot drift
+    between them (a drift would silently break batch/corpus agreement)."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        _band_hash([F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("id", "__b.band", "__b.bh")
+
+
+def _band_rows_sql(from_name: str, k: int, bands: int, r: int) -> str:
+    """SQL twin of :func:`_banded_frame` (kept signature columns included —
+    the SQL plans score matches inline rather than re-joining)."""
+    sep = " || ':' || "
+    return " UNION ALL ".join(
+        f"SELECT id, {', '.join(f'mh_{i}' for i in range(k))}, {bi} AS band, "
+        f"md5({sep.join(f'CAST(mh_{bi * r + j} AS VARCHAR)' for j in range(r))}) AS bh "
+        f"FROM {from_name}"
+        for bi in range(bands)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -374,20 +410,7 @@ def minhash_lsh_pairs(
     # multiply the exploded shuffle ~40×). Signatures are attached to the
     # surviving DISTINCT pairs afterwards by two id-equi-joins against the
     # persisted signature frame.
-    bands_df = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        _band_hash([F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select("id", "__b.band", "__b.bh")
+    bands_df = _banded_frame(sig, bands, r)
     cand = (
         bands_df.alias("a")
         .join(
@@ -432,15 +455,11 @@ def minhash_lsh_pairs_sql(
     min_est: float = 0.5,
     round_to: int = 4,
 ) -> str:
+    if k % bands:
+        raise ValueError(f"k ({k}) must divide into bands ({bands})")
     r = k // bands
     sig = minhash_signatures_sql(table, id_col, text_col, n, k, seed)
-    sep = " || ':' || "
-    band_rows = " UNION ALL ".join(
-        f"SELECT id, {', '.join(f'mh_{i}' for i in range(k))}, {bi} AS band, "
-        f"md5({sep.join(f'CAST(mh_{bi * r + j} AS VARCHAR)' for j in range(r))}) AS bh "
-        f"FROM __sig"
-        for bi in range(bands)
-    )
+    band_rows = _band_rows_sql("__sig", k, bands, r)
     matches = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
     return (
         f"WITH __sig AS ({sig}), __bands AS ({band_rows}) "
@@ -524,8 +543,12 @@ def simhash_near_pairs(
 
     Banding: 4 bytes per hash — pairs must share ≥1 identical byte-band
     (pigeonhole guarantees this for hamming ≤ 3 over 4 bands), so the join
-    is an equi-join on (band, byte), never a cross product.
+    is an equi-join on (band, byte), never a cross product. ``radius`` is
+    therefore capped at 3: a larger radius would need more/narrower bands,
+    and silently missing qualifying pairs is worse than refusing.
     """
+    if not 0 <= radius <= 3:
+        raise ValueError(f"radius must be in [0, 3] for 4-band candidates, got {radius}")
     # NOTE: the self-join recomputes the signature subplan on both sides;
     # measured, that beats a .cache() here (the InMemoryRelation barrier
     # costs more than the recompute at this signature width). At 100 TB,
@@ -564,6 +587,8 @@ def simhash_near_pairs(
 def simhash_near_pairs_sql(
     table: str, id_col: str = "doc_id", text_col: str = "text", radius: int = 3
 ) -> str:
+    if not 0 <= radius <= 3:
+        raise ValueError(f"radius must be in [0, 3] for 4-band candidates, got {radius}")
     sh = simhash_sql(table, id_col, text_col)
     bands = " UNION ALL ".join(
         f"SELECT id, simhash, {bi} AS band, (simhash >> {bi * 8}) % 256 AS byte FROM __sh"
@@ -631,22 +656,7 @@ def incremental_minhash_dedup(
         return sig.persist() if persist_signatures else sig
 
     def banded(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            _band_hash(
-                                [F.col(f"mh_{bi * r + j}") for j in range(r)]
-                            ).alias("bh"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("__b"),
-        ).select("id", "__b.band", "__b.bh")
+        return _banded_frame(sig, bands, r)
 
     sn, sc = signatures(new_df), signatures(corpus_df)
     cand_ids = (
@@ -703,17 +713,13 @@ def incremental_minhash_dedup_sql(
     round_to: int = 4,
 ) -> str:
     """DuckDB twin of :func:`incremental_minhash_dedup`."""
+    if k % bands:
+        raise ValueError(f"k ({k}) must divide into bands ({bands})")
     r = k // bands
-    sep = " || ':' || "
 
     def banded_sql(table: str, alias: str) -> str:
         sig = minhash_signatures_sql(table, id_col, text_col, n, k, seed)
-        rows = " UNION ALL ".join(
-            f"SELECT id, {', '.join(f'mh_{i}' for i in range(k))}, {bi} AS band, "
-            f"md5({sep.join(f'CAST(mh_{bi * r + j} AS VARCHAR)' for j in range(r))}) AS bh "
-            f"FROM __sig_{alias}"
-            for bi in range(bands)
-        )
+        rows = _band_rows_sql(f"__sig_{alias}", k, bands, r)
         return f"__sig_{alias} AS ({sig}), __bands_{alias} AS ({rows})"
 
     matches = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(k))

@@ -81,9 +81,13 @@ def brute_force_topk(
     round_to: int = 4,
 ) -> DataFrame:
     q = _lit_array(query_vec)
+    # dimension guard: a malformed row (wrong vector length) would yield a
+    # NULL cosine via zip_with padding on Spark but an ERROR in engines
+    # with strict list math — filter it identically everywhere
     cos = V.cosine_similarity(F.col(emb_col), q)
     return (
-        df.select(F.col(id_col), F.round(cos, round_to).alias("cosine"))
+        df.where(F.size(F.col(emb_col)) == len(query_vec))
+        .select(F.col(id_col), F.round(cos, round_to).alias("cosine"))
         .where(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -100,10 +104,12 @@ def brute_force_topk_sql(
 ) -> str:
     q = _sql_array(query_vec)
     cos = f"list_cosine_similarity(CAST({emb_col} AS DOUBLE[]), {q})"
+    # order by the ROUNDED cosine (matching the Spark twin) — ordering by
+    # the raw value can pick a different top-k set on rounding ties
     return (
         f"SELECT {id_col}, ROUND({cos}, {round_to}) AS cosine FROM {table} "
-        f"WHERE {cos} IS NOT NULL "
-        f"ORDER BY {cos} DESC, {id_col} LIMIT {k}"
+        f"WHERE len({emb_col}) = {len(query_vec)} AND {cos} IS NOT NULL "
+        f"ORDER BY ROUND({cos}, {round_to}) DESC, {id_col} LIMIT {k}"
     )
 
 
@@ -139,8 +145,8 @@ def lsh_bucket_topk_sql(
     b = bucket_sql(f"CAST({emb_col} AS DOUBLE[])", planes)
     return (
         f"SELECT {id_col}, ROUND({cos}, {round_to}) AS cosine FROM {table} "
-        f"WHERE {b} = {qb} AND {cos} IS NOT NULL "
-        f"ORDER BY {cos} DESC, {id_col} LIMIT {k}"
+        f"WHERE len({emb_col}) = {len(query_vec)} AND {b} = {qb} AND {cos} IS NOT NULL "
+        f"ORDER BY ROUND({cos}, {round_to}) DESC, {id_col} LIMIT {k}"
     )
 
 
@@ -311,11 +317,13 @@ def quantize_int8_sql(table: str, id_col: str = "vec_id", emb_col: str = "embedd
         f"FROM {table}), "
         f"q AS (SELECT {id_col}, CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale, {emb_col} "
         f"FROM s) "
+        # COALESCE: list_aggregate([], 'sum') is NULL in DuckDB while the
+        # Spark fold returns its 0 init — empty vectors must agree
         f"SELECT {id_col}, ROUND(scale, 6) AS scale_r, "
-        f"CAST(list_aggregate(list_transform({emb_col}, "
-        f"x -> CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT)), 'sum') AS INT) AS q_sum, "
-        f"CAST(list_aggregate(list_transform({emb_col}, "
-        f"x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT))), 'sum') AS INT) AS q_l1 "
+        f"CAST(COALESCE(list_aggregate(list_transform({emb_col}, "
+        f"x -> CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT)), 'sum'), 0) AS INT) AS q_sum, "
+        f"CAST(COALESCE(list_aggregate(list_transform({emb_col}, "
+        f"x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT))), 'sum'), 0) AS INT) AS q_l1 "
         f"FROM q"
     )
 

@@ -40,18 +40,28 @@ def salted_join(
         raise ValueError("salted_join supports inner/left (replication breaks right/full)")
     keys = [on] if isinstance(on, str) else list(on)
 
-    # big side: deterministic pseudo-random salt from the full row hash —
-    # spreads a hot key's rows across `salt` partitions
+    # big side: deterministic pseudo-random salt from the row's HASHABLE
+    # columns — spreads a hot key's rows across `salt` partitions.
+    # MapType columns are excluded (Spark's hash() rejects maps); if no
+    # column is hashable the per-partition row id still scatters rows
+    # (salt values never affect the RESULT, only the distribution).
     # pmod, not abs(hash) % salt: hash can return Int.MinValue, whose abs
     # overflows negative and would silently drop rows for non-power-of-two salts
-    big_s = big.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
+    hashable = [c for c, t in big.dtypes if not t.startswith("map")]
+    scatter = (
+        F.hash(*[F.col(c) for c in hashable])
+        if hashable
+        else F.monotonically_increasing_id()
     )
+    salt_col = "__sj_salt"
+    if salt_col in big.columns or salt_col in small.columns:
+        raise ValueError(f"column name {salt_col!r} is reserved by salted_join")
+    big_s = big.withColumn(salt_col, F.pmod(scatter, F.lit(salt)))
     small_s = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    out = big_s.join(small_s, keys + ["__salt"], how)
-    return out.drop("__salt")
+    out = big_s.join(small_s, keys + [salt_col], how)
+    return out.drop(salt_col)
 
 
 def salted_count_distinct(

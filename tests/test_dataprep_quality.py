@@ -397,3 +397,22 @@ def test_build_data_card(spark):
     assert card["quality"]["report"]["rej_min_tokens"] == 1  # the short doc
     assert len(card["mixing"]["rates"]) == 2
     json.dumps(card, default=str)  # fully serializable
+
+
+def test_lsh_parameter_guards():
+    """SQL builders enforce the same k/bands and radius preconditions as
+    their Spark twins instead of silently floor-dividing or losing recall."""
+    import pytest
+
+    from raise_featurestore_spark.dataprep.dedup import (
+        incremental_minhash_dedup_sql,
+        minhash_lsh_pairs_sql,
+        simhash_near_pairs_sql,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs_sql("documents", k=16, bands=3)
+    with pytest.raises(ValueError, match="divide"):
+        incremental_minhash_dedup_sql("a", "b", k=16, bands=5)
+    with pytest.raises(ValueError, match="radius"):
+        simhash_near_pairs_sql("documents", radius=4)

@@ -80,3 +80,20 @@ def test_salted_count_distinct_exact(spark):
         for r in salted_count_distinct(events, "event_type", "user_id", salt=8).collect()
     }
     assert salted == plain
+
+
+def test_salted_join_tolerates_map_columns_and_guards_salt_name(spark):
+    """Regression: the salt hash covered ALL columns, so a MapType column
+    (unhashable in Spark) crashed the join; maps are excluded now."""
+    from raise_featurestore_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": "x"}), (1, {"b": "y"}), (2, {"c": "z"})],
+        "k int, props map<string,string>",
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    out = salted_join(big, small, on="k")
+    assert out.count() == 3
+    clash = big.withColumnRenamed("props", "p").withColumn("__sj_salt", F.lit(0))
+    with pytest.raises(ValueError, match="reserved"):
+        salted_join(clash, small, on="k")
