@@ -72,7 +72,10 @@ def chunk_documents_sql(
 ) -> str:
     """DuckDB twin of :func:`chunk_documents` (zipped unnests)."""
     slc = f"list_slice(toks, st, st + {window} - 1)"
-    joined = f"array_to_string({slc}, ' ')"
+    # COALESCE: DuckDB's array_to_string over an EMPTY list is NULL while
+    # Spark's array_join is '' — a zero-token doc's single empty chunk
+    # must hash identically on both engines
+    joined = f"COALESCE(array_to_string({slc}, ' '), '')"
     return (
         f"WITH __t AS (SELECT {id_col}, {TX.ws_tokens_sql(text_col)} "
         f"AS toks FROM {table} WHERE {text_col} IS NOT NULL), "

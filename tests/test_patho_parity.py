@@ -96,3 +96,57 @@ def test_quality_filter_report_parity_pathological(patho):
         con,
         quality_filter_report_sql("documents", rules),
     )
+
+
+def test_chunking_parity_pathological(patho):
+    from raise_featurestore_spark.dataprep.chunking import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    df, con = patho
+    _assert_parity(
+        chunk_documents(df, window=3, stride=2),
+        con,
+        chunk_documents_sql("documents", window=3, stride=2),
+    )
+
+
+def test_boilerplate_parity_pathological(patho):
+    from raise_featurestore_spark.dataprep.boilerplate import (
+        mine_boilerplate,
+        mine_boilerplate_sql,
+    )
+
+    df, con = patho
+    _assert_parity(
+        mine_boilerplate(df, n=2, min_df=1, top_k=50),
+        con,
+        mine_boilerplate_sql("documents", n=2, min_df=1, top_k=50),
+    )
+
+
+def test_selection_parity_pathological(patho):
+    from raise_featurestore_spark.dataprep.selection import (
+        select_token_budget,
+        select_token_budget_sql,
+    )
+
+    df, con = patho
+    _assert_parity(
+        select_token_budget(df, budget=100),
+        con,
+        select_token_budget_sql("documents", budget=100),
+    )
+
+
+def test_shards_parity_pathological(patho):
+    from raise_featurestore_spark.dataprep.shards import (
+        shard_manifest,
+        shard_manifest_sql,
+    )
+
+    df, con = patho
+    _assert_parity(
+        shard_manifest(df, n_shards=3), con, shard_manifest_sql("documents", n_shards=3)
+    )
