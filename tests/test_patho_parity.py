@@ -150,3 +150,44 @@ def test_shards_parity_pathological(patho):
     _assert_parity(
         shard_manifest(df, n_shards=3), con, shard_manifest_sql("documents", n_shards=3)
     )
+
+
+def test_exact_k_parity_pathological(patho):
+    from raise_featurestore_spark.dataprep.sampling import (
+        exact_k_per_stratum,
+        exact_k_per_stratum_sql,
+    )
+
+    df, con = patho
+    _assert_parity(
+        exact_k_per_stratum(df, "doc_id", "source", k=2),
+        con,
+        exact_k_per_stratum_sql("documents", "doc_id", "source", k=2),
+    )
+
+
+def test_exact_dedup_parity_pathological(patho):
+    from raise_featurestore_spark.dataprep.dedup import (
+        exact_duplicates,
+        exact_duplicates_sql,
+    )
+
+    df, con = patho
+    _assert_parity(
+        exact_duplicates(df, only_dups=False), con,
+        exact_duplicates_sql("documents", only_dups=False),
+    )
+
+
+def test_minhash_parity_pathological(patho):
+    from raise_featurestore_spark.dataprep.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_sql,
+    )
+
+    df, con = patho
+    _assert_parity(
+        minhash_lsh_pairs(df, k=8, bands=2, min_est=0.5, persist_signatures=False),
+        con,
+        minhash_lsh_pairs_sql("documents", k=8, bands=2, min_est=0.5),
+    )
