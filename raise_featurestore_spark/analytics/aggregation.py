@@ -21,7 +21,12 @@ Design notes (scale posture):
   per-bucket (n, Σx, Σx²) partials rather than averaging averages.
 - Double-typed metrics are rounded to ``round_to`` decimals so results are
   bit-stable across engines/partitionings (parallel double summation is
-  order-dependent); counts and min/max stay exact.
+  order-dependent); counts and min/max stay exact. Unbounded-magnitude
+  metrics (sum/avg/stddev/variance/median/percentiles) additionally snap to
+  5 significant digits first (``functions/stable.sig_round``, mirrored in
+  the SQL twin): a decimal grid at price-squared magnitudes demands more
+  agreeing digits than float sum order guarantees, which is exactly the
+  round-4 driver hash flake (VERDICT.md r4 item 1).
 
 Both ``compile_aggregation`` (Spark) and ``aggregation_to_sql`` (ANSI SQL for
 the DuckDB oracle) derive from the same spec, so the differential test cannot
@@ -34,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.analysis import Aggregation, parse_duration_seconds
+from raise_featurestore_spark.functions.stable import stable_round, stable_round_sql
 
 DEFAULT_ROUND = 4
 
@@ -48,6 +54,13 @@ _DOUBLE_METRICS = {
     "null_rate",
 }
 _PERCENTILE = {"p50": 0.5, "p75": 0.75, "p90": 0.9, "p95": 0.95, "p99": 0.99}
+# Unbounded-magnitude doubles: decimal rounding alone demands more agreeing
+# significant digits than parallel float sum order guarantees (variance of a
+# price column ~1e9 on a 1e-4 grid ⇒ 13 digits), so these snap to 5
+# significant digits FIRST (functions/stable.py — the round-4 driver-flake
+# fix) and decimal-round after. null_rate is bounded [0,1]: its decimal grid
+# already is a relative grid, so it stays exact-decimal only.
+_SIG_METRICS = {"sum", "avg", "mean", "stddev", "variance", "median"} | set(_PERCENTILE)
 _ROLLING_METRICS = {"count", "sum", "avg", "mean", "min", "max", "stddev", "variance"}
 
 
@@ -90,7 +103,10 @@ def _metric_column(metric: str, feature: str, round_to: int | None) -> Column:
     else:
         raise ValueError(f"unsupported metric {metric!r}")
     if round_to is not None and (metric in _DOUBLE_METRICS or metric in _PERCENTILE):
-        out = F.round(out, round_to)
+        if metric in _SIG_METRICS:
+            out = stable_round(out, decimals=round_to)
+        else:
+            out = F.round(out, round_to)
     return out.alias(metric_alias(metric, feature))
 
 
@@ -127,7 +143,10 @@ def _metric_sql(metric: str, feature: str, round_to: int | None) -> str:
     else:
         raise ValueError(f"unsupported metric {metric!r}")
     if round_to is not None and (metric in _DOUBLE_METRICS or metric in _PERCENTILE):
-        e = f"ROUND({e}, {round_to})"
+        if metric in _SIG_METRICS:
+            e = stable_round_sql(e, decimals=round_to)
+        else:
+            e = f"ROUND({e}, {round_to})"
     return f"{e} AS {metric_alias(metric, feature)}"
 
 
@@ -231,7 +250,7 @@ def compile_aggregation(
                 idx = list(pct_metrics).index(metric) + 1  # element_at is 1-based
                 col = F.element_at(F.col(f"__pcts_{safe}"), idx)
                 if round_to is not None:
-                    col = F.round(col, round_to)
+                    col = stable_round(col, decimals=round_to)
                 out.append(col.alias(metric_alias(metric, feature)))
             else:
                 out.append(F.col(metric_alias(metric, feature)))
@@ -337,7 +356,7 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
             else:  # pragma: no cover
                 raise ValueError(metric)
             if round_to is not None and metric not in ("count", "min", "max"):
-                col = F.round(col, round_to)
+                col = stable_round(col, decimals=round_to)
             out_cols.append(col.alias(alias))
     return bucketed.select(*out_cols)
 
@@ -387,6 +406,6 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
             else:  # pragma: no cover
                 raise ValueError(metric)
             if round_to is not None and metric not in ("count", "min", "max"):
-                e = f"ROUND({e}, {round_to})"
+                e = stable_round_sql(e, decimals=round_to)
             outs.append(f"{e} AS {alias}")
     return f"SELECT {keys}period_start, {', '.join(outs)} FROM ({inner}) __b"

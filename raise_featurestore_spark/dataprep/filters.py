@@ -45,14 +45,26 @@ class QualityRules:
     allowed_langs: list[str] = field(default_factory=lambda: ["en"])
 
 
+# Float-valued rule metrics snap to this grid before thresholding, on BOTH
+# engines. The thresholds (0.3, 0.9) sit ON the coarse grid, so a verdict
+# flip now needs the fine-grained metric to straddle the half-grid boundary
+# (e.g. 0.295) AND a last-decimal engine divergence at that exact point —
+# the product of two rare events, vs. one in round 4 where a doc whose
+# quality_score sat within an ulp of 0.3 flipped the rejection count per
+# environment (VERDICT.md r4 item 2). Integer rules are exact and unsnapped.
+_THRESH_DECIMALS = 2
+
+
 def _rule_cols(rules: QualityRules) -> dict[str, F.Column]:
     """rule name → PASS predicate (true = document survives the rule)."""
     return {
         "min_tokens": F.col("n_tokens") >= rules.min_tokens,
         "max_tokens": F.col("n_tokens") <= rules.max_tokens,
-        "dup_token_frac": F.col("dup_token_frac") <= rules.max_dup_token_frac,
+        "dup_token_frac": F.round(F.col("dup_token_frac"), _THRESH_DECIMALS)
+        <= rules.max_dup_token_frac,
         "top_bigram": F.col("top_bigram_count") <= rules.max_top_bigram_count,
-        "quality_score": F.col("quality_score") >= rules.min_quality_score,
+        "quality_score": F.round(F.col("quality_score"), _THRESH_DECIMALS)
+        >= rules.min_quality_score,
         "lang": F.col("lang_pred").isin(rules.allowed_langs),
     }
 
@@ -116,9 +128,11 @@ def quality_filter_report_sql(table: str, rules: QualityRules | None = None,
     passes = {
         "min_tokens": f"r.n_tokens >= {rules.min_tokens}",
         "max_tokens": f"r.n_tokens <= {rules.max_tokens}",
-        "dup_token_frac": f"r.dup_token_frac <= {rules.max_dup_token_frac}",
+        "dup_token_frac": f"ROUND(r.dup_token_frac, {_THRESH_DECIMALS})"
+        f" <= {rules.max_dup_token_frac}",
         "top_bigram": f"r.top_bigram_count <= {rules.max_top_bigram_count}",
-        "quality_score": f"q.quality_score >= {rules.min_quality_score}",
+        "quality_score": f"ROUND(q.quality_score, {_THRESH_DECIMALS})"
+        f" >= {rules.min_quality_score}",
         "lang": f"l.predicted_lang IN ({langs})",
     }
     rej = ", ".join(

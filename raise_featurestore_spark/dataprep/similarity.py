@@ -228,6 +228,145 @@ def ivf_topk(
     return brute_force_topk(pruned, query_vec, k, id_col, emb_col, round_to)
 
 
+def query_probes(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Append ``__probes``: each query's ``nprobe`` nearest centroid ids
+    (stable argsort — deterministic under distance ties), one Arrow batch
+    matmul per partition, mirroring :func:`ivf_assign`."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    cn = (C * C).sum(1)
+
+    def probes(s: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in s.to_numpy()])
+        d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + cn[None, :]
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.tolist() for row in idx])
+
+    return queries.withColumn("__probes", pandas_udf(probes, "array<int>")(F.col(emb_col)))
+
+
+def ivf_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Batch-mode IVF ANN: a query TABLE joined through the same
+    inverted-list pruning as :func:`ivf_topk` — the shape a training
+    pipeline actually runs (point lookups don't amortize the corpus scan).
+
+    Plan, scale-first:
+
+    1. Corpus rows get ``ivf_cluster`` (one Arrow matmul pass; at 100 TB
+       the corpus is WRITTEN partitioned by this column, so the probe join
+       prunes files, and the assignment pass is free).
+    2. Queries get their ``nprobe`` nearest lists, exploded to
+       (query, probe_cluster) and BROADCAST — a query batch is bounded
+       (thousands), so the corpus never shuffles: candidates come out of a
+       broadcast hash join on the pruned scan.
+    3. Per-query exact cosine top-k in TWO stages: a partition-local top-k
+       (groupBy (query, partition-id) → sort_array + slice, completed
+       map-side) cuts candidates to ≤ k rows per (query, partition) BEFORE
+       the only shuffle on query id; the final merge re-sorts ≤ k·P structs
+       per query. A single per-query window would instead ship every
+       candidate of a hot query to one task.
+
+    Returns (query_id, rank 1..k, vec_id, cosine) rows.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, emb_col)
+    probed = (
+        query_probes(
+            queries.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(query_emb_col).cast("array<double>").alias("__qv"),
+            ),
+            centroids,
+            nprobe,
+            emb_col="__qv",
+        )
+        .select("__qid", "__qv", F.explode("__probes").alias("ivf_cluster"))
+    )
+    cand = assigned.join(F.broadcast(probed), "ivf_cluster").where(
+        F.size(F.col(emb_col)) == F.size(F.col("__qv"))
+    )
+    cos = F.round(
+        V.cosine_similarity(F.col(emb_col).cast("array<double>"), F.col("__qv")),
+        round_to,
+    )
+    return _two_stage_topk(cand, cos, k, id_col, query_id_col)
+
+
+def _two_stage_topk(
+    cand: DataFrame, cos: Column, k: int, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Per-query top-k over candidate rows carrying ``__qid``: a
+    partition-local top-k (completed map-side) bounds what the only
+    query-keyed shuffle moves to ≤ k rows per (query, partition); the merge
+    re-sorts ≤ k·P structs per query. sort_array on (negated cosine, id)
+    structs is ascending == best-first and deterministic on cosine ties."""
+    scored = cand.select(
+        F.col("__qid"),
+        F.col(id_col),
+        cos.alias("cosine"),
+        F.spark_partition_id().alias("__pid"),
+    ).where(F.col("cosine").isNotNull())
+    entry = F.struct((-F.col("cosine")).alias("nc"), F.col(id_col).alias("i"))
+    local = scored.groupBy("__qid", "__pid").agg(
+        F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("__top")
+    )
+    merged = local.groupBy("__qid").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("__top"))), 1, k).alias("__top")
+    )
+    return merged.select(
+        F.col("__qid").alias(query_id_col),
+        F.posexplode("__top").alias("__pos", "__e"),
+    ).select(
+        query_id_col,
+        (F.col("__pos") + 1).alias("rank"),
+        F.col("__e.i").alias(id_col),
+        (-F.col("__e.nc")).alias("cosine"),
+    )
+
+
+def brute_force_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact batch top-k (corpus × broadcast queries) — the recall ground
+    truth for :func:`ivf_batch_topk`'s band verdict; at scale you run the
+    IVF path and sample THIS one for recall monitoring only."""
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_emb_col).cast("array<double>").alias("__qv"),
+    )
+    cand = corpus.select(F.col(id_col), F.col(emb_col)).crossJoin(F.broadcast(q)).where(
+        F.size(F.col(emb_col)) == F.size(F.col("__qv"))
+    )
+    cos = F.round(
+        V.cosine_similarity(F.col(emb_col).cast("array<double>"), F.col("__qv")),
+        round_to,
+    )
+    return _two_stage_topk(cand, cos, k, id_col, query_id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

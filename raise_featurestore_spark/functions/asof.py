@@ -20,7 +20,8 @@ Spark-first plan — the union-window formulation, not a range join:
 Cost: ONE hash shuffle on the entity key + a per-partition sort — the same
 price as the equi-join you'd have written anyway; no range-join explosion,
 no per-entity collect. Skew follows the key (a hot entity's history sorts
-in one task); salt the spine upstream if one entity dominates.
+in one task); pass ``salt=N`` to scatter a dominant entity's spine rows
+across N sub-windows (features replicate; result identical).
 
 Determinism: feature rows must be unique per (key, ts) — with duplicate
 timestamps "the latest row" is undefined in ANY engine (DuckDB's ASOF picks
@@ -43,6 +44,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     matched_ts_col: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """For every spine row, attach the feature values as of its timestamp.
 
@@ -50,19 +52,50 @@ def asof_join(
     ``right_ts <= left_ts``; ``forward`` the earliest with
     ``right_ts >= left_ts``. ``tolerance_seconds`` nulls matches farther
     than the bound; ``matched_ts_col`` exposes the matched feature ts.
+
+    ``salt=N`` is the hot-entity escape hatch: the single window partitions
+    by the entity key, so one entity owning 90% of the spine sorts in ONE
+    task. With salt, spine rows scatter across N sub-partitions
+    (deterministic hash of the spine row — same scatter rule as
+    ``functions/skew.salted_join``) while feature rows replicate to every
+    sub-partition, so each sub-window still sees the full feature history
+    and the result is IDENTICAL to the unsalted join
+    (tests/test_asof.py pins equivalence on a 90%-one-key fixture). Cost:
+    features × N — right when per-key feature history ≪ spine fan-out,
+    which is exactly the hot-spine shape.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if salt is not None and salt < 1:
+        raise ValueError("salt must be a positive partition-split count")
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (*keys, right_ts)]
     clash = set(value_cols) & set(spine.columns)
     if clash:
         raise ValueError(f"feature value columns collide with spine columns: {sorted(clash)}")
+    if salt is not None and "__salt" in (*spine.columns, *features.columns):
+        raise ValueError("column name '__salt' is reserved by asof_join(salt=...)")
 
     ftypes = dict(features.dtypes)
     spine_extra = [c for c in spine.columns if c not in keys and c != left_ts]
     stypes = dict(spine.dtypes)
+
+    if salt is None:
+        spine_salt: list = []
+        feat_salt: list = []
+    else:
+        # deterministic scatter from the spine row's hashable columns
+        # (maps are unhashable in Spark; salt never affects the RESULT,
+        # only which sub-partition computes it — same rule as salted_join)
+        hashable = [c for c, t in spine.dtypes if not t.startswith("map")]
+        scatter = (
+            F.hash(*[F.col(c) for c in hashable])
+            if hashable
+            else F.monotonically_increasing_id()
+        )
+        spine_salt = [F.pmod(scatter, F.lit(salt)).alias("__salt")]
+        feat_salt = [F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("__salt")]
 
     s = spine.select(
         *keys,
@@ -70,6 +103,7 @@ def asof_join(
         F.lit(1).alias("__tag"),
         *spine_extra,
         *[F.lit(None).cast(ftypes[c]).alias(c) for c in value_cols],
+        *spine_salt,
     )
     f = features.select(
         *keys,
@@ -77,15 +111,17 @@ def asof_join(
         F.lit(0).alias("__tag"),
         *[F.lit(None).cast(stypes[c]).alias(c) for c in spine_extra],
         *value_cols,
+        *feat_salt,
     )
     u = s.unionByName(f)
 
+    part_keys = [*keys] + (["__salt"] if salt is not None else [])
     if direction == "backward":
         order = [F.col("__ts").asc(), F.col("__tag").asc()]
     else:
         order = [F.col("__ts").desc(), F.col("__tag").asc()]
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

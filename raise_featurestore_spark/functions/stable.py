@@ -1,0 +1,96 @@
+"""Cross-engine-stable emission of continuous aggregates: significant-digit
+rounding built from pure IEEE float arithmetic, with an identical Spark and
+DuckDB form.
+
+Why this exists (the round-4 flake class): a double aggregate whose
+magnitude is unbounded — SUM/AVG/STDDEV/VAR of a price-scale column —
+differs between engines (and between Spark partitionings) by parallel
+sum-order noise. Decimal rounding (``ROUND(x, 4)``) puts a variance of
+~1e9 on a 1e-4 ABSOLUTE grid, i.e. demands ~13 agreeing significant
+digits — more than float sum order guarantees — so the last rounded
+decimal flips per environment and the driver's 6-significant-digit value
+hash straddles (`agg_global_stats` / `filter_quality_rules`, VERDICT.md
+round 4 items 1-2). The fix is a RELATIVE grid: round the mantissa to
+``digits`` significant digits, so engines must agree to only ~1e-5
+relative — many orders of magnitude more slack than the noise — and the
+emitted value renders exactly under the driver's ``%.6g``.
+
+Why ``FLOOR(x·s + 0.5)/s`` instead of the engines' ``ROUND``: decimal-
+quantized data (prices with 2 decimals) puts aggregate mantissas EXACTLY
+on decimal ``.5`` ties, and there the engines' ROUND semantics genuinely
+disagree — Spark rounds the SHORTEST decimal representation of the double
+(BigDecimal.valueOf, HALF_UP ⇒ sees "8148.95" and rounds up) while DuckDB
+rounds the BINARY value (sees 8148.94999… and rounds down). Caught live
+at sf0.01: rolling_sum 8149.0 (Spark) vs 8148.9 (DuckDB). Multiply, add
+and floor are all exactly specified by IEEE 754, so the floor form is
+bit-identical across engines whenever the input double is — ties
+included. The scaled mantissa always lands in [10^(digits-1), 10^digits),
+so Spark's BIGINT-typed ``floor`` can never overflow.
+
+Zero is pinned to +0.0 (also canonicalizes IEEE −0.0); NULL propagates;
+decade boundaries are self-consistent (a value straddling 10^k snaps to
+``10.000·10^(k-1)`` on one side, ``1.0000·10^k`` on the other — the same
+double).
+
+``stable_round`` composes the significant-digit snap with a floor-based
+decimal round (default 4), so small-magnitude outputs keep the familiar
+≤4-decimals shape while large magnitudes get the relative grid. The
+decimal stage only modifies values < 1 (a 5-significant-digit value ≥ 1
+already has ≤ 4 decimals) and skips magnitudes where BIGINT floor could
+overflow (where the decimal round is a no-op anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: default significant digits — one under the driver's %.6g render so a
+#: correctly-snapped value can never straddle the hash's own rounding
+SIG_DIGITS = 5
+
+#: decimal-round guard: above this magnitude the 4-decimal stage is a
+#: no-op on a 5-sig-digit value and x·10^4 would overflow Spark's
+#: BIGINT-typed floor at ~9.2e18 anyway
+_DEC_GUARD = 1e11
+
+
+def _floor_half_up(m: Column) -> Column:
+    """Round-half-toward-+inf of an already-scaled value, in pure IEEE ops
+    (deterministic on any engine, unlike decimal-vs-binary ROUND)."""
+    return F.floor(m + F.lit(0.5))
+
+
+def sig_round(c: Column, digits: int = SIG_DIGITS) -> Column:
+    """``c`` on a ``digits``-significant-digit grid (NULL-safe, −0.0-safe)."""
+    e = F.floor(F.log10(F.abs(c))).cast("double")
+    scale = F.pow(F.lit(10.0), F.lit(float(digits - 1)) - e)
+    return F.when(c == 0, F.lit(0.0)).otherwise(_floor_half_up(c * scale) / scale)
+
+
+def sig_round_sql(expr: str, digits: int = SIG_DIGITS) -> str:
+    """DuckDB twin of :func:`sig_round` — the same IEEE op sequence."""
+    e = f"FLOOR(LOG10(ABS({expr})))"
+    scale = f"POWER(10.0, {float(digits - 1)} - {e})"
+    return (
+        f"CASE WHEN ({expr}) = 0 THEN 0.0 "
+        f"ELSE FLOOR(({expr}) * {scale} + 0.5) / {scale} END"
+    )
+
+
+def stable_round(c: Column, digits: int = SIG_DIGITS, decimals: int = 4) -> Column:
+    """Significant-digit snap + floor-based decimal round: the emission
+    form for unbounded-magnitude double aggregates."""
+    s = sig_round(c, digits)
+    d = F.lit(float(10**decimals))
+    return F.when(F.abs(s) < F.lit(_DEC_GUARD), _floor_half_up(s * d) / d).otherwise(s)
+
+
+def stable_round_sql(expr: str, digits: int = SIG_DIGITS, decimals: int = 4) -> str:
+    """DuckDB twin of :func:`stable_round`."""
+    s = sig_round_sql(expr, digits)
+    d = float(10**decimals)
+    return (
+        f"CASE WHEN ABS({s}) < {_DEC_GUARD} "
+        f"THEN FLOOR(({s}) * {d} + 0.5) / {d} ELSE ({s}) END"
+    )

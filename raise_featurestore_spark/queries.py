@@ -801,6 +801,56 @@ register(
     "SELECT CAST(10 AS BIGINT) AS k_exact, TRUE AS recall_ok",
 )
 
+_BATCH_NQ = 8  # deterministic query batch: first 8 corpus vectors by id
+
+
+def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode IVF: a query TABLE pushed through inverted-list pruning
+    (dataprep/similarity.ivf_batch_topk) — what a training pipeline runs.
+    Verdict: per-query recall@10 band against the in-plan exact batch
+    top-10 (brute_force_batch_topk), one boolean row per query; the oracle
+    emits the same query ids with literal TRUE. Floor 0.2 = the nprobe=3/8
+    worst-case on these near-uniform synthetic vectors with margin
+    (observed min ≥ 0.5 across sf0.001/0.01/0.1; queries drawn from the
+    corpus always recall themselves, so 0.1 is the hard floor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(_BATCH_NQ)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cents = SIM.kmeans_centroids(emb, dim=64, k=8, sample_rows=2048)
+    ivf = SIM.ivf_batch_topk(emb, qs, cents, k=10, nprobe=3).select(
+        "query_id", F.col("vec_id").alias("ivf_id")
+    )
+    exact = SIM.brute_force_batch_topk(emb, qs, k=10).select("query_id", "vec_id")
+    return (
+        exact.join(
+            ivf,
+            (exact["query_id"] == ivf["query_id"]) & (exact["vec_id"] == ivf["ivf_id"]),
+            "left",
+        )
+        .drop(ivf["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.sum(F.col("ivf_id").isNotNull().cast("long")).alias("__hits"),
+        )
+        .select(
+            "query_id",
+            "k_exact",
+            (F.col("__hits") / F.col("k_exact") >= 0.2).alias("recall_ok"),
+        )
+    )
+
+
+register(
+    "ann_ivf_batch_topk",
+    _ann_ivf_batch,
+    f"SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k_exact, TRUE AS recall_ok "
+    f"FROM embeddings ORDER BY vec_id LIMIT {_BATCH_NQ}",
+)
+
 register(
     "text_language_id",
     lambda spark, sf_dir: TX.detect_language(load_table(spark, sf_dir, "documents")),
@@ -1511,6 +1561,46 @@ def _asof_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join as asof_purchase_last_click driven through the hot-entity
+    salted path (salt=8): spine rows scatter across 8 sub-windows, feature
+    rows replicate — the result is identical, which the shared DuckDB ASOF
+    oracle verifies end-to-end (functions/asof.py, salt parameter)."""
+    from raise_featurestore_spark.functions.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    feats = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(spine, feats, on="user_id", matched_ts_col="__m", salt=8)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.round("click_value", 4).alias("last_click_value"),
+        F.expr("timestampdiff(MICROSECOND, __m, ts)").alias("gap_us"),
+    )
+
+
+register(
+    "asof_salted_spine",
+    _asof_salted,
+    "SELECT s.event_id, s.user_id, ROUND(s.value, 4) AS purchase_value, "
+    "ROUND(f.click_value, 4) AS last_click_value, "
+    "CAST(date_diff('microsecond', f.ts, s.ts) AS BIGINT) AS gap_us "
+    "FROM (SELECT event_id, user_id, ts, value FROM events "
+    "WHERE event_type = 'purchase') s "
+    "ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS click_value FROM events "
+    "WHERE event_type = 'click' GROUP BY user_id, ts) f "
+    "ON s.user_id = f.user_id AND s.ts >= f.ts",
+)
+
+
 register(
     "asof_purchase_last_click",
     _asof_purchase_clicks,
@@ -1848,56 +1938,59 @@ register(
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # verdict the FIRST 50 slots each round. Rotate so the least-recently-
-# verdicted entries come first: round 3 verdicted the then-first 50, so this
-# round promotes the 28 queries whose latest verdict is r2-or-older (or who
-# have never been verdicted: corpus_health_by_source, agg_global_stats_approx,
-# ann_ivf_topk), plus anything newly registered this round. The r3-green 50
-# fill the remaining slots in their original order and rotate back next round.
+# verdicted entries come first. Round-5 rotation: (a) the two queries that
+# hash-FAILED in the r4 driver window, re-verdicted after the sig-round /
+# coarse-threshold fixes (VERDICT.md r4 items 1-2); (b) queries newly
+# registered this round; (c) the 37 entries whose latest verdict is r3 —
+# after this window, no query's latest verdict is older than two rounds.
+# The r4-green remainder fills the tail and rotates back next round.
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
-    # new this round
-    "select_token_budget",
-    "chunk_sliding_window",
-    "boilerplate_ngram_mine",
-    "semantic_dedup_clusters",
-    "shard_manifest",
-    "sample_exact_k_per_source",
-    "source_jdbc_query",
-    "mix_temperature_sample",
+    # r4 hash-FAIL, fixed this round — must re-verdict first
+    "agg_global_stats",
     "filter_quality_rules",
-    # never driver-verdicted
-    "corpus_health_by_source",
-    "agg_global_stats_approx",
-    "ann_ivf_topk",
-    # latest driver verdict shows the long-fixed nanos error (r1/r2 files) —
-    # re-verdict to clear the stale red rows
-    "corr_kendall_sampled",
-    "stattest_welch_pvalue",
-    "multimodal_byte_features",
-    "multimodal_frame_sample",
-    # green in r1/r2 but outside r3's 50-slot window — refresh the proof
-    "vector_similarity_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_bucket_topk",
-    "multimodal_blob_refs",
-    "dedup_exact_keepers",
-    "multimodal_integrity",
-    "dist_percentiles_by_segment",
-    "corr_pearson_matrix",
-    "dist_histogram_price",
-    "dist_cdf_segmented",
-    "dist_density",
-    "expr_case_when",
-    "expr_zscore_hoisted",
-    "point_lookup_customer",
-    "lookup_topk_orders",
-    "text_language_id",
-    "text_token_counts",
-    "text_quality_score",
-    "text_fingerprint",
-    "transform_pandas_batch",
-    "vector_norm_dot",
+    # new this round
+    "ann_ivf_batch_topk",
+    "asof_salted_spine",
+    # latest verdict r3 — refresh before it ages past two rounds
+    "stattest_mannwhitney",
+    "stattest_ks",
+    "drift_order_status",
+    "quality_orders",
+    "lookup_filter_project",
+    "lookup_sample_events",
+    "expr_cross_group_join",
+    "expr_window_lag",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "transform_sql_job",
+    "job_incremental_checkpoint",
+    "job_upsert_merge",
+    "job_quality_report",
+    "inference_linear_batch",
+    "version_diff_value",
+    "window_tumbling_daily",
+    "window_sliding_6h",
+    "window_session_user",
+    "source_columnar_pushdown",
+    "source_objectstorage_csv",
+    "source_filesystem_jsonl",
+    "expr_json_extract",
+    "split_train_val_test",
+    "sample_stratified_lang",
+    "asof_purchase_last_click",
+    "text_repetition",
+    "redact_pii",
+    "pack_context_windows",
+    "vector_quantize_int8",
+    "dedup_incremental_batch",
+    "decontaminate_benchmark",
+    "profile_table_events",
+    "text_vocab_topk",
 ]
 
 

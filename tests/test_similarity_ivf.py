@@ -67,3 +67,45 @@ def test_partial_probe_prunes_and_recalls(emb, cents):
     # ...and still recover a reasonable share of the true top-10 on
     # near-uniform synthetic vectors (recall floor is deliberately loose)
     assert len(approx & exact) >= 3
+
+
+def test_batch_topk_full_probe_equals_bruteforce(emb, cents):
+    """ivf_batch_topk with nprobe = all lists prunes nothing, so it must
+    equal the exact batch top-k row-for-row (rank, id, cosine)."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.dataprep.similarity import (
+        brute_force_batch_topk,
+        ivf_batch_topk,
+    )
+
+    qs = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivf_batch_topk(emb, qs, cents, k=7, nprobe=K_CLUSTERS)
+    exact = brute_force_batch_topk(emb, qs, k=7)
+    key = ["query_id", "rank", "vec_id", "cosine"]
+    assert sorted(map(tuple, full.select(key).collect())) == sorted(
+        map(tuple, exact.select(key).collect())
+    )
+
+
+def test_batch_topk_self_recall(emb, cents):
+    """A query drawn from the corpus must retrieve itself at rank 1 with
+    cosine 1.0 even under aggressive pruning (its own vector shares its
+    own inverted list by construction)."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.dataprep.similarity import ivf_batch_topk
+
+    qs = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = (
+        ivf_batch_topk(emb, qs, cents, k=3, nprobe=1)
+        .where(F.col("rank") == 1)
+        .collect()
+    )
+    assert len(top1) == 5
+    for r in top1:
+        assert r.vec_id == r.query_id and r.cosine == 1.0
