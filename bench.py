@@ -57,6 +57,7 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in sorted(entrymod.queries().items()):
         t0 = time.perf_counter()
@@ -68,6 +69,13 @@ def main() -> None:
             failures[name] = f"{type(ex).__name__}: {ex}"[:200]
             continue
         _ = n
+        # warm pass: identical plan immediately re-built and re-collected —
+        # codegen/broadcasts/page cache are hot, so this is the PRD's
+        # "interactive repeat query" number (VERDICT.md r4 item 5). The
+        # cold number above stays the headline metric.
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        warm[name] = round(time.perf_counter() - t1, 3)
 
     out = {
         "metric": "total_query_seconds",
@@ -76,12 +84,61 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "prd_targets": _prd_targets(spark, sf_dir),
     }
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
     spark.stop()
     sys.exit(1 if failures else 0)
+
+
+def _prd_targets(spark, sf_dir: str) -> dict:
+    """Measured warm-path numbers for the reference PRD's latency targets
+    (raise_/PRD.md:2752,2755): simple aggregation < 500 ms and live-table
+    query < 200 ms. Warm = best of 3 repeats after one priming run, the
+    steady state those targets describe."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.streaming.live_table import LiveTable
+    from raise_featurestore_spark.tables import load_table
+
+    def best_of(fn, n=3) -> float:
+        fn()  # prime
+        return round(min(_timed(fn) for _ in range(n)) * 1000, 1)
+
+    def _timed(fn) -> float:
+        t0 = _t.perf_counter()
+        fn()
+        return _t.perf_counter() - t0
+
+    orders = load_table(spark, sf_dir, "orders")
+    simple_agg = best_of(
+        lambda: orders.agg(
+            F.count("*"), F.round(F.avg("o_totalprice"), 4)
+        ).collect()
+    )
+
+    lt = LiveTable(
+        name="bench_live",
+        compute=lambda sp: load_table(sp, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")),
+        storage_path=tempfile.mkdtemp(prefix="bench_live_"),
+    )
+    lt.refresh(spark)
+    live_query = best_of(
+        lambda: lt.query(spark, order_by="-total", limit=3).collect()
+    )
+    return {
+        "simple_agg_warm_ms": simple_agg,
+        "live_table_query_warm_ms": live_query,
+    }
 
 
 if __name__ == "__main__":

@@ -185,8 +185,34 @@ class FeatureStore:
                 return self.get_feature_group(name, org=org, domain=domain, project=project)
             # update: refresh the descriptive metadata IN PLACE — features,
             # versions, grants, and ACLs survive (a fresh meta here would
-            # silently wipe them all)
+            # silently wipe them all). Immutable identity fields must MATCH
+            # the stored group: silently returning the old group while
+            # ignoring a different entity_key/storage_path would hand the
+            # caller something other than what they asked for (ADVICE r4).
+            # checked fields: entity_key is always caller-explicit (no
+            # default); storage_path only when passed. entity_dtype is NOT
+            # checked — its "int64" default is indistinguishable from
+            # "unspecified", so a mismatch guard would false-positive on
+            # every update of a string-keyed group.
             meta = node.groups[name]
+            mismatches = {
+                k: (got, want)
+                for k, got, want in (
+                    ("entity_key", entity_key, meta.entity_key),
+                    ("storage_path", storage_path, meta.storage_path),
+                )
+                if got is not None and got != want
+            }
+            if mismatches:
+                raise AlreadyExistsError(
+                    f"feature group {name!r} exists with different immutable "
+                    f"fields {sorted(mismatches)}: "
+                    + "; ".join(
+                        f"{k}: requested {g!r} != stored {w!r}"
+                        for k, (g, w) in sorted(mismatches.items())
+                    )
+                    + " (drop and recreate to change them)"
+                )
             meta.description = description or meta.description
             if tags:
                 meta.tags.update(tags)

@@ -85,22 +85,38 @@ def mine_boilerplate_sql(
 def strip_boilerplate(
     df: DataFrame, grams: list[str], text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
-    """Remove every occurrence of each mined gram (literal match on the
-    normalized text), longest-first so sub-grams of a longer boilerplate
-    span don't leave fragments. Collapses the resulting double spaces.
+    """Remove every occurrence of each mined gram from the ORIGINAL text,
+    longest-first so sub-grams of a longer boilerplate span don't leave
+    fragments.
+
+    Mining normalizes (lower+trim), so grams are matched case-insensitively
+    with ``\\s+`` between tokens — the source text keeps its casing, line
+    breaks and spacing everywhere a gram does NOT match (an earlier version
+    emitted the normalized text corpus-wide, silently lowercasing exported
+    training shards). Matches anchor on whitespace/string edges, not
+    ``\\b``: mining is token-granular, so a gram must not match mid-word
+    ('tuba b c…' vs gram 'a b c…'), and word-boundary anchors silently skip
+    grams edged by punctuation ('corp.', '(c) 2024 …'). The leading edge is
+    a captured ``(^|\\s)`` kept via ``$1`` (Java lookbehinds don't take
+    variable-length alternations); the trailing edge is a zero-width
+    lookahead so adjacent occurrences both match. Only the doubled spaces a
+    removal creates are collapsed — newlines survive.
 
     ``grams`` is a driver-side list (top-k mining output — bounded by
     construction); each becomes one JVM ``regexp_replace`` in a fused
-    expression chain, so removal stays inside the scan stage. Matches are
-    ``\\b``-anchored: mining is token-granular, so a gram must not match
-    mid-word (raw substring replace would truncate 'tuba b c…' when
-    removing 'a b c…')."""
+    expression chain, so removal stays inside the scan stage."""
     import re as _re
 
-    cleaned: Column = _norm_text(F.col(text_col))
+    cleaned: Column = F.col(text_col)
     for g in sorted(grams, key=len, reverse=True):
-        cleaned = F.regexp_replace(
-            cleaned, r"\b" + _re.escape(g) + r"\b", ""
+        toks = [t for t in g.split() if t]
+        if not toks:
+            continue
+        pat = (
+            r"(?i)(^|\s)"
+            + r"\s+".join(_re.escape(t) for t in toks)
+            + r"(?=\s|$)"
         )
-    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+        cleaned = F.regexp_replace(cleaned, pat, "$1")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"[ \t]{2,}", " "))
     return df.withColumn(out_col or text_col, cleaned)

@@ -215,17 +215,36 @@ class LiveTable:
         checkpoint_dir: str,
         format: str = "parquet",
     ):
-        """Attach a Structured Streaming file source: every micro-batch of
-        new files under ``watch_path`` triggers a refresh. Returns the
-        StreamingQuery (caller owns its lifecycle)."""
+        """Attach a Structured Streaming change source: every micro-batch
+        of changes under ``watch_path`` triggers a refresh. Returns the
+        StreamingQuery (caller owns its lifecycle).
+
+        ``format="delta-cdf"`` reads the Delta table's Change Data Feed —
+        the production CDC source (reference: raise_/analytics/
+        live_table.py:21-57; requires delta-spark on the classpath and
+        ``delta.enableChangeDataFeed=true`` on the table; schema comes from
+        the Delta log, so ``schema`` is ignored). Any other format is a
+        file source over newly arrived files — the no-Delta stand-in, same
+        foreachBatch refresh contract either way."""
         if self.policy.mode != "on_change":
             raise ValueError("policy mode must be on_change")
-        reader = (
-            spark.readStream.format(format)
-            .schema(schema)
-            .option("maxFilesPerTrigger", str(self.policy.batch_size))
-        )
-        stream = reader.load(watch_path)
+        if format == "delta-cdf":
+            stream = (
+                spark.readStream.format("delta")
+                .option("readChangeFeed", "true")
+                .option("maxFilesPerTrigger", str(self.policy.batch_size))
+                .load(watch_path)
+            )
+            # CDF change-metadata rows count as detected changes; only the
+            # actual data columns are tracked
+            stream = stream.drop("_change_type", "_commit_version", "_commit_timestamp")
+        else:
+            reader = (
+                spark.readStream.format(format)
+                .schema(schema)
+                .option("maxFilesPerTrigger", str(self.policy.batch_size))
+            )
+            stream = reader.load(watch_path)
         if self.policy.track_columns:
             stream = stream.select(*self.policy.track_columns)
 

@@ -200,10 +200,11 @@ class InferenceTransform:
         ) + f", {out_col} {out_type}"
 
         def predict_chunk(model, chunk: pd.DataFrame) -> pd.DataFrame:
+            # only the float64 conversion decides the raw-frame fallback; a
+            # bug INSIDE the preprocess hook must propagate, not be masked
+            # by re-invoking pre (possibly side-effecting) on the raw frame
             try:
                 mat = _to_matrix(chunk, in_cols)
-                if pre is not None:
-                    mat = pre(mat)
             except (ValueError, TypeError):
                 if pre is None:
                     raise
@@ -211,7 +212,9 @@ class InferenceTransform:
                 # conversion can't work, so the preprocess hook IS the
                 # featurizer — hand it the raw column frame instead of
                 # failing before it ever runs (embedding/llm_inference)
-                mat = pre(chunk[in_cols])
+                mat = chunk[in_cols]
+            if pre is not None:
+                mat = pre(mat)
             preds = np.asarray(model.predict(mat))
             if post is not None:
                 preds = post(preds)

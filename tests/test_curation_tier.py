@@ -114,11 +114,31 @@ def test_strip_boilerplate_removes_all_occurrences(spark, docs):
     grams = ["the license header text here"]
     out = strip_boilerplate(docs, grams).collect()
     for r in out:
-        assert "license" not in r.text
-    # non-boilerplate content survives, normalized
+        assert "license" not in r.text.lower()
+    # non-boilerplate content survives untouched
     kept = {r.doc_id: r.text for r in out}
     assert "unique content" in kept[2]
     assert kept[4] == ""  # doc 4 was nothing but boilerplate
+
+
+def test_strip_boilerplate_preserves_original_casing(spark):
+    """Mined grams are lowercased, but stripping must not normalize the
+    rest of the document (an exported corpus was silently lowercased by an
+    earlier in-place _norm_text; ADVICE r4). Punctuation-edged grams must
+    match too — \\b anchors silently skipped them."""
+    df = spark.createDataFrame(
+        [
+            (1, "Dear Reader,\nAll Rights Reserved. Inc.\nKind Regards"),
+            (2, "no chrome Here — Mixed CASE kept\tand tabs too"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate(df, ["all rights reserved. inc."]).collect()
+    }
+    assert out[1] == "Dear Reader,\n\nKind Regards"  # casing + newlines kept
+    assert out[2] == "no chrome Here — Mixed CASE kept\tand tabs too"
 
 
 # ----------------------------------------------------------------- shards
