@@ -90,17 +90,23 @@ def strip_boilerplate(
     fragments.
 
     Mining normalizes (lower+trim), so grams are matched case-insensitively
-    with ``\\s+`` between tokens — the source text keeps its casing, line
-    breaks and spacing everywhere a gram does NOT match (an earlier version
+    (``(?iu)`` — plain ``(?i)`` is ASCII-only in Java regex and would skip
+    'Über'↔'über') with ``\\s+`` between tokens. The source text is
+    byte-identical everywhere a gram does NOT match — an earlier version
     emitted the normalized text corpus-wide, silently lowercasing exported
-    training shards). Matches anchor on whitespace/string edges, not
-    ``\\b``: mining is token-granular, so a gram must not match mid-word
-    ('tuba b c…' vs gram 'a b c…'), and word-boundary anchors silently skip
-    grams edged by punctuation ('corp.', '(c) 2024 …'). The leading edge is
-    a captured ``(^|\\s)`` kept via ``$1`` (Java lookbehinds don't take
-    variable-length alternations); the trailing edge is a zero-width
-    lookahead so adjacent occurrences both match. Only the doubled spaces a
-    removal creates are collapsed — newlines survive.
+    training shards, and a global whitespace collapse would destroy code
+    indentation the same way. Matches anchor on whitespace/string edges,
+    not ``\\b``: mining is token-granular, so a gram must not match
+    mid-word ('tuba b c…' vs gram 'a b c…'), and word-boundary anchors
+    silently skip grams edged by punctuation ('corp.', '(c) 2024 …').
+
+    Seam repair is sentinel-scoped: each match (zero-width lookarounds, so
+    adjacent occurrences all match in one pass) becomes a NUL sentinel,
+    and three final replaces operate ONLY where a sentinel sits — a
+    document-edge run disappears outright, an interior run collapses to
+    the first original separator char (a newline between paragraphs stays
+    a newline, not a space). Documents whose text contains literal NUL
+    bytes would interact with the sentinel; real text corpora don't.
 
     ``grams`` is a driver-side list (top-k mining output — bounded by
     construction); each becomes one JVM ``regexp_replace`` in a fused
@@ -108,15 +114,20 @@ def strip_boilerplate(
     import re as _re
 
     cleaned: Column = F.col(text_col)
+    replaced_any = False
     for g in sorted(grams, key=len, reverse=True):
         toks = [t for t in g.split() if t]
         if not toks:
             continue
+        replaced_any = True
         pat = (
-            r"(?i)(^|\s)"
+            r"(?iu)(?<=^|\s)"
             + r"\s+".join(_re.escape(t) for t in toks)
             + r"(?=\s|$)"
         )
-        cleaned = F.regexp_replace(cleaned, pat, "$1")
-    cleaned = F.trim(F.regexp_replace(cleaned, r"[ \t]{2,}", " "))
+        cleaned = F.regexp_replace(cleaned, pat, "\x00")
+    if replaced_any:
+        cleaned = F.regexp_replace(cleaned, r"\s*(?:\x00\s*)+$", "")
+        cleaned = F.regexp_replace(cleaned, r"^\s*(?:\x00\s*)+", "")
+        cleaned = F.regexp_replace(cleaned, r"(\s?)\s*(?:\x00\s*)+", "$1")
     return df.withColumn(out_col or text_col, cleaned)

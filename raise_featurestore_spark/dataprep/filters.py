@@ -46,13 +46,28 @@ class QualityRules:
 
 
 # Float-valued rule metrics snap to this grid before thresholding, on BOTH
-# engines. The thresholds (0.3, 0.9) sit ON the coarse grid, so a verdict
-# flip now needs the fine-grained metric to straddle the half-grid boundary
-# (e.g. 0.295) AND a last-decimal engine divergence at that exact point —
-# the product of two rare events, vs. one in round 4 where a doc whose
-# quality_score sat within an ulp of 0.3 flipped the rejection count per
-# environment (VERDICT.md r4 item 2). Integer rules are exact and unsnapped.
+# engines — but ONLY when the configured threshold sits exactly ON the
+# grid (the defaults 0.3 and 0.9 do): then a verdict flip needs the
+# fine-grained metric to straddle the half-grid boundary (e.g. 0.295) AND
+# a last-decimal engine divergence at that exact point — the product of
+# two rare events, vs. one in round 4 where a doc whose quality_score sat
+# within an ulp of 0.3 flipped the rejection count per environment
+# (VERDICT.md r4 item 2). An off-grid threshold (say 0.305) would be
+# silently moved half a step by snapping, so it compares unsnapped — the
+# user's number wins over flake-hardening. Integer rules are exact.
 _THRESH_DECIMALS = 2
+
+
+def _on_grid(threshold: float) -> bool:
+    return abs(round(threshold, _THRESH_DECIMALS) - threshold) < 1e-12
+
+
+def _snapped(col: F.Column, threshold: float) -> F.Column:
+    return F.round(col, _THRESH_DECIMALS) if _on_grid(threshold) else col
+
+
+def _snapped_sql(expr: str, threshold: float) -> str:
+    return f"ROUND({expr}, {_THRESH_DECIMALS})" if _on_grid(threshold) else expr
 
 
 def _rule_cols(rules: QualityRules) -> dict[str, F.Column]:
@@ -60,10 +75,10 @@ def _rule_cols(rules: QualityRules) -> dict[str, F.Column]:
     return {
         "min_tokens": F.col("n_tokens") >= rules.min_tokens,
         "max_tokens": F.col("n_tokens") <= rules.max_tokens,
-        "dup_token_frac": F.round(F.col("dup_token_frac"), _THRESH_DECIMALS)
+        "dup_token_frac": _snapped(F.col("dup_token_frac"), rules.max_dup_token_frac)
         <= rules.max_dup_token_frac,
         "top_bigram": F.col("top_bigram_count") <= rules.max_top_bigram_count,
-        "quality_score": F.round(F.col("quality_score"), _THRESH_DECIMALS)
+        "quality_score": _snapped(F.col("quality_score"), rules.min_quality_score)
         >= rules.min_quality_score,
         "lang": F.col("lang_pred").isin(rules.allowed_langs),
     }
@@ -128,10 +143,10 @@ def quality_filter_report_sql(table: str, rules: QualityRules | None = None,
     passes = {
         "min_tokens": f"r.n_tokens >= {rules.min_tokens}",
         "max_tokens": f"r.n_tokens <= {rules.max_tokens}",
-        "dup_token_frac": f"ROUND(r.dup_token_frac, {_THRESH_DECIMALS})"
+        "dup_token_frac": f"{_snapped_sql('r.dup_token_frac', rules.max_dup_token_frac)}"
         f" <= {rules.max_dup_token_frac}",
         "top_bigram": f"r.top_bigram_count <= {rules.max_top_bigram_count}",
-        "quality_score": f"ROUND(q.quality_score, {_THRESH_DECIMALS})"
+        "quality_score": f"{_snapped_sql('q.quality_score', rules.min_quality_score)}"
         f" >= {rules.min_quality_score}",
         "lang": f"l.predicted_lang IN ({langs})",
     }

@@ -311,23 +311,39 @@ def ivf_batch_topk(
 def _two_stage_topk(
     cand: DataFrame, cos: Column, k: int, id_col: str, query_id_col: str
 ) -> DataFrame:
-    """Per-query top-k over candidate rows carrying ``__qid``: a
-    partition-local top-k (completed map-side) bounds what the only
-    query-keyed shuffle moves to ≤ k rows per (query, partition); the merge
-    re-sorts ≤ k·P structs per query. sort_array on (negated cosine, id)
-    structs is ascending == best-first and deterministic on cosine ties."""
+    """Per-query top-k over candidate rows carrying ``__qid``.
+
+    Stage 1 truncates INSIDE each input partition (mapInPandas with an
+    incrementally re-truncated pandas buffer: memory ≤ k × queries-seen +
+    one Arrow batch, never the whole partition) — so the one query-keyed
+    shuffle moves ≤ k rows per (query, partition). A groupBy(query,
+    partition-id) + collect_list would instead ship every candidate in
+    full partial-aggregate buffers through its exchange — the truncating
+    slice there sits ABOVE the final aggregate, after the wire. Stage 2
+    merges ≤ k·P structs per query. Ordering is (cosine desc, id asc) in
+    both stages — deterministic on rounded-cosine ties."""
     scored = cand.select(
-        F.col("__qid"),
-        F.col(id_col),
-        cos.alias("cosine"),
-        F.spark_partition_id().alias("__pid"),
+        F.col("__qid"), F.col(id_col), cos.alias("cosine")
     ).where(F.col("cosine").isNotNull())
+    fields = {f.name: f.dataType.simpleString() for f in scored.schema.fields}
+    schema = f"__qid {fields['__qid']}, {id_col} {fields[id_col]}, cosine double"
+
+    def local_topk(batches):
+        buf = None
+        for pdf in batches:
+            cur = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                ["__qid", "cosine", id_col], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            buf = cur.groupby("__qid", sort=False).head(k)
+        if buf is not None and len(buf):
+            yield buf
+
+    pruned = scored.mapInPandas(local_topk, schema)
     entry = F.struct((-F.col("cosine")).alias("nc"), F.col(id_col).alias("i"))
-    local = scored.groupBy("__qid", "__pid").agg(
+    merged = pruned.groupBy("__qid").agg(
         F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("__top")
-    )
-    merged = local.groupBy("__qid").agg(
-        F.slice(F.sort_array(F.flatten(F.collect_list("__top"))), 1, k).alias("__top")
     )
     return merged.select(
         F.col("__qid").alias(query_id_col),

@@ -86,9 +86,11 @@ def asof_join(
         feat_salt: list = []
     else:
         # deterministic scatter from the spine row's hashable columns
-        # (maps are unhashable in Spark; salt never affects the RESULT,
-        # only which sub-partition computes it — same rule as salted_join)
-        hashable = [c for c, t in spine.dtypes if not t.startswith("map")]
+        # (maps are unhashable in Spark — including NESTED maps inside
+        # structs/arrays, hence substring not prefix match; salt never
+        # affects the RESULT, only which sub-partition computes it — same
+        # rule as salted_join)
+        hashable = [c for c, t in spine.dtypes if "map" not in t]
         scatter = (
             F.hash(*[F.col(c) for c in hashable])
             if hashable

@@ -42,12 +42,14 @@ def salted_join(
 
     # big side: deterministic pseudo-random salt from the row's HASHABLE
     # columns — spreads a hot key's rows across `salt` partitions.
-    # MapType columns are excluded (Spark's hash() rejects maps); if no
-    # column is hashable the per-partition row id still scatters rows
-    # (salt values never affect the RESULT, only the distribution).
+    # MapType columns are excluded, including maps NESTED inside
+    # structs/arrays (Spark's hash() rejects any map anywhere in the type,
+    # hence substring not prefix match); if no column is hashable the
+    # per-partition row id still scatters rows (salt values never affect
+    # the RESULT, only the distribution).
     # pmod, not abs(hash) % salt: hash can return Int.MinValue, whose abs
     # overflows negative and would silently drop rows for non-power-of-two salts
-    hashable = [c for c, t in big.dtypes if not t.startswith("map")]
+    hashable = [c for c, t in big.dtypes if "map" not in t]
     scatter = (
         F.hash(*[F.col(c) for c in hashable])
         if hashable

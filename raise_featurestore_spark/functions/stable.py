@@ -62,10 +62,20 @@ def _floor_half_up(m: Column) -> Column:
 
 
 def sig_round(c: Column, digits: int = SIG_DIGITS) -> Column:
-    """``c`` on a ``digits``-significant-digit grid (NULL-safe, −0.0-safe)."""
+    """``c`` on a ``digits``-significant-digit grid (NULL-safe, −0.0-safe).
+
+    Non-finite values pass through unchanged on BOTH engines: Spark's
+    BIGINT-typed ``floor`` would silently turn NaN into 0 (and ±Inf into
+    Long.MIN/MAX) while DuckDB's double-typed FLOOR propagates them — a
+    NaN-poisoned aggregate must render "null"/"inf" identically everywhere,
+    not 0.0 on one engine."""
     e = F.floor(F.log10(F.abs(c))).cast("double")
     scale = F.pow(F.lit(10.0), F.lit(float(digits - 1)) - e)
-    return F.when(c == 0, F.lit(0.0)).otherwise(_floor_half_up(c * scale) / scale)
+    return (
+        F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c)
+        .when(c == 0, F.lit(0.0))
+        .otherwise(_floor_half_up(c * scale) / scale)
+    )
 
 
 def sig_round_sql(expr: str, digits: int = SIG_DIGITS) -> str:
@@ -73,7 +83,8 @@ def sig_round_sql(expr: str, digits: int = SIG_DIGITS) -> str:
     e = f"FLOOR(LOG10(ABS({expr})))"
     scale = f"POWER(10.0, {float(digits - 1)} - {e})"
     return (
-        f"CASE WHEN ({expr}) = 0 THEN 0.0 "
+        f"CASE WHEN ISNAN({expr}) OR ISINF({expr}) THEN ({expr}) "
+        f"WHEN ({expr}) = 0 THEN 0.0 "
         f"ELSE FLOOR(({expr}) * {scale} + 0.5) / {scale} END"
     )
 

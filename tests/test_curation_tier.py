@@ -130,15 +130,26 @@ def test_strip_boilerplate_preserves_original_casing(spark):
         [
             (1, "Dear Reader,\nAll Rights Reserved. Inc.\nKind Regards"),
             (2, "no chrome Here — Mixed CASE kept\tand tabs too"),
+            (3, "def f():\n    return 1  # two  spaces survive "),
+            (4, "Über uns Alle Rechte Vorbehalten danke"),
         ],
         ["doc_id", "text"],
     )
     out = {
         r.doc_id: r.text
-        for r in strip_boilerplate(df, ["all rights reserved. inc."]).collect()
+        for r in strip_boilerplate(
+            df, ["all rights reserved. inc.", "über uns alle rechte vorbehalten"]
+        ).collect()
     }
-    assert out[1] == "Dear Reader,\n\nKind Regards"  # casing + newlines kept
+    # interior seam collapses to the FIRST original separator (a newline
+    # stays a newline); surrounding casing kept
+    assert out[1] == "Dear Reader,\nKind Regards"
+    # documents with no match are byte-identical: tabs, double spaces,
+    # indentation and trailing whitespace all survive
     assert out[2] == "no chrome Here — Mixed CASE kept\tand tabs too"
+    assert out[3] == "def f():\n    return 1  # two  spaces survive "
+    # (?iu): Unicode case folding — ASCII-only (?i) would skip Über↔über
+    assert out[4] == "danke"
 
 
 # ----------------------------------------------------------------- shards

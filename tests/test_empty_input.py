@@ -16,6 +16,7 @@ import pytest
 # explicit, typed error (not an engine fault)
 EXPECTED_GUARDS = {
     "ann_ivf_topk": ValueError,  # k-means quantizer needs >= k sample vectors
+    "ann_ivf_batch_topk": ValueError,  # same quantizer guard, batch path
 }
 
 

@@ -112,95 +112,100 @@ def test_iceberg_roundtrip_or_skip(spark, tmp_path):
 # ------------------------------------------------------------------- delta
 
 
+# Delta needs its SQL extension + catalog as STATIC session confs; a
+# getOrCreate() next to the suite's live session would silently return
+# that session with the confs ignored, and the tests would fail exactly
+# when delta-spark IS installed. Each scenario therefore runs in its own
+# subprocess with a fresh, delta-configured SparkSession.
+
+_DELTA_PRELUDE = """
+import sys
+sys.path.insert(0, {repo!r})
+from delta import configure_spark_with_delta_pip
+from pyspark.sql import SparkSession
+spark = configure_spark_with_delta_pip(
+    SparkSession.builder.appName("delta-tests").master("local[4]")
+    .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+    .config("spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+).getOrCreate()
+"""
+
+
+def _run_delta_script(body: str, tmp_path) -> None:
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _DELTA_PRELUDE.format(repo=repo) + body.format(tmp=str(tmp_path))
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+
+
 @pytest.mark.skipif(not _has_delta(), reason="delta-spark not installed in this sandbox")
 class TestDeltaPaths:
-    def _delta_session(self, spark):
-        # delta requires its SQL extension + catalog on the session
-        from delta import configure_spark_with_delta_pip
-        from pyspark.sql import SparkSession
-
-        builder = (
-            SparkSession.builder.appName("delta-tests")
-            .master("local[4]")
-            .config(
-                "spark.sql.extensions",
-                "io.delta.sql.DeltaSparkSessionExtension",
-            )
-            .config(
-                "spark.sql.catalog.spark_catalog",
-                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
-            )
-        )
-        return configure_spark_with_delta_pip(builder).getOrCreate()
-
-    def test_merge_upsert_updates_and_inserts(self, spark, tmp_path):
-        from raise_featurestore_spark.io.writer import write_feature_group
-
-        s = self._delta_session(spark)
-        path = str(tmp_path / "delta_merge")
-        s.createDataFrame(
-            [(1, "a", 1), (2, "b", 1)], "k long, v string, seq long"
-        ).write.format("delta").save(path)
-        write_feature_group(
-            s.createDataFrame([(2, "B", 2), (3, "c", 2)], "k long, v string, seq long"),
-            path,
-            mode="upsert",
-            key_columns=["k"],
-        )
-        got = {r.k: r.v for r in s.read.format("delta").load(path).collect()}
-        assert got == {1: "a", 2: "B", 3: "c"}
-
-    def test_sequenced_merge_rejects_late_batch(self, spark, tmp_path):
-        from raise_featurestore_spark.io.writer import write_feature_group
-
-        s = self._delta_session(spark)
-        path = str(tmp_path / "delta_seq")
-        s.createDataFrame(
-            [(1, "new", 5)], "k long, v string, seq long"
-        ).write.format("delta").save(path)
-        # replayed batch with an OLDER sequence must not regress the row
-        write_feature_group(
-            s.createDataFrame([(1, "stale", 3)], "k long, v string, seq long"),
-            path,
-            mode="upsert",
-            key_columns=["k"],
-            sequence_column="seq",
-        )
-        assert s.read.format("delta").load(path).collect()[0].v == "new"
-
-    def test_live_table_cdf_refresh(self, spark, tmp_path):
-        import time
-
-        from raise_featurestore_spark.streaming.live_table import (
-            LiveTable,
-            RefreshPolicy,
+    def test_merge_upsert_updates_and_inserts(self, tmp_path):
+        _run_delta_script(
+            """
+from raise_featurestore_spark.io.writer import write_feature_group
+path = {tmp!r} + "/delta_merge"
+spark.createDataFrame([(1, "a", 1), (2, "b", 1)],
+                      "k long, v string, seq long"
+                      ).write.format("delta").save(path)
+write_feature_group(
+    spark.createDataFrame([(2, "B", 2), (3, "c", 2)], "k long, v string, seq long"),
+    path, mode="upsert", key_columns=["k"])
+got = {{r.k: r.v for r in spark.read.format("delta").load(path).collect()}}
+assert got == {{1: "a", 2: "B", 3: "c"}}, got
+""",
+            tmp_path,
         )
 
-        s = self._delta_session(spark)
-        src = str(tmp_path / "cdf_src")
-        s.sql(
-            f"CREATE TABLE delta.`{src}` (k LONG, v DOUBLE) USING delta "
-            "TBLPROPERTIES (delta.enableChangeDataFeed = true)"
+    def test_sequenced_merge_rejects_late_batch(self, tmp_path):
+        _run_delta_script(
+            """
+from raise_featurestore_spark.io.writer import write_feature_group
+path = {tmp!r} + "/delta_seq"
+spark.createDataFrame([(1, "new", 5)], "k long, v string, seq long"
+                      ).write.format("delta").save(path)
+# replayed batch with an OLDER sequence must not regress the row
+write_feature_group(
+    spark.createDataFrame([(1, "stale", 3)], "k long, v string, seq long"),
+    path, mode="upsert", key_columns=["k"], sequence_column="seq")
+rows = spark.read.format("delta").load(path).collect()
+assert rows[0].v == "new", rows
+""",
+            tmp_path,
         )
-        lt = LiveTable(
-            name="cdf_live",
-            compute=lambda sp: sp.read.format("delta").load(src).groupBy().count(),
-            storage_path=str(tmp_path / "cdf_mat"),
-            policy=RefreshPolicy(mode="on_change", debounce_seconds=1),
+
+    def test_live_table_cdf_refresh(self, tmp_path):
+        _run_delta_script(
+            """
+import time
+from raise_featurestore_spark.streaming.live_table import LiveTable, RefreshPolicy
+src = {tmp!r} + "/cdf_src"
+spark.sql("CREATE TABLE delta.`" + src + "` (k LONG, v DOUBLE) USING delta "
+          "TBLPROPERTIES (delta.enableChangeDataFeed = true)")
+lt = LiveTable(
+    name="cdf_live",
+    compute=lambda sp: sp.read.format("delta").load(src).groupBy().count(),
+    storage_path={tmp!r} + "/cdf_mat",
+    policy=RefreshPolicy(mode="on_change", debounce_seconds=1))
+q = lt.start_on_change(spark, src, schema=None,
+                       checkpoint_dir={tmp!r} + "/ckpt", format="delta-cdf")
+try:
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"
+                          ).write.format("delta").mode("append").save(src)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(e.trigger == "on_change" for e in lt.refresh_history()):
+            break
+        time.sleep(1)
+    assert any(e.trigger == "on_change" for e in lt.refresh_history())
+finally:
+    q.stop()
+""",
+            tmp_path,
         )
-        q = lt.start_on_change(
-            s, src, schema=None, checkpoint_dir=str(tmp_path / "ckpt"),
-            format="delta-cdf",
-        )
-        try:
-            s.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double").write.format(
-                "delta"
-            ).mode("append").save(src)
-            deadline = time.time() + 60
-            while time.time() < deadline:
-                if any(e.trigger == "on_change" for e in lt.refresh_history()):
-                    break
-                time.sleep(1)
-            assert any(e.trigger == "on_change" for e in lt.refresh_history())
-        finally:
-            q.stop()
