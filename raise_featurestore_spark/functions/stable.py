@@ -32,12 +32,11 @@ decade boundaries are self-consistent (a value straddling 10^k snaps to
 ``10.000·10^(k-1)`` on one side, ``1.0000·10^k`` on the other — the same
 double).
 
-``stable_round`` composes the significant-digit snap with a floor-based
-decimal round (default 4), so small-magnitude outputs keep the familiar
-≤4-decimals shape while large magnitudes get the relative grid. The
-decimal stage only modifies values < 1 (a 5-significant-digit value ≥ 1
-already has ≤ 4 decimals) and skips magnitudes where BIGINT floor could
-overflow (where the decimal round is a no-op anyway).
+``stable_round`` fuses the significant-digit snap with a decimal-grid
+bound (default 4 decimals) into ONE floor-round, so small-magnitude
+outputs keep the familiar ≤4-decimals shape while large magnitudes get
+the relative grid — see its docstring for why fused (codegen compile
+cost of the composed form).
 """
 
 from __future__ import annotations
@@ -48,12 +47,6 @@ from pyspark.sql import functions as F
 #: default significant digits — one under the driver's %.6g render so a
 #: correctly-snapped value can never straddle the hash's own rounding
 SIG_DIGITS = 5
-
-#: decimal-round guard: above this magnitude the 4-decimal stage is a
-#: no-op on a 5-sig-digit value and x·10^4 would overflow Spark's
-#: BIGINT-typed floor at ~9.2e18 anyway
-_DEC_GUARD = 1e11
-
 
 def _floor_half_up(m: Column) -> Column:
     """Round-half-toward-+inf of an already-scaled value, in pure IEEE ops
@@ -90,18 +83,34 @@ def sig_round_sql(expr: str, digits: int = SIG_DIGITS) -> str:
 
 
 def stable_round(c: Column, digits: int = SIG_DIGITS, decimals: int = 4) -> Column:
-    """Significant-digit snap + floor-based decimal round: the emission
-    form for unbounded-magnitude double aggregates."""
-    s = sig_round(c, digits)
-    d = F.lit(float(10**decimals))
-    return F.when(F.abs(s) < F.lit(_DEC_GUARD), _floor_half_up(s * d) / d).otherwise(s)
+    """One fused floor-round at ``scale = 10^min(digits-1-e, decimals)``:
+    the emission form for unbounded-magnitude double aggregates — the
+    significant-digit grid for |x| ≥ 1, the plain decimal grid for
+    |x| < 1 (where ``decimals`` is the finer bound anyway).
+
+    Fused rather than sequential sig-then-decimal: a composed
+    ``when(...)`` chain repeats the aggregate child ~20× and its
+    whole-stage-codegen compile cost showed up as ~+2 s cold on the
+    12-metric agg_global_stats plan; this form references the child 5×.
+    The scaled mantissa stays in [10^(digits-1), 10^digits) for |x| ≥ 1
+    and below 10^decimals for |x| < 1, so Spark's BIGINT-typed floor
+    cannot overflow at any input magnitude."""
+    e = F.floor(F.log10(F.abs(c))).cast("double")
+    p = F.least(F.lit(float(digits - 1)) - e, F.lit(float(decimals)))
+    scale = F.pow(F.lit(10.0), p)
+    return (
+        F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c)
+        .when(c == 0, F.lit(0.0))
+        .otherwise(_floor_half_up(c * scale) / scale)
+    )
 
 
 def stable_round_sql(expr: str, digits: int = SIG_DIGITS, decimals: int = 4) -> str:
-    """DuckDB twin of :func:`stable_round`."""
-    s = sig_round_sql(expr, digits)
-    d = float(10**decimals)
+    """DuckDB twin of :func:`stable_round` — the same IEEE op sequence."""
+    e = f"FLOOR(LOG10(ABS({expr})))"
+    scale = f"POWER(10.0, LEAST({float(digits - 1)} - {e}, {float(decimals)}))"
     return (
-        f"CASE WHEN ABS({s}) < {_DEC_GUARD} "
-        f"THEN FLOOR(({s}) * {d} + 0.5) / {d} ELSE ({s}) END"
+        f"CASE WHEN ISNAN({expr}) OR ISINF({expr}) THEN ({expr}) "
+        f"WHEN ({expr}) = 0 THEN 0.0 "
+        f"ELSE FLOOR(({expr}) * {scale} + 0.5) / {scale} END"
     )

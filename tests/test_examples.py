@@ -139,3 +139,13 @@ def test_example_corpus_finishing(spark):
     assert 0 < out["tokens_used"] <= 5_000
     assert out["chunks"] >= out["selected_docs"]
     assert out["shards"] <= 8
+
+
+def test_example_retrieval_training_set(spark):
+    out = _load("13_retrieval_training_set.py").main(SF_DIR)
+    assert out["train_rows"] > 0
+    assert 0 < out["feature_coverage"] <= 1.0
+    # every query returns a full k=8 neighbor list on the synthetic corpus
+    assert out["neighbor_rows"] == 16 * 8
+    # nprobe=3/8 on near-uniform vectors: observed ~0.6-0.8; alert floor
+    assert out["recall_at_8"] >= 0.2
