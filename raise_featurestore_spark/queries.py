@@ -1806,6 +1806,60 @@ def _profile_events_sql() -> str:
 register("profile_table_events", _profile_events, _profile_events_sql())
 
 
+_SKEW_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew advisor (analytics/skew_report.py): top-5 heavy hitters per
+    candidate key column in ONE shuffle for all columns; hot_factor tells
+    you the salt level a skewed join would need."""
+    from raise_featurestore_spark.analytics.skew_report import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "orders"), _SKEW_COLS, top_k=5)
+
+
+def _skew_report_orders_sql() -> str:
+    from raise_featurestore_spark.analytics.skew_report import skew_report_sql
+
+    return skew_report_sql("orders", _SKEW_COLS, top_k=5)
+
+
+register("skew_report_orders", _skew_report_orders, _skew_report_orders_sql())
+
+
+def _join_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join guardrail (functions/join_estimate.py): EXACT output size
+    and worst-key contribution of the purchase⋈click user join — computed
+    from the two key histograms, never running the payload join."""
+    from raise_featurestore_spark.functions.join_estimate import equi_join_cardinality
+
+    ev = load_table(spark, sf_dir, "events")
+    return equi_join_cardinality(
+        ev.where(F.col("event_type") == "purchase").select("user_id"),
+        ev.where(F.col("event_type") == "click").select("user_id"),
+        on="user_id",
+    )
+
+
+def _join_cardinality_events_sql() -> str:
+    from raise_featurestore_spark.functions.join_estimate import (
+        equi_join_cardinality_sql,
+    )
+
+    return equi_join_cardinality_sql(
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "(SELECT user_id FROM events WHERE event_type = 'click')",
+        on="user_id",
+    )
+
+
+register(
+    "join_cardinality_events",
+    _join_cardinality_events,
+    _join_cardinality_events_sql(),
+)
+
+
 def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raise_featurestore_spark.dataprep.text import vocab_topk
 
@@ -1953,6 +2007,8 @@ _PROMOTED = [
     # new this round
     "ann_ivf_batch_topk",
     "asof_salted_spine",
+    "skew_report_orders",
+    "join_cardinality_events",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
