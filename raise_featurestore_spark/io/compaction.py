@@ -13,21 +13,29 @@ Design notes:
 - The report is driver-side filesystem metadata (names + sizes), the same
   information a table format keeps in its manifest — bounded by file
   COUNT, never data volume. No Spark job runs.
-- ``compact`` reads once and writes ``ceil(total_bytes / target_size)``
-  files via ``coalesce`` (narrow — no shuffle; each output task
-  concatenates input splits). Pass ``shuffle=True`` to ``repartition``
-  instead when the input is also SKEWED across files (one 5 GB file among
-  thousands of KB files) and balanced outputs matter more than avoiding
-  one shuffle.
-- The rewrite stages into a temp dir and atomically swaps, mirroring
-  ``io/writer._upsert`` — readers never observe a half-written table.
-- Partitioned layouts (``k=v`` dirs) are compacted per-partition by the
-  same write (partition values are re-derived from the data by
-  ``partitionBy``), so partition pruning survives compaction.
+- ``compact`` reads once (``mergeSchema`` on: increments of an appended
+  table may have evolved the schema, and a footer-sampled read would
+  silently drop late columns from the rewrite) and writes
+  ``ceil(total_bytes / target_size)`` files via ``coalesce`` (narrow — no
+  shuffle; each output task concatenates input splits). Pass
+  ``shuffle=True`` to ``repartition`` instead when the input is also
+  SKEWED across files (one 5 GB file among thousands of KB files) and
+  balanced outputs matter more than avoiding one shuffle.
+- The rewrite stages into a temp dir and swaps, mirroring
+  ``io/writer._upsert``: readers never observe a half-written table, the
+  pre-swap generation is RETAINED until the next compact (an in-flight
+  reader that resolved file paths pre-swap keeps scanning it instead of
+  failing mid-query), and stale staging/backup dirs from crashed prior
+  runs are pruned on entry.
+- Partitioned layouts (``k=v`` dirs) are detected from the file listing
+  and re-written with the same ``partitionBy`` automatically, so
+  partition pruning survives compaction; pass ``partition_by`` only to
+  CHANGE the layout.
 """
 
 from __future__ import annotations
 
+import glob
 import math
 import os
 import shutil
@@ -93,6 +101,20 @@ def compaction_report(
     )
 
 
+def _infer_partition_columns(path: str) -> list[str]:
+    """Ordered ``k=v`` partition columns from the first data file's
+    relative directory components (Hive layouts are uniform by
+    construction)."""
+    for p, _ in _data_files(path):
+        rel = os.path.relpath(p, path)
+        return [
+            seg.split("=", 1)[0]
+            for seg in rel.split(os.sep)[:-1]
+            if "=" in seg
+        ]
+    return []
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -100,27 +122,41 @@ def compact(
     partition_by: list[str] | None = None,
     shuffle: bool = False,
 ) -> CompactionReport:
-    """Rewrite ``path`` to ~``target_bytes`` files and atomically swap.
-    Returns the POST-compaction report."""
+    """Rewrite ``path`` to ~``target_bytes`` files and swap (pre-swap
+    generation retained one cycle). Returns the POST-compaction report."""
+    base = path.rstrip("/")
+    # crashed prior runs leave full-size staging copies — sweep them first
+    for stale in glob.glob(f"{base}__compact_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
     pre = compaction_report(path, target_bytes)
     if pre.n_files == 0:
         return pre
+    if partition_by is None:
+        partition_by = _infer_partition_columns(path)
     n_out = pre.recommended_files
-    df: DataFrame = spark.read.parquet(path)
+    df: DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
     df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
 
-    staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    writer = df.write
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.mode("overwrite").parquet(staging)
-
-    backup = f"{path.rstrip('/')}__pre_compact_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
+    staging = f"{base}__compact_{uuid.uuid4().hex[:8]}"
     try:
-        os.rename(staging, path)
-    except OSError:  # roll back: the old table must survive a failed swap
-        os.rename(backup, path)
+        writer = df.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.mode("overwrite").parquet(staging)
+
+        # prune backups from PREVIOUS compactions, retain this one until
+        # the next run (same in-flight-reader contract as io/writer._upsert)
+        for leftover in glob.glob(f"{base}__precompact_*"):
+            shutil.rmtree(leftover, ignore_errors=True)
+        backup = f"{base}__precompact_{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        try:
+            os.rename(staging, path)
+        except OSError:  # roll back: the old table must survive a failed swap
+            os.rename(backup, path)
+            raise
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
         raise
-    shutil.rmtree(backup)
     return compaction_report(path, target_bytes)

@@ -43,9 +43,17 @@ def test_compact_preserves_rows_and_reduces_files(spark, fragmented):
     after = spark.read.parquet(fragmented)
     assert sorted(r.id for r in after.collect()) == rows_before
     assert not rep.needs_compaction
-    # no stray staging/backup dirs left behind
+    # the pre-swap generation is RETAINED one cycle for in-flight readers
+    # (io/writer._upsert contract); no staging dirs survive
     parent = os.path.dirname(fragmented)
-    assert [d for d in os.listdir(parent) if "compact" in d] == []
+    leftovers = [d for d in os.listdir(parent) if "compact" in d]
+    assert len(leftovers) == 1 and "__precompact_" in leftovers[0]
+    # ...and the NEXT compact prunes it
+    compact(spark, fragmented, target_bytes=1 << 20)
+    leftovers = [
+        d for d in os.listdir(parent) if "compact" in d and "__precompact_" in d
+    ]
+    assert len(leftovers) == 1  # only the newest generation survives
 
 
 def test_compact_partitioned_keeps_pruning(spark, fragmented):
@@ -63,3 +71,31 @@ def test_compact_partitioned_keeps_pruning(spark, fragmented):
 def test_empty_dir_report(tmp_path):
     rep = compaction_report(str(tmp_path / "nothing_here"))
     assert rep.n_files == 0 and not rep.needs_compaction
+
+
+def test_partition_columns_inferred_automatically(spark, fragmented):
+    part = fragmented + "_autopart"
+    spark.read.parquet(fragmented).repartition(6).write.partitionBy("g").parquet(part)
+    rep = compact(spark, part)  # no partition_by passed
+    assert rep.n_files <= 3
+    # k=v layout survived: pruning still applies
+    plan = (
+        spark.read.parquet(part)
+        .where("g = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(g" in plan
+
+
+def test_compact_merges_evolved_schema(spark, tmp_path):
+    # increments with an extra column must not be dropped by the rewrite
+    path = str(tmp_path / "evolved")
+    spark.range(10).write.parquet(path)
+    spark.range(10, 20).withColumn("late_col", F.lit("x")).write.mode(
+        "append"
+    ).parquet(path)
+    compact(spark, path, target_bytes=1 << 20)
+    cols = set(spark.read.option("mergeSchema", "true").parquet(path).columns)
+    assert cols == {"id", "late_col"}
