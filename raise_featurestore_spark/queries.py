@@ -1860,6 +1860,39 @@ register(
 )
 
 
+def _zorder_morton_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code kernel behind io/zorder.zorder_write (the Z-order
+    clustering layout): interleaves 8-bit buckets of (custkey, orderkey)
+    — pure shift/mask column arithmetic, oracle-paired bit-for-bit."""
+    from raise_featurestore_spark.io.zorder import z_value
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            z_value(
+                [F.pmod(F.col("o_custkey"), F.lit(256)),
+                 F.pmod(F.col("o_orderkey"), F.lit(256))],
+                bits=8,
+            ).alias("z"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+def _zorder_morton_orders_sql() -> str:
+    from raise_featurestore_spark.io.zorder import z_value_sql
+
+    z = z_value_sql(["o_custkey % 256", "o_orderkey % 256"], bits=8)
+    return (
+        f"SELECT o_orderkey, {z} AS z FROM orders ORDER BY o_orderkey LIMIT 500"
+    )
+
+
+register("zorder_morton_orders", _zorder_morton_orders, _zorder_morton_orders_sql())
+
+
 def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raise_featurestore_spark.dataprep.text import vocab_topk
 
@@ -2009,6 +2042,7 @@ _PROMOTED = [
     "asof_salted_spine",
     "skew_report_orders",
     "join_cardinality_events",
+    "zorder_morton_orders",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
