@@ -671,7 +671,9 @@ register(
 
 from raise_featurestore_spark.dataprep import boilerplate as BP
 from raise_featurestore_spark.dataprep import chunking as CH
+from raise_featurestore_spark.dataprep import clustering as KM
 from raise_featurestore_spark.dataprep import dedup as DD
+from raise_featurestore_spark.dataprep import substring as SUB
 from raise_featurestore_spark.dataprep import sampling as SAMP
 from raise_featurestore_spark.dataprep import selection as SEL
 from raise_featurestore_spark.dataprep import shards as SH
@@ -729,6 +731,17 @@ def _dedup_clusters_sql() -> str:
 
 
 register("dedup_clusters", _dedup_clusters, _dedup_clusters_sql())
+
+register(
+    # Lee-et-al exact-substring near-dup: verbatim ≥20-token runs between
+    # doc pairs via rolling 60-bit window hashes + occurrence cap. Catches
+    # long-quote duplication that MinHash similarity misses.
+    "dedup_substring_overlap",
+    lambda spark, sf_dir: SUB.substring_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), window=20, max_occ=50
+    ),
+    SUB.substring_overlap_pairs_sql("documents", window=20, max_occ=50),
+)
 
 register(
     "dedup_simhash_pairs",
@@ -849,6 +862,26 @@ register(
     _ann_ivf_batch,
     f"SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k_exact, TRUE AS recall_ok "
     f"FROM embeddings ORDER BY vec_id LIMIT {_BATCH_NQ}",
+)
+
+# Full-corpus distributed Lloyd's (dataprep/clustering.py): the E-step is
+# map-side literal-centroid arithmetic (zero shuffle), the M-step one k-row
+# aggregate; the oracle regenerates both iterations as chained CTEs.
+register(
+    "cluster_kmeans_report",
+    lambda spark, sf_dir: KM.kmeans_report(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    ),
+    KM.kmeans_report_sql("embeddings", k=8, iters=2, dim=64),
+)
+
+register(
+    # diversity-aware sampling: exact-n per k-means cluster, md5 order
+    "cluster_balanced_sample",
+    lambda spark, sf_dir: KM.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, per_cluster=5
+    ),
+    KM.cluster_balanced_sample_sql("embeddings", k=8, iters=2, dim=64, per_cluster=5),
 )
 
 register(
@@ -2043,6 +2076,9 @@ _PROMOTED = [
     "skew_report_orders",
     "join_cardinality_events",
     "zorder_morton_orders",
+    "dedup_substring_overlap",
+    "cluster_kmeans_report",
+    "cluster_balanced_sample",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
