@@ -77,6 +77,12 @@ def kmeans_fit(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     init = pts.orderBy("id").limit(k).collect()
+    if not init or init[0].v is None:
+        # empty corpus (or null vectors): empty assignment with the right
+        # schema — downstream reports/samples become empty, not a crash
+        return pts.select(
+            "id", "v", F.lit(0).alias("cluster"), F.lit(0.0).alias("dist")
+        ).where(F.lit(False))
     cents = {i: list(r.v) for i, r in enumerate(init)}
     dim = len(init[0].v)
     pts = pts.persist()

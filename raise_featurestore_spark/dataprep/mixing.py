@@ -123,3 +123,97 @@ def mix_report_sql(table: str, spec: MixSpec | None = None) -> str:
         f"SELECT __t.{s}, n_docs, rate, COALESCE(__k.n_kept, 0) AS n_kept "
         f"FROM __t LEFT JOIN __k ON __t.{s} = __k.{s}"
     )
+
+
+def mixture_recipe(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explicit data-recipe solver: given target mixture ``weights`` (per
+    source, any positive scale — normalized here) and a total token
+    ``budget``, emit per-source sampling rates and expected token yield.
+
+    This is the planning step a recipe designer runs before committing a
+    mix (DoReMi/Pile-style fixed-weight recipes, vs. the alpha-sampling of
+    :func:`temperature_mix`): ``rate_s = min(1, budget·w_s / tokens_s)``,
+    and ``exhausted`` marks sources whose natural size cannot supply their
+    target share (rate capped at 1) — the signal to re-weight or add data.
+
+    Scale design: ONE grouped aggregate over the corpus (token counting is
+    a map-side size(split) fold — no explode); everything after operates
+    on the per-source table. Weights are normalized driver-side into
+    literals, so both engines see identical doubles; the rate snaps to the
+    5-significant-digit grid (`functions/stable`). ``expected_tokens`` is
+    emitted as a snapped double, not a floored integer — an integer floor
+    of a float product would cliff at exact-integer boundaries.
+
+    Columns: (source, n_docs, tokens, target_frac, rate, expected_tokens,
+    exhausted).
+    """
+    from raise_featurestore_spark.dataprep.text import ws_tokens
+    from raise_featurestore_spark.functions.stable import sig_round
+
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    fracs = {s: w / total_w for s, w in weights.items()}
+
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col(text_col)))).cast("long").alias("tokens"),
+    )
+    frac = F.lit(0.0)
+    for s, fr in sorted(fracs.items()):
+        frac = F.when(F.col(source_col) == s, F.lit(fr)).otherwise(frac)
+    rate = sig_round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) * F.col("target_frac") / F.col("tokens"),
+        )
+    )
+    return (
+        counts.withColumn("target_frac", frac)
+        .withColumn("rate", rate)
+        .withColumn("expected_tokens", sig_round(F.col("rate") * F.col("tokens")))
+        .withColumn("exhausted", F.col("rate") >= F.lit(1.0))
+        .select(
+            source_col, "n_docs", "tokens", "target_frac", "rate",
+            "expected_tokens", "exhausted",
+        )
+    )
+
+
+def mixture_recipe_sql(
+    table: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`mixture_recipe` (same normalized literals)."""
+    from raise_featurestore_spark.dataprep.text import ws_tokens_sql
+    from raise_featurestore_spark.functions.stable import sig_round_sql
+
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    fracs = {s: w / total_w for s, w in weights.items()}
+    case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {fr!r}" for s, fr in sorted(fracs.items())
+    ) + " ELSE 0.0 END"
+    toks = f"len({ws_tokens_sql(text_col)})"
+    rate = sig_round_sql(
+        f"LEAST(1.0, {float(budget_tokens)} * target_frac / tokens)"
+    )
+    return (
+        f"WITH __c AS (SELECT {source_col}, COUNT(*) AS n_docs, "
+        f"CAST(SUM({toks}) AS BIGINT) AS tokens, {case} AS target_frac "
+        f"FROM {table} GROUP BY {source_col}), "
+        f"__r AS (SELECT *, {rate} AS rate FROM __c) "
+        f"SELECT {source_col}, n_docs, tokens, target_frac, rate, "
+        f"{sig_round_sql('rate * tokens')} AS expected_tokens, "
+        f"rate >= 1.0 AS exhausted FROM __r"
+    )

@@ -196,6 +196,25 @@ register_agg(
     ),
 )
 
+# Winsorized robust stats (analytics/outliers.py): fused-percentile bounds
+# snapped on both engines, clip counts + clamped moments in one pass.
+from raise_featurestore_spark.analytics import outliers as OUT
+
+register(
+    "agg_winsorized_price",
+    lambda spark, sf_dir: OUT.winsorized_stats(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        group_by="l_returnflag",
+        p_lo=0.05,
+        p_hi=0.95,
+    ),
+    OUT.winsorized_stats_sql(
+        "lineitem", "l_extendedprice", group_by="l_returnflag", p_lo=0.05, p_hi=0.95
+    ),
+)
+
+
 def register_dist(name: str, table: str, spec: Distribution) -> None:
     register(
         name,
@@ -906,6 +925,53 @@ register(
     "text_fingerprint",
     lambda spark, sf_dir: TX.fingerprint(load_table(spark, sf_dir, "documents")),
     TX.fingerprint_sql("documents"),
+)
+
+# CCNet-style LM quality signal (dataprep/lm_score.py): add-k bigram model
+# fit distributively over the corpus, per-doc perplexity, and the
+# head/middle/tail bucket report the curation recipe keys off.
+from raise_featurestore_spark.dataprep import lm_score as LM
+
+register(
+    "text_lm_perplexity",
+    lambda spark, sf_dir: LM.lm_perplexity(
+        load_table(spark, sf_dir, "documents"), vocab_size=256
+    ),
+    LM.lm_perplexity_sql("documents", vocab_size=256),
+)
+
+register(
+    "text_ppl_buckets",
+    lambda spark, sf_dir: LM.ppl_bucket_report(
+        load_table(spark, sf_dir, "documents"), vocab_size=256
+    ),
+    LM.ppl_bucket_report_sql("documents", vocab_size=256),
+)
+
+# TF-IDF keyword extraction (dataprep/keywords.py): snapped-score ranking,
+# per-doc bounded windows.
+from raise_featurestore_spark.dataprep import keywords as KW
+
+register(
+    "text_tfidf_keywords",
+    lambda spark, sf_dir: KW.top_keywords(
+        load_table(spark, sf_dir, "documents"), k=3
+    ),
+    KW.top_keywords_sql("documents", k=3),
+)
+
+# Explicit token-budget mixture recipe (dataprep/mixing.mixture_recipe):
+# DoReMi/Pile-style fixed weights → per-source rates + exhaustion flags.
+from raise_featurestore_spark.dataprep import mixing as MIX
+
+_MIX_WEIGHTS = {f"src{i}": w for i, w in enumerate([4.0, 3.0, 2.0, 1.0] * 5)}
+
+register(
+    "mix_recipe_budget",
+    lambda spark, sf_dir: MIX.mixture_recipe(
+        load_table(spark, sf_dir, "documents"), _MIX_WEIGHTS, budget_tokens=50_000
+    ),
+    MIX.mixture_recipe_sql("documents", _MIX_WEIGHTS, budget_tokens=50_000),
 )
 
 
@@ -2079,6 +2145,11 @@ _PROMOTED = [
     "dedup_substring_overlap",
     "cluster_kmeans_report",
     "cluster_balanced_sample",
+    "text_lm_perplexity",
+    "text_ppl_buckets",
+    "text_tfidf_keywords",
+    "mix_recipe_budget",
+    "agg_winsorized_price",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
