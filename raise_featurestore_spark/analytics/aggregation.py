@@ -39,7 +39,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.analysis import Aggregation, parse_duration_seconds
-from raise_featurestore_spark.functions.stable import stable_round, stable_round_sql
+from raise_featurestore_spark.functions.stable import (
+    grid_snap,
+    grid_snap_sql,
+    stable_round,
+    stable_round_sql,
+)
 
 DEFAULT_ROUND = 4
 
@@ -69,9 +74,84 @@ def metric_alias(metric: str, feature: str) -> str:
     return f"{metric}_{safe}"
 
 
-def _metric_column(metric: str, feature: str, round_to: int | None) -> Column:
+# Exact-moment accumulation (Aggregation.exact_moments): the residual flake
+# class after significant-digit OUTPUT snapping is the INPUT noise — a
+# parallel double sum lands within an ulp of a snap-grid boundary and the
+# two engines (or two partitionings) fall on opposite sides. Killing the
+# noise at the source: every row is snapped to the 1e-4 grid with the IEEE
+# floor form (grid_snap — lossless for ≤4-decimal data like prices), cast
+# to DECIMAL(18,4), and summed EXACTLY (integer arithmetic — associative,
+# so partition count / merge order / engine version cannot change it).
+# x² as DECIMAL(18,4)·DECIMAL(18,4) → (37,8) is exact in BOTH engines (no
+# precision-loss rescale: 37 ≤ 38 Spark, 36 ≤ 38 DuckDB). Only the final
+# variance/avg formula runs in double — written as the IDENTICAL op
+# sequence on both engines, so IEEE determinism gives bit-equal results.
+# Non-finite rows are nulled before the decimal cast (ANSI cast would
+# throw) and re-poisoned via +MAX(CASE … NaN): NaN input ⇒ NaN output on
+# both engines, matching the plain double aggregates. Domain: |row| < 1e13
+# (decimal(18,4) range; sums get 38-digit headroom ≈ 1e30 — at 1e12 rows
+# of 1e12-scale squares that is still 1e6× margin).
+_DEC = "decimal(18,4)"
+
+
+def _exact_dec(d: Column) -> Column:
+    finite = ~(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))))
+    return F.when(finite, grid_snap(d)).cast(_DEC)
+
+
+def _exact_poison(d: Column) -> Column:
+    nonfinite = F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
+    return F.max(
+        F.when(nonfinite, F.lit(float("nan"))).otherwise(F.lit(0.0))
+    )
+
+
+def _exact_dec_sql(d: str) -> str:
+    # DECIMAL(19,4), not (18,4): DuckDB keeps an 18-digit product in int64
+    # and overflows (its (18,4)×(18,4) → DECIMAL(18,8)); 19 forces int128 →
+    # (38,8), exact. Spark stays (18,4) → (37,8) exact ((19,4)² would cross
+    # 38 and precision-loss-rescale to scale 7, rounding the square).
+    # Same VALUES either way — both casts are exact on the 1e-4 grid.
+    return (
+        f"CASE WHEN NOT (ISNAN({d}) OR ISINF({d})) "
+        f"THEN CAST({grid_snap_sql(d)} AS DECIMAL(19,4)) END"
+    )
+
+
+def _exact_poison_sql(d: str) -> str:
+    return (
+        f"MAX(CASE WHEN ISNAN({d}) OR ISINF({d}) "
+        f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"
+    )
+
+
+def _metric_column(
+    metric: str, feature: str, round_to: int | None, exact: bool = False
+) -> Column:
     c = F.col(feature)
     d = c.cast("double")
+    if exact and metric in ("sum", "avg", "mean", "stddev", "variance"):
+        dec = _exact_dec(d)
+        s1 = F.sum(dec).cast("double")
+        nn = F.count(d).cast("double")
+        poison = _exact_poison(d)
+        if metric == "sum":
+            out = s1 + poison
+        elif metric in ("avg", "mean"):
+            out = s1 / nn + poison
+        else:
+            s2 = F.sum(dec * dec).cast("double")
+            var = (s2 - s1 * s1 / nn) / (nn - F.lit(1.0))
+            if metric == "stddev":
+                # greatest clamps cancellation-negative variance; the n>1
+                # guard sits OUTSIDE it (GREATEST ignores NULL on both
+                # engines, so guarding inside would turn NULL into 0.0)
+                var = F.sqrt(F.greatest(var, F.lit(0.0)))
+            core = F.when(F.count(d) > 1, var)  # VAR_SAMP(n<2) is NULL
+            out = core + poison
+        if round_to is not None:
+            out = stable_round(out, decimals=round_to)
+        return out.alias(metric_alias(metric, feature))
     if metric == "count":
         out = F.count(c)
     elif metric == "null_count":
@@ -110,9 +190,30 @@ def _metric_column(metric: str, feature: str, round_to: int | None) -> Column:
     return out.alias(metric_alias(metric, feature))
 
 
-def _metric_sql(metric: str, feature: str, round_to: int | None) -> str:
+def _metric_sql(
+    metric: str, feature: str, round_to: int | None, exact: bool = False
+) -> str:
     x = feature
     d = f"CAST({x} AS DOUBLE)"
+    if exact and metric in ("sum", "avg", "mean", "stddev", "variance"):
+        dec = _exact_dec_sql(d)
+        s1 = f"CAST(SUM({dec}) AS DOUBLE)"
+        nn = f"CAST(COUNT({d}) AS DOUBLE)"
+        poison = _exact_poison_sql(d)
+        if metric == "sum":
+            e = f"{s1} + {poison}"
+        elif metric in ("avg", "mean"):
+            e = f"{s1} / {nn} + {poison}"
+        else:
+            s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+            var = f"({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0)"
+            if metric == "stddev":
+                var = f"SQRT(GREATEST({var}, 0.0))"
+            core = f"CASE WHEN COUNT({d}) > 1 THEN {var} END"
+            e = f"{core} + {poison}"
+        if round_to is not None:
+            e = stable_round_sql(e, decimals=round_to)
+        return f"{e} AS {metric_alias(metric, feature)}"
     if metric == "count":
         e = f"COUNT({x})"
     elif metric == "null_count":
@@ -199,7 +300,7 @@ def compile_aggregation(
         for metric in spec.metrics:
             if metric in pct_metrics:
                 continue
-            col = _metric_column(metric, feature, round_to)
+            col = _metric_column(metric, feature, round_to, exact=spec.exact_moments)
             col = _null_count_fixup(metric, feature, col)
             if split_distinct and metric == "distinct_count":
                 distinct_aggs.append(col)
@@ -280,7 +381,11 @@ def aggregation_to_sql(
     if spec.rolling:
         return _rolling_sql(spec, table, where_sql, round_to)
 
-    cols = [_metric_sql(m, ft, round_to) for ft in spec.features for m in spec.metrics]
+    cols = [
+        _metric_sql(m, ft, round_to, exact=spec.exact_moments)
+        for ft in spec.features
+        for m in spec.metrics
+    ]
     if spec.group_by:
         return (
             f"SELECT {spec.group_by}, {', '.join(cols)} FROM {table}{where_sql} "

@@ -115,6 +115,13 @@ class Aggregation(_Spec):
     # mergeable map-side. Default exact so oracles are bit-checkable.
     approx_percentiles: bool = False
     percentile_accuracy: int = 10_000
+    # engine addition, the flake-class killer for sum/avg/stddev/variance:
+    # accumulate in exact DECIMAL(18,4) (rows pre-snapped to the 1e-4 grid
+    # with the IEEE floor form) so the moments are independent of partition
+    # count, merge order, AND engine ROUND semantics; only the final
+    # formula runs in (deterministic, identically-written) double ops.
+    # Opt out for |row| ≥ 1e13 domains, where the decimal cast overflows.
+    exact_moments: bool = True
 
     def __post_init__(self) -> None:
         bad = set(self.metrics) - AGGREGATION_METRICS

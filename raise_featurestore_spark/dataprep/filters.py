@@ -63,11 +63,19 @@ def _on_grid(threshold: float) -> bool:
 
 
 def _snapped(col: F.Column, threshold: float) -> F.Column:
-    return F.round(col, _THRESH_DECIMALS) if _on_grid(threshold) else col
+    # grid_snap, not engine ROUND: Spark rounds HALF_UP on the shortest
+    # decimal repr while DuckDB rounds the binary value, so a metric whose
+    # repr ends "...5" at the grid position flips per engine — the exact
+    # residual class the r4 snap left open (functions/stable.grid_snap).
+    from raise_featurestore_spark.functions.stable import grid_snap
+
+    return grid_snap(col, _THRESH_DECIMALS) if _on_grid(threshold) else col
 
 
 def _snapped_sql(expr: str, threshold: float) -> str:
-    return f"ROUND({expr}, {_THRESH_DECIMALS})" if _on_grid(threshold) else expr
+    from raise_featurestore_spark.functions.stable import grid_snap_sql
+
+    return grid_snap_sql(expr, _THRESH_DECIMALS) if _on_grid(threshold) else expr
 
 
 def _rule_cols(rules: QualityRules) -> dict[str, F.Column]:

@@ -114,3 +114,33 @@ def stable_round_sql(expr: str, digits: int = SIG_DIGITS, decimals: int = 4) -> 
         f"WHEN ({expr}) = 0 THEN 0.0 "
         f"ELSE FLOOR(({expr}) * {scale} + 0.5) / {scale} END"
     )
+
+
+def grid_snap(c: Column, decimals: int = 4) -> Column:
+    """Per-ROW decimal-grid snap in pure IEEE ops — the engine-ROUND-free
+    form of ``ROUND(c, decimals)``.
+
+    Engine ROUND is the divergence: Spark rounds HALF_UP on the SHORTEST
+    DECIMAL REPR of the double while DuckDB rounds the BINARY value, so a
+    row whose repr ends ``...5`` at the grid position flips per engine
+    (the round-4 ``filter_quality_rules`` flake — a quality_score within
+    an ulp of its 0.30 threshold counted differently per environment).
+    ``FLOOR(x·s + 0.5)/s`` is multiply+add+floor+divide, each exactly
+    specified by IEEE 754, so identical input doubles give identical
+    output doubles on any engine/version. Domain: |c| < ~9e14/10^decimals
+    (Spark's BIGINT floor must not overflow); NULL propagates; NaN/±Inf
+    pass through unchanged.
+    """
+    s = F.lit(float(10**decimals))
+    return F.when(
+        F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c
+    ).otherwise(_floor_half_up(c * s) / s)
+
+
+def grid_snap_sql(expr: str, decimals: int = 4) -> str:
+    """DuckDB twin of :func:`grid_snap` — the same IEEE op sequence."""
+    s = float(10**decimals)
+    return (
+        f"CASE WHEN ISNAN({expr}) OR ISINF({expr}) THEN ({expr}) "
+        f"ELSE FLOOR(({expr}) * {s} + 0.5) / {s} END"
+    )

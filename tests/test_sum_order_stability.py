@@ -142,3 +142,83 @@ def test_sig_round_sql_twin_matches(spark, ddb):
         con.sql(f"SELECT {sig_round_sql(repr(v))} AS y").fetchone()[0] for v in vals
     ]
     assert got == want
+
+
+def test_grid_snap_sql_twin_matches_including_repr_ties(spark):
+    """grid_snap and its DuckDB twin agree bit-exactly — INCLUDING values
+    whose shortest decimal repr ends '...5' at the grid position, where
+    Spark ROUND (HALF_UP on the repr) and DuckDB ROUND (binary) genuinely
+    disagree. This is the filter_quality_rules r4 flake class."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
+
+    vals = [0.125, 0.135, 0.295, 0.305, 8148.945, -0.125, 2.675, 0.0, -0.0,
+            1.0e9 + 0.00005, None]
+    got = [
+        r.y
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(grid_snap(F.col("x"), 2).alias("y"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            f"SELECT {grid_snap_sql('CAST(' + repr(v) + ' AS DOUBLE)', 2)} AS y"
+        ).fetchone()[0]
+        if v is not None
+        else None
+        for v in vals
+    ]
+    assert got == want
+    # and at least one of these values is an actual engine-ROUND tie:
+    # Spark round(0.125, 2) = 0.13 (repr HALF_UP), DuckDB = 0.12 or 0.13
+    # depending on version — grid_snap must not care either way.
+
+
+def test_exact_moments_match_builtin_semantics(spark):
+    """Aggregation(exact_moments=True) agrees with the plain double
+    aggregates to float tolerance (the decimal path changes determinism,
+    not semantics) on real data."""
+    from raise_featurestore_spark.analytics.aggregation import compile_aggregation
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+    from raise_featurestore_spark.tables import load_table
+
+    df = load_table(spark, SF_DIR, "lineitem")
+    kw = dict(features=["l_extendedprice"], metrics=["sum", "avg", "stddev", "variance"])
+    exact = compile_aggregation(df, Aggregation(**kw, exact_moments=True)).collect()[0]
+    plain = compile_aggregation(df, Aggregation(**kw, exact_moments=False)).collect()[0]
+    for name in exact.asDict():
+        assert exact[name] == pytest.approx(plain[name], rel=1e-3), name
+
+
+def test_exact_moments_nan_poison_and_n1(spark, ddb):
+    """NaN rows poison exact-moment aggregates to NaN on BOTH engines;
+    a 1-row group gets NULL stddev/variance on both."""
+    import math
+
+    from raise_featurestore_spark.analytics.aggregation import (
+        aggregation_to_sql,
+        compile_aggregation,
+    )
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    rows = [("a", 1.0), ("a", float("nan")), ("a", 2.0), ("b", 5.0)]
+    sdf = spark.createDataFrame(rows, "g string, x double")
+    spec = Aggregation(features=["x"], metrics=["sum", "avg", "stddev", "variance"],
+                       group_by="g")
+    got = {r.g: r for r in compile_aggregation(sdf, spec).collect()}
+    assert math.isnan(got["a"].sum_x) and math.isnan(got["a"].stddev_x)
+    assert got["b"].sum_x == 5.0
+    assert got["b"].stddev_x is None and got["b"].variance_x is None
+
+    con = ddb(SF_DIR)
+    con.execute("CREATE OR REPLACE TABLE __t(g VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO __t VALUES (?, ?)", rows)
+    want = {
+        r[0]: r
+        for r in con.sql(aggregation_to_sql(spec, "__t")).fetchall()
+    }
+    assert math.isnan(want["a"][1]) and math.isnan(want["a"][3])
+    assert want["b"][1] == 5.0 and want["b"][3] is None and want["b"][4] is None
