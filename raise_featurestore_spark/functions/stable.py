@@ -144,3 +144,36 @@ def grid_snap_sql(expr: str, decimals: int = 4) -> str:
         f"CASE WHEN ISNAN({expr}) OR ISINF({expr}) THEN ({expr}) "
         f"ELSE FLOOR(({expr}) * {s} + 0.5) / {s} END"
     )
+
+
+def dec_sum(c: Column, grid_decimals: int = 4) -> Column:
+    """Order-independent SUM of a double column, as a double.
+
+    Rows are snapped to the ``grid_decimals`` grid (IEEE floor form,
+    lossless for price-like data), cast to DECIMAL(18,4) and summed in
+    exact integer arithmetic — associative, so partition count, merge
+    order, and engine version cannot change the result; only the final
+    decimal→double cast rounds (once, correctly, on both engines).
+    Non-finite rows are nulled before the cast (ANSI would throw) and
+    re-poisoned by the +MAX(CASE…NaN) term so NaN input ⇒ NaN output,
+    matching SUM's double semantics. Domain: |row| < 1e13. The SQL twin
+    (:func:`dec_sum_sql`) must be used as the oracle — see
+    analytics/aggregation.py for why DuckDB needs DECIMAL(19,4).
+    """
+    nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    dec = F.when(~nonfinite, grid_snap(c, grid_decimals)).cast("decimal(18,4)")
+    poison = F.max(F.when(nonfinite, F.lit(float("nan"))).otherwise(F.lit(0.0)))
+    return F.sum(dec).cast("double") + poison
+
+
+def dec_sum_sql(expr: str, grid_decimals: int = 4) -> str:
+    """DuckDB twin of :func:`dec_sum` (DECIMAL(19,4) forces int128 sums)."""
+    dec = (
+        f"CASE WHEN NOT (ISNAN({expr}) OR ISINF({expr})) "
+        f"THEN CAST({grid_snap_sql(expr, grid_decimals)} AS DECIMAL(19,4)) END"
+    )
+    poison = (
+        f"MAX(CASE WHEN ISNAN({expr}) OR ISINF({expr}) "
+        f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"
+    )
+    return f"(CAST(SUM({dec}) AS DOUBLE) + {poison})"

@@ -974,6 +974,94 @@ register(
     MIX.mixture_recipe_sql("documents", _MIX_WEIGHTS, budget_tokens=50_000),
 )
 
+# Feature engineering (dataprep/feature_eng.py): per-row materialized
+# training features — time-decay (EWMA) running features in one window
+# pass, leave-one-out target encoding with smoothing, equal-frequency
+# binning from one fused percentile aggregate, and A-ES weighted sampling
+# without replacement under the deterministic md5 key.
+from raise_featurestore_spark.dataprep import feature_eng as FE
+
+register(
+    "feature_decay_ewma",
+    lambda spark, sf_dir: FE.decay_features(
+        load_table(spark, sf_dir, "events"), half_life_days=7.0
+    ),
+    FE.decay_features_sql("events", half_life_days=7.0),
+)
+
+register(
+    "feature_target_encode",
+    lambda spark, sf_dir: FE.target_encode_loo(
+        load_table(spark, sf_dir, "orders"),
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+        id_col="o_orderkey",
+    ),
+    FE.target_encode_loo_sql(
+        "orders", cat_col="o_orderpriority", target_col="o_totalprice",
+        id_col="o_orderkey",
+    ),
+)
+
+register(
+    "feature_quantile_bins",
+    lambda spark, sf_dir: FE.discretize_quantile(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", n_bins=8
+    ),
+    FE.discretize_quantile_sql("orders", "o_totalprice", "o_orderkey", n_bins=8),
+)
+
+register(
+    "feature_standardize_z",
+    lambda spark, sf_dir: FE.standardize(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_extendedprice", "l_quantity"],
+        id_col="l_orderkey",
+    ),
+    FE.standardize_sql("lineitem", ["l_extendedprice", "l_quantity"], id_col="l_orderkey"),
+)
+
+register(
+    "feature_standardize_robust",
+    lambda spark, sf_dir: FE.standardize(
+        load_table(spark, sf_dir, "orders"),
+        ["o_totalprice"],
+        id_col="o_orderkey",
+        method="robust",
+    ),
+    FE.standardize_sql("orders", ["o_totalprice"], id_col="o_orderkey", method="robust"),
+)
+
+register(
+    "feature_sequence_history",
+    lambda spark, sf_dir: FE.sequence_features(
+        load_table(spark, sf_dir, "events"), n=5
+    ),
+    FE.sequence_features_sql("events", n=5),
+)
+
+# BPE tokenizer-training support (dataprep/bpe.py): the corpus-scale half
+# of BPE — word-frequency collapse + first-merge pair statistics. The
+# sequential merge loop (train_bpe) runs driver-side over the collapsed
+# table and is pytest-covered (not SQL-expressible).
+from raise_featurestore_spark.dataprep import bpe as BPE
+
+register(
+    "bpe_pair_counts",
+    lambda spark, sf_dir: BPE.pair_counts(
+        load_table(spark, sf_dir, "documents"), top_k=200
+    ),
+    BPE.pair_counts_sql("documents", top_k=200),
+)
+
+register(
+    "sample_weighted_aes",
+    lambda spark, sf_dir: FE.weighted_sample(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", k=200
+    ),
+    FE.weighted_sample_sql("orders", "o_totalprice", "o_orderkey", k=200),
+)
+
 
 # --------------------------------------------------------------------------
 # Multimodal: blob refs, byte-feature extraction, integrity (SURVEY §2.1)
@@ -2150,6 +2238,14 @@ _PROMOTED = [
     "text_tfidf_keywords",
     "mix_recipe_budget",
     "agg_winsorized_price",
+    "feature_decay_ewma",
+    "feature_target_encode",
+    "feature_quantile_bins",
+    "sample_weighted_aes",
+    "bpe_pair_counts",
+    "feature_standardize_z",
+    "feature_standardize_robust",
+    "feature_sequence_history",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
