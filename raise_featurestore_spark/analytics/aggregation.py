@@ -412,16 +412,32 @@ def aggregation_to_sql(
     return f"SELECT {', '.join(cols)} FROM {table}{where_sql}"
 
 
-def _rolling_partials(feature: str) -> list[Column]:
+def _rolling_partials(feature: str, exact: bool) -> list[Column]:
     c = F.col(feature)
     d = c.cast("double")
     s = "".join(ch if ch.isalnum() else "_" for ch in feature)
+    if exact:
+        # the same flake-killer as the flat path (_exact_dec): per-bucket
+        # moment partials in exact decimals, so both the bucket aggregate
+        # AND the window recombination are order-independent integer math;
+        # a per-bucket NaN/Inf poison flag rides along (decimal can't hold
+        # non-finites — they are nulled before the cast and re-applied).
+        dec = _exact_dec(d)
+        return [
+            F.count(c).alias(f"__n_{s}"),
+            F.sum(dec).alias(f"__s_{s}"),
+            F.sum(dec * dec).alias(f"__ss_{s}"),
+            F.min(c).alias(f"__mn_{s}"),
+            F.max(c).alias(f"__mx_{s}"),
+            _exact_poison(d).alias(f"__p_{s}"),
+        ]
     return [
         F.count(c).alias(f"__n_{s}"),
         F.sum(d).alias(f"__s_{s}"),
         F.sum(d * d).alias(f"__ss_{s}"),
         F.min(c).alias(f"__mn_{s}"),
         F.max(c).alias(f"__mx_{s}"),
+        F.lit(0.0).alias(f"__p_{s}"),
     ]
 
 
@@ -440,7 +456,7 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
     )
     keys = [F.col(spec.group_by)] if spec.group_by else []
     bucketed = df.groupBy(*keys, period).agg(
-        *[p for ft in spec.features for p in _rolling_partials(ft)]
+        *[p for ft in spec.features for p in _rolling_partials(ft, spec.exact_moments)]
     )
 
     # ungrouped: constant partition key — the input here is already the
@@ -458,24 +474,27 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
     for ft in spec.features:
         s = "".join(ch if ch.isalnum() else "_" for ch in ft)
         n = F.sum(F.col(f"__n_{s}")).over(w)
-        tot = F.sum(F.col(f"__s_{s}")).over(w)
-        ss = F.sum(F.col(f"__ss_{s}")).over(w)
+        # exact mode: the window sums run over DECIMAL partials (still
+        # exact integer math); only this cast-to-double rounds, once.
+        tot = F.sum(F.col(f"__s_{s}")).over(w).cast("double")
+        ss = F.sum(F.col(f"__ss_{s}")).over(w).cast("double")
+        pois = F.max(F.col(f"__p_{s}")).over(w)
         for metric in spec.metrics:
             alias = f"rolling_{metric_alias(metric, ft)}"
             if metric == "count":
                 col = n.cast("long")
             elif metric == "sum":
-                col = tot
+                col = tot + pois
             elif metric in ("avg", "mean"):
-                col = tot / n
+                col = tot / n + pois
             elif metric == "min":
                 col = F.min(F.col(f"__mn_{s}")).over(w)
             elif metric == "max":
                 col = F.max(F.col(f"__mx_{s}")).over(w)
             elif metric == "variance":
-                col = F.when(n > 1, (ss - tot * tot / n) / (n - 1))
+                col = F.when(n > 1, (ss - tot * tot / n) / (n - 1)) + pois
             elif metric == "stddev":
-                col = F.when(n > 1, F.sqrt((ss - tot * tot / n) / (n - 1)))
+                col = F.when(n > 1, F.sqrt((ss - tot * tot / n) / (n - 1))) + pois
             else:  # pragma: no cover
                 raise ValueError(metric)
             if round_to is not None and metric not in ("count", "min", "max"):
@@ -490,13 +509,25 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
     for ft in spec.features:
         s = "".join(ch if ch.isalnum() else "_" for ch in ft)
         d = f"CAST({ft} AS DOUBLE)"
-        partials += [
-            f"COUNT({ft}) AS __n_{s}",
-            f"SUM({d}) AS __s_{s}",
-            f"SUM({d} * {d}) AS __ss_{s}",
-            f"MIN({ft}) AS __mn_{s}",
-            f"MAX({ft}) AS __mx_{s}",
-        ]
+        if spec.exact_moments:
+            dec = _exact_dec_sql(d)
+            partials += [
+                f"COUNT({ft}) AS __n_{s}",
+                f"SUM({dec}) AS __s_{s}",
+                f"SUM(({dec}) * ({dec})) AS __ss_{s}",
+                f"MIN({ft}) AS __mn_{s}",
+                f"MAX({ft}) AS __mx_{s}",
+                f"{_exact_poison_sql(d)} AS __p_{s}",
+            ]
+        else:
+            partials += [
+                f"COUNT({ft}) AS __n_{s}",
+                f"SUM({d}) AS __s_{s}",
+                f"SUM({d} * {d}) AS __ss_{s}",
+                f"MIN({ft}) AS __mn_{s}",
+                f"MAX({ft}) AS __mx_{s}",
+                f"0.0 AS __p_{s}",
+            ]
     inner = (
         f"SELECT {keys}STRFTIME(DATE_TRUNC('day', {spec.time_column}), '%Y-%m-%d') AS period_start, "
         f"{', '.join(partials)} FROM {table}{where_sql} "
@@ -508,24 +539,25 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
     for ft in spec.features:
         s = "".join(ch if ch.isalnum() else "_" for ch in ft)
         n = f"SUM(__n_{s}) {frame}"
-        tot = f"SUM(__s_{s}) {frame}"
-        ss = f"SUM(__ss_{s}) {frame}"
+        tot = f"CAST(SUM(__s_{s}) {frame} AS DOUBLE)"
+        ss = f"CAST(SUM(__ss_{s}) {frame} AS DOUBLE)"
+        pois = f"MAX(__p_{s}) {frame}"
         for metric in spec.metrics:
             alias = f"rolling_{metric_alias(metric, ft)}"
             if metric == "count":
                 e = f"CAST({n} AS BIGINT)"
             elif metric == "sum":
-                e = tot
+                e = f"({tot}) + ({pois})"
             elif metric in ("avg", "mean"):
-                e = f"({tot}) / ({n})"
+                e = f"({tot}) / ({n}) + ({pois})"
             elif metric == "min":
                 e = f"MIN(__mn_{s}) {frame}"
             elif metric == "max":
                 e = f"MAX(__mx_{s}) {frame}"
             elif metric == "variance":
-                e = f"CASE WHEN {n} > 1 THEN (({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1) END"
+                e = f"(CASE WHEN {n} > 1 THEN (({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1) END) + ({pois})"
             elif metric == "stddev":
-                e = f"CASE WHEN {n} > 1 THEN SQRT((({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1)) END"
+                e = f"(CASE WHEN {n} > 1 THEN SQRT((({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1)) END) + ({pois})"
             else:  # pragma: no cover
                 raise ValueError(metric)
             if round_to is not None and metric not in ("count", "min", "max"):
