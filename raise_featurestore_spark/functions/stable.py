@@ -161,7 +161,9 @@ def dec_sum(c: Column, grid_decimals: int = 4) -> Column:
     analytics/aggregation.py for why DuckDB needs DECIMAL(19,4).
     """
     nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
-    dec = F.when(~nonfinite, grid_snap(c, grid_decimals)).cast("decimal(18,4)")
+    dec = F.when(~nonfinite, grid_snap(c, grid_decimals)).cast(
+        f"decimal(18,{grid_decimals})"
+    )
     poison = F.max(F.when(nonfinite, F.lit(float("nan"))).otherwise(F.lit(0.0)))
     return F.sum(dec).cast("double") + poison
 
@@ -170,7 +172,7 @@ def dec_sum_sql(expr: str, grid_decimals: int = 4) -> str:
     """DuckDB twin of :func:`dec_sum` (DECIMAL(19,4) forces int128 sums)."""
     dec = (
         f"CASE WHEN NOT (ISNAN({expr}) OR ISINF({expr})) "
-        f"THEN CAST({grid_snap_sql(expr, grid_decimals)} AS DECIMAL(19,4)) END"
+        f"THEN CAST({grid_snap_sql(expr, grid_decimals)} AS DECIMAL(19,{grid_decimals})) END"
     )
     poison = (
         f"MAX(CASE WHEN ISNAN({expr}) OR ISINF({expr}) "
