@@ -54,6 +54,18 @@ def _floor_half_up(m: Column) -> Column:
     return F.floor(m + F.lit(0.5))
 
 
+def _exp10(k: Column) -> Column:
+    """10^k (k integer-valued) via DECIMAL-STRING PARSE, not ``pow``:
+    Java's Math.pow is allowed 1 ulp of error while libm's is correctly
+    rounded, and that single ulp in the scale factor propagates into the
+    snapped value (caught by tests/test_stable_fuzz.py at 1e9·(1+5e-14):
+    Spark emitted 1000000000.0000001, DuckDB 999999999.9999999 — masked
+    by the driver's %.6g render, but a real bit divergence). String→double
+    conversion is REQUIRED to be correctly rounded by both engines, so
+    parsing '1e<k>' yields bit-identical scales everywhere."""
+    return F.concat(F.lit("1e"), k.cast("int").cast("string")).cast("double")
+
+
 def sig_round(c: Column, digits: int = SIG_DIGITS) -> Column:
     """``c`` on a ``digits``-significant-digit grid (NULL-safe, −0.0-safe).
 
@@ -61,12 +73,14 @@ def sig_round(c: Column, digits: int = SIG_DIGITS) -> Column:
     BIGINT-typed ``floor`` would silently turn NaN into 0 (and ±Inf into
     Long.MIN/MAX) while DuckDB's double-typed FLOOR propagates them — a
     NaN-poisoned aggregate must render "null"/"inf" identically everywhere,
-    not 0.0 on one engine."""
+    not 0.0 on one engine. |c| < 1e-300 passes through unsnapped: its
+    scale string would parse to +Inf and Spark's BIGINT floor would wrap."""
     e = F.floor(F.log10(F.abs(c))).cast("double")
-    scale = F.pow(F.lit(10.0), F.lit(float(digits - 1)) - e)
+    scale = _exp10(F.lit(float(digits - 1)) - e)
     return (
         F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c)
         .when(c == 0, F.lit(0.0))
+        .when(F.abs(c) < F.lit(1e-300), c)
         .otherwise(_floor_half_up(c * scale) / scale)
     )
 
@@ -74,10 +88,11 @@ def sig_round(c: Column, digits: int = SIG_DIGITS) -> Column:
 def sig_round_sql(expr: str, digits: int = SIG_DIGITS) -> str:
     """DuckDB twin of :func:`sig_round` — the same IEEE op sequence."""
     e = f"FLOOR(LOG10(ABS({expr})))"
-    scale = f"POWER(10.0, {float(digits - 1)} - {e})"
+    scale = f"CAST('1e' || CAST({float(digits - 1)} - {e} AS INT) AS DOUBLE)"
     return (
         f"CASE WHEN ISNAN({expr}) OR ISINF({expr}) THEN ({expr}) "
         f"WHEN ({expr}) = 0 THEN 0.0 "
+        f"WHEN ABS({expr}) < 1e-300 THEN ({expr}) "
         f"ELSE FLOOR(({expr}) * {scale} + 0.5) / {scale} END"
     )
 
@@ -97,7 +112,7 @@ def stable_round(c: Column, digits: int = SIG_DIGITS, decimals: int = 4) -> Colu
     cannot overflow at any input magnitude."""
     e = F.floor(F.log10(F.abs(c))).cast("double")
     p = F.least(F.lit(float(digits - 1)) - e, F.lit(float(decimals)))
-    scale = F.pow(F.lit(10.0), p)
+    scale = _exp10(p)
     return (
         F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c)
         .when(c == 0, F.lit(0.0))
@@ -108,7 +123,10 @@ def stable_round(c: Column, digits: int = SIG_DIGITS, decimals: int = 4) -> Colu
 def stable_round_sql(expr: str, digits: int = SIG_DIGITS, decimals: int = 4) -> str:
     """DuckDB twin of :func:`stable_round` — the same IEEE op sequence."""
     e = f"FLOOR(LOG10(ABS({expr})))"
-    scale = f"POWER(10.0, LEAST({float(digits - 1)} - {e}, {float(decimals)}))"
+    scale = (
+        f"CAST('1e' || CAST(LEAST({float(digits - 1)} - {e}, {float(decimals)}) "
+        f"AS INT) AS DOUBLE)"
+    )
     return (
         f"CASE WHEN ISNAN({expr}) OR ISINF({expr}) THEN ({expr}) "
         f"WHEN ({expr}) = 0 THEN 0.0 "
