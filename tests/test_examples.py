@@ -149,3 +149,11 @@ def test_example_retrieval_training_set(spark):
     assert out["neighbor_rows"] == 16 * 8
     # nprobe=3/8 on near-uniform vectors: observed ~0.6-0.8; alert floor
     assert out["recall_at_8"] >= 0.2
+
+
+def test_example_feature_engineering(spark):
+    out = _load("14_feature_engineering.py").main(SF_DIR)
+    assert out["event_rows"] > 0
+    assert set(out["splits"]) == {"train", "val", "test"}
+    assert out["splits"]["train"] > out["splits"]["val"]
+    assert out["train_bins"] >= 8
