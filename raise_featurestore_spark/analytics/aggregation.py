@@ -40,8 +40,12 @@ from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.analysis import Aggregation, parse_duration_seconds
 from raise_featurestore_spark.functions.stable import (
-    grid_snap,
-    grid_snap_sql,
+    dec_poison,
+    dec_poison_sql,
+    dec_term,
+    dec_term_sql,
+    poisoned,
+    poisoned_sql,
     stable_round,
     stable_round_sql,
 )
@@ -86,43 +90,15 @@ def metric_alias(metric: str, feature: str) -> str:
 # precision-loss rescale: 37 ≤ 38 Spark, 36 ≤ 38 DuckDB). Only the final
 # variance/avg formula runs in double — written as the IDENTICAL op
 # sequence on both engines, so IEEE determinism gives bit-equal results.
-# Non-finite rows are nulled before the decimal cast (ANSI cast would
-# throw) and re-poisoned via +MAX(CASE … NaN): NaN input ⇒ NaN output on
-# both engines, matching the plain double aggregates. Domain: |row| < 1e13
-# (decimal(18,4) range; sums get 38-digit headroom ≈ 1e30 — at 1e12 rows
-# of 1e12-scale squares that is still 1e6× margin).
-_DEC = "decimal(18,4)"
-
-
-def _exact_dec(d: Column) -> Column:
-    finite = ~(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))))
-    return F.when(finite, grid_snap(d)).cast(_DEC)
-
-
-def _exact_poison(d: Column) -> Column:
-    nonfinite = F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
-    return F.max(
-        F.when(nonfinite, F.lit(float("nan"))).otherwise(F.lit(0.0))
-    )
-
-
-def _exact_dec_sql(d: str) -> str:
-    # DECIMAL(19,4), not (18,4): DuckDB keeps an 18-digit product in int64
-    # and overflows (its (18,4)×(18,4) → DECIMAL(18,8)); 19 forces int128 →
-    # (38,8), exact. Spark stays (18,4) → (37,8) exact ((19,4)² would cross
-    # 38 and precision-loss-rescale to scale 7, rounding the square).
-    # Same VALUES either way — both casts are exact on the 1e-4 grid.
-    return (
-        f"CASE WHEN NOT (ISNAN({d}) OR ISINF({d})) "
-        f"THEN CAST({grid_snap_sql(d)} AS DECIMAL(19,4)) END"
-    )
-
-
-def _exact_poison_sql(d: str) -> str:
-    return (
-        f"MAX(CASE WHEN ISNAN({d}) OR ISINF({d}) "
-        f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"
-    )
+# Rows the grid cannot hold (NaN, ±Inf, |x| ≥ stable.dec_domain_limit)
+# poison the group to NaN — loud, instead of Spark-4 ANSI cast errors or
+# silently dropped rows; the poison application survives all-bad groups
+# (stable.poisoned). The row/poison terms are single-sourced in
+# functions/stable.py — this module only aliases them locally.
+_exact_dec = dec_term
+_exact_poison = dec_poison
+_exact_dec_sql = dec_term_sql
+_exact_poison_sql = dec_poison_sql
 
 
 def _round_final(col: Column, metric: str, round_to: int | None) -> Column:
@@ -154,9 +130,9 @@ def _metric_column(
         nn = F.count(d).cast("double")
         poison = _exact_poison(d)
         if metric == "sum":
-            out = s1 + poison
+            core = s1
         elif metric in ("avg", "mean"):
-            out = s1 / nn + poison
+            core = s1 / nn
         else:
             s2 = F.sum(dec * dec).cast("double")
             var = (s2 - s1 * s1 / nn) / (nn - F.lit(1.0))
@@ -166,7 +142,7 @@ def _metric_column(
                 # engines, so guarding inside would turn NULL into 0.0)
                 var = F.sqrt(F.greatest(var, F.lit(0.0)))
             core = F.when(F.count(d) > 1, var)  # VAR_SAMP(n<2) is NULL
-            out = core + poison
+        out = poisoned(core, poison)
         if round_to is not None and not defer_round:
             out = stable_round(out, decimals=round_to)
         return out.alias(metric_alias(metric, feature))
@@ -216,16 +192,16 @@ def _metric_sql(
         nn = f"CAST(COUNT({d}) AS DOUBLE)"
         poison = _exact_poison_sql(d)
         if metric == "sum":
-            e = f"{s1} + {poison}"
+            core = s1
         elif metric in ("avg", "mean"):
-            e = f"{s1} / {nn} + {poison}"
+            core = f"{s1} / {nn}"
         else:
             s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
             var = f"({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0)"
             if metric == "stddev":
                 var = f"SQRT(GREATEST({var}, 0.0))"
             core = f"CASE WHEN COUNT({d}) > 1 THEN {var} END"
-            e = f"{core} + {poison}"
+        e = poisoned_sql(core, poison)
         if round_to is not None:
             e = stable_round_sql(e, decimals=round_to)
         return f"{e} AS {metric_alias(metric, feature)}"
@@ -484,17 +460,26 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
             if metric == "count":
                 col = n.cast("long")
             elif metric == "sum":
-                col = tot + pois
+                col = poisoned(tot, pois)
             elif metric in ("avg", "mean"):
-                col = tot / n + pois
+                col = poisoned(tot / n, pois)
             elif metric == "min":
                 col = F.min(F.col(f"__mn_{s}")).over(w)
             elif metric == "max":
                 col = F.max(F.col(f"__mx_{s}")).over(w)
             elif metric == "variance":
-                col = F.when(n > 1, (ss - tot * tot / n) / (n - 1)) + pois
+                col = poisoned(F.when(n > 1, (ss - tot * tot / n) / (n - 1)), pois)
             elif metric == "stddev":
-                col = F.when(n > 1, F.sqrt((ss - tot * tot / n) / (n - 1))) + pois
+                # GREATEST clamps cancellation-negative variance (a constant
+                # window is ~-1e-24 even with exact partials); DuckDB's
+                # SQRT(negative) is a hard error, Spark's a NaN
+                col = poisoned(
+                    F.when(
+                        n > 1,
+                        F.sqrt(F.greatest((ss - tot * tot / n) / (n - 1), F.lit(0.0))),
+                    ),
+                    pois,
+                )
             else:  # pragma: no cover
                 raise ValueError(metric)
             if round_to is not None and metric not in ("count", "min", "max"):
@@ -547,17 +532,23 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
             if metric == "count":
                 e = f"CAST({n} AS BIGINT)"
             elif metric == "sum":
-                e = f"({tot}) + ({pois})"
+                e = poisoned_sql(tot, pois)
             elif metric in ("avg", "mean"):
-                e = f"({tot}) / ({n}) + ({pois})"
+                e = poisoned_sql(f"({tot}) / ({n})", pois)
             elif metric == "min":
                 e = f"MIN(__mn_{s}) {frame}"
             elif metric == "max":
                 e = f"MAX(__mx_{s}) {frame}"
             elif metric == "variance":
-                e = f"(CASE WHEN {n} > 1 THEN (({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1) END) + ({pois})"
+                e = poisoned_sql(
+                    f"CASE WHEN {n} > 1 THEN (({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1) END",
+                    pois,
+                )
             elif metric == "stddev":
-                e = f"(CASE WHEN {n} > 1 THEN SQRT((({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1)) END) + ({pois})"
+                e = poisoned_sql(
+                    f"CASE WHEN {n} > 1 THEN SQRT(GREATEST((({ss}) - ({tot}) * ({tot}) / ({n})) / (({n}) - 1), 0.0)) END",
+                    pois,
+                )
             else:  # pragma: no cover
                 raise ValueError(metric)
             if round_to is not None and metric not in ("count", "min", "max"):

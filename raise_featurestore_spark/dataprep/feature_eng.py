@@ -108,7 +108,10 @@ def decay_features(
                 F.sum(F.col("__u") * x).over(w) / F.col("__u"), decimals=round_to
             ).alias("decay_sum"),
             stable_round(
-                F.sum(F.col("__u") * x).over(w) / F.sum("__u").over(w),
+                # denominator counts only rows whose VALUE was observed —
+                # summing u for NULL-value rows would deflate the average
+                F.sum(F.col("__u") * x).over(w)
+                / F.sum(F.when(x.isNotNull(), F.col("__u"))).over(w),
                 decimals=round_to,
             ).alias("decay_avg"),
         )
@@ -136,7 +139,10 @@ def decay_features_sql(
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     dsum = f"SUM(__u * CAST({value_col} AS DOUBLE)) {win} / __u"
-    davg = f"SUM(__u * CAST({value_col} AS DOUBLE)) {win} / SUM(__u) {win}"
+    davg = (
+        f"SUM(__u * CAST({value_col} AS DOUBLE)) {win} "
+        f"/ SUM(CASE WHEN {value_col} IS NOT NULL THEN __u END) {win}"
+    )
     return (
         f"SELECT {entity_col}, {id_col}, "
         f"{stable_round_sql(dsum, decimals=round_to)} AS decay_sum, "
@@ -304,8 +310,12 @@ def weighted_sample(
         2.0**32 + 1.0
     )
     key = F.log(u) / w
+    # NaN compares greater than 0 on BOTH engines and its key sorts first,
+    # so `w > 0` alone lets a NaN-weight row occupy a sample slot every
+    # time; +Inf yields key -0.0 (always sampled) — exclude both.
+    finite_pos = (w > 0) & ~F.isnan(w) & (w < F.lit(float("inf")))
     return (
-        df.where(w > 0)
+        df.where(finite_pos)
         .select(
             id_col,
             stable_round(w, decimals=round_to).alias("weight"),
@@ -331,7 +341,7 @@ def weighted_sample_sql(
     u = f"({hashed} + 1.0) / {2.0**32 + 1.0!r}"
     return (
         f"SELECT {id_col}, {stable_round_sql(w, decimals=round_to)} AS weight "
-        f"FROM {table} WHERE {w} > 0 "
+        f"FROM {table} WHERE {w} > 0 AND NOT ISNAN({w}) AND NOT ISINF({w}) "
         f"ORDER BY LN({u}) / {w} DESC, {id_col} LIMIT {k}"
     )
 
@@ -362,17 +372,31 @@ def standardize(
     """
     if method not in ("zscore", "robust"):
         raise ValueError(f"method must be zscore|robust, got {method!r}")
+    from raise_featurestore_spark.functions.stable import (
+        dec_poison,
+        dec_term,
+        poisoned,
+    )
+
     aggs = []
     for c in cols:
         d = F.col(c).cast("double")
         if method == "zscore":
+            # NaN/Inf/out-of-domain rows poison the fit to NaN (loud) —
+            # without this, n counts a NaN row the decimal term nulled and
+            # every z-score silently shifts (r5 review finding)
             n = F.count(d).cast("double")
-            s1 = F.sum(_fit_dec(d)).cast("double")
-            s2 = F.sum(_fit_dec(d) * _fit_dec(d)).cast("double")
-            aggs.append((s1 / n).alias(f"__c_{c}"))
+            dec = dec_term(d)
+            s1 = F.sum(dec).cast("double")
+            s2 = F.sum(dec * dec).cast("double")
+            pois = dec_poison(d)
+            aggs.append(poisoned(s1 / n, pois).alias(f"__c_{c}"))
             aggs.append(
-                F.sqrt(
-                    F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
+                poisoned(
+                    F.sqrt(
+                        F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
+                    ),
+                    pois,
                 ).alias(f"__s_{c}")
             )
         else:
@@ -393,14 +417,6 @@ def standardize(
     return df.join(F.broadcast(fit)).select(*out)
 
 
-def _fit_dec(d: Column) -> Column:
-    """Exact-decimal row term for scaler fits (see stable.dec_sum docs)."""
-    from raise_featurestore_spark.functions.stable import grid_snap
-
-    finite = ~(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))))
-    return F.when(finite, grid_snap(d)).cast("decimal(18,4)")
-
-
 def standardize_sql(
     table: str,
     cols: list[str],
@@ -411,21 +427,28 @@ def standardize_sql(
     """DuckDB twin of :func:`standardize`."""
     if method not in ("zscore", "robust"):
         raise ValueError(f"method must be zscore|robust, got {method!r}")
+    from raise_featurestore_spark.functions.stable import (
+        dec_poison_sql,
+        dec_term_sql,
+        poisoned_sql,
+    )
+
     fit_cols, sel = [], [id_col]
     for c in cols:
         d = f"CAST({c} AS DOUBLE)"
-        dec = (
-            f"CASE WHEN NOT (ISNAN({d}) OR ISINF({d})) "
-            f"THEN CAST(CASE WHEN ISNAN({d}) OR ISINF({d}) THEN ({d}) "
-            f"ELSE FLOOR(({d}) * 10000.0 + 0.5) / 10000.0 END AS DECIMAL(19,4)) END"
-        )
+        dec = dec_term_sql(d)
         if method == "zscore":
             n = f"CAST(COUNT({d}) AS DOUBLE)"
             s1 = f"CAST(SUM({dec}) AS DOUBLE)"
             s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
-            fit_cols.append(f"{s1} / {n} AS __c_{c}")
+            pois = dec_poison_sql(d)
+            fit_cols.append(f"{poisoned_sql(f'{s1} / {n}', pois)} AS __c_{c}")
             fit_cols.append(
-                f"SQRT(GREATEST(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0), 0.0)) AS __s_{c}"
+                poisoned_sql(
+                    f"SQRT(GREATEST(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0), 0.0))",
+                    pois,
+                )
+                + f" AS __s_{c}"
             )
             center, spread = f"__c_{c}", f"__s_{c}"
         else:

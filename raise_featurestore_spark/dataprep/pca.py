@@ -45,13 +45,10 @@ GRAM_GRID = 8
 GRAM_BAND = 1e-6
 
 
-def gram_exact(
-    df: DataFrame, dim: int, emb_col: str = "embedding", id_col: str = "vec_id"
-) -> DataFrame:
+def gram_exact(df: DataFrame, dim: int, emb_col: str = "embedding") -> DataFrame:
     """Upper-triangle Gram entries (i, j, gram) via JVM explode + exact
     decimal sums. O(d²) row expansion — the verdict kernel."""
     e = F.col(emb_col)
-    _ = id_col
     # two sequence-explodes, not a d(d+1)/2-literal struct array: the
     # latter is a ~10⁴-node expression tree that stalls analysis/codegen
     idx = F.sequence(F.lit(1), F.lit(dim))

@@ -164,36 +164,94 @@ def grid_snap_sql(expr: str, decimals: int = 4) -> str:
     )
 
 
+def dec_domain_limit(grid_decimals: int = 4) -> float:
+    """Largest |row value| the exact-decimal path accepts: one decimal
+    digit of margin under DECIMAL(18, g)'s 10^(18-g) integer capacity —
+    also safely inside grid_snap's BIGINT-floor domain. Rows at or above
+    this limit are treated like non-finites (poisoned to NaN), because the
+    alternative under Spark 4's ANSI-on default is a hard CAST_OVERFLOW
+    error (and with ANSI off, a silently dropped row — a wrong answer)."""
+    return 10.0 ** (17 - grid_decimals)
+
+
+def _dec_bad(c: Column, grid_decimals: int) -> Column:
+    """Rows the decimal grid cannot hold: non-finite or out-of-domain.
+    ``abs(c) >= limit`` is True for +/-Inf too, so one predicate covers
+    everything except NaN (which compares false and needs isnan)."""
+    return F.isnan(c) | (F.abs(c) >= F.lit(dec_domain_limit(grid_decimals)))
+
+
+def dec_term(c: Column, grid_decimals: int = 4) -> Column:
+    """Per-row exact-decimal term: snap to the grid (IEEE floor form),
+    NULL out rows the decimal cannot hold, cast to DECIMAL(18, g).
+    THE single source for every exact-moment accumulator (aggregation,
+    rolling, scalers, Gram) — grid/precision fixes belong here only."""
+    return F.when(~_dec_bad(c, grid_decimals), grid_snap(c, grid_decimals)).cast(
+        f"decimal(18,{grid_decimals})"
+    )
+
+
+def dec_poison(c: Column, grid_decimals: int = 4) -> Column:
+    """Aggregate poison flag: NaN if the group saw any row the decimal
+    grid cannot hold (NaN/Inf/out-of-domain), else 0.0; NULL on an empty
+    group. Combine with the core via :func:`poisoned`."""
+    return F.max(
+        F.when(_dec_bad(c, grid_decimals), F.lit(float("nan"))).otherwise(F.lit(0.0))
+    )
+
+
+def poisoned(core: Column, poison: Column) -> Column:
+    """NaN-poison application that survives the all-bad-rows group: the
+    naive ``core + poison`` yields NULL there (SUM over all-NULL decimals
+    is NULL, and NULL + NaN = NULL), silently un-poisoning the group."""
+    return F.when(F.isnan(poison), poison).otherwise(core + poison)
+
+
+def dec_term_sql(expr: str, grid_decimals: int = 4) -> str:
+    """DuckDB twin of :func:`dec_term` (DECIMAL(19, g) forces int128
+    products/sums — DuckDB keeps 18-digit arithmetic in int64, which
+    overflows on squares; Spark would precision-loss-rescale 19-digit
+    squares instead, so each engine gets the widest EXACT form)."""
+    bad = _dec_bad_sql(expr, grid_decimals)
+    return (
+        f"CASE WHEN NOT ({bad}) "
+        f"THEN CAST({grid_snap_sql(expr, grid_decimals)} AS DECIMAL(19,{grid_decimals})) END"
+    )
+
+
+def _dec_bad_sql(expr: str, grid_decimals: int) -> str:
+    return f"(ISNAN({expr}) OR ABS({expr}) >= {dec_domain_limit(grid_decimals)!r})"
+
+
+def dec_poison_sql(expr: str, grid_decimals: int = 4) -> str:
+    return (
+        f"MAX(CASE WHEN {_dec_bad_sql(expr, grid_decimals)} "
+        f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"
+    )
+
+
+def poisoned_sql(core: str, poison: str) -> str:
+    return f"CASE WHEN ISNAN({poison}) THEN ({poison}) ELSE ({core}) + ({poison}) END"
+
+
 def dec_sum(c: Column, grid_decimals: int = 4) -> Column:
     """Order-independent SUM of a double column, as a double.
 
     Rows are snapped to the ``grid_decimals`` grid (IEEE floor form,
-    lossless for price-like data), cast to DECIMAL(18,4) and summed in
+    lossless for price-like data), cast to DECIMAL(18, g) and summed in
     exact integer arithmetic — associative, so partition count, merge
     order, and engine version cannot change the result; only the final
-    decimal→double cast rounds (once, correctly, on both engines).
-    Non-finite rows are nulled before the cast (ANSI would throw) and
-    re-poisoned by the +MAX(CASE…NaN) term so NaN input ⇒ NaN output,
-    matching SUM's double semantics. Domain: |row| < 1e13. The SQL twin
-    (:func:`dec_sum_sql`) must be used as the oracle — see
-    analytics/aggregation.py for why DuckDB needs DECIMAL(19,4).
+    decimal->double cast rounds (once, correctly, on both engines).
+    Rows the decimal cannot hold (NaN, +/-Inf, |x| >= dec_domain_limit)
+    poison the result to NaN — loud, instead of ANSI cast errors or
+    silently dropped rows; callers with such domains opt out to the
+    plain double sum. All-NULL groups stay NULL.
     """
-    nonfinite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
-    dec = F.when(~nonfinite, grid_snap(c, grid_decimals)).cast(
-        f"decimal(18,{grid_decimals})"
-    )
-    poison = F.max(F.when(nonfinite, F.lit(float("nan"))).otherwise(F.lit(0.0)))
-    return F.sum(dec).cast("double") + poison
+    core = F.sum(dec_term(c, grid_decimals)).cast("double")
+    return poisoned(core, dec_poison(c, grid_decimals))
 
 
 def dec_sum_sql(expr: str, grid_decimals: int = 4) -> str:
-    """DuckDB twin of :func:`dec_sum` (DECIMAL(19,4) forces int128 sums)."""
-    dec = (
-        f"CASE WHEN NOT (ISNAN({expr}) OR ISINF({expr})) "
-        f"THEN CAST({grid_snap_sql(expr, grid_decimals)} AS DECIMAL(19,{grid_decimals})) END"
-    )
-    poison = (
-        f"MAX(CASE WHEN ISNAN({expr}) OR ISINF({expr}) "
-        f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"
-    )
-    return f"(CAST(SUM({dec}) AS DOUBLE) + {poison})"
+    """DuckDB twin of :func:`dec_sum`."""
+    core = f"CAST(SUM({dec_term_sql(expr, grid_decimals)}) AS DOUBLE)"
+    return f"({poisoned_sql(core, dec_poison_sql(expr, grid_decimals))})"

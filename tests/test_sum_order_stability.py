@@ -222,3 +222,70 @@ def test_exact_moments_nan_poison_and_n1(spark, ddb):
     }
     assert math.isnan(want["a"][1]) and math.isnan(want["a"][3])
     assert want["b"][1] == 5.0 and want["b"][3] is None and want["b"][4] is None
+
+
+def test_exact_moments_all_bad_group_and_domain_guard(spark, ddb):
+    """r5 review findings: (a) an all-NaN group must poison to NaN, not
+    silently un-poison to NULL (NULL + NaN = NULL); (b) |x| >= 1e13 rows
+    must poison loudly instead of ANSI cast errors / dropped rows; (c) an
+    all-NULL group stays NULL."""
+    import math
+
+    from raise_featurestore_spark.analytics.aggregation import (
+        aggregation_to_sql,
+        compile_aggregation,
+    )
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    rows = [
+        ("allnan", float("nan")), ("allnan", float("nan")),
+        ("big", 1.0e15), ("big", 2.0),
+        ("allnull", None), ("allnull", None),
+        ("ok", 1.0), ("ok", 3.0),
+    ]
+    sdf = spark.createDataFrame(rows, "g string, x double")
+    spec = Aggregation(features=["x"], metrics=["sum", "avg", "stddev"], group_by="g")
+    got = {r.g: r for r in compile_aggregation(sdf, spec).collect()}
+    assert math.isnan(got["allnan"].sum_x) and math.isnan(got["allnan"].avg_x)
+    assert math.isnan(got["big"].sum_x) and math.isnan(got["big"].stddev_x)
+    assert got["allnull"].sum_x is None and got["allnull"].avg_x is None
+    assert got["ok"].sum_x == 4.0
+
+    con = ddb(SF_DIR)
+    con.execute("CREATE OR REPLACE TABLE __t2(g VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO __t2 VALUES (?, ?)", rows)
+    want = {r[0]: r for r in con.sql(aggregation_to_sql(spec, "__t2")).fetchall()}
+    assert math.isnan(want["allnan"][1]) and math.isnan(want["big"][1])
+    assert want["allnull"][1] is None
+    assert want["ok"][1] == 4.0
+
+
+def test_rolling_stddev_constant_window_no_crash(spark, ddb):
+    """r5 review finding: cancellation can push exact-decimal rolling
+    variance to ~-1e-24 on a constant window; DuckDB SQRT(negative) is a
+    hard error. Both engines must emit 0.0."""
+    from raise_featurestore_spark.analytics.aggregation import (
+        aggregation_to_sql,
+        compile_aggregation,
+    )
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+    from pyspark.sql import functions as F
+
+    rows = [(f"2026-01-{d:02d} 00:00:00", 0.0001) for d in range(1, 20) for _ in range(35)]
+    sdf = spark.createDataFrame(rows, "ts string, x double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    spec = Aggregation(
+        features=["x"], metrics=["stddev", "variance"], rolling=True,
+        periods=7, time_column="ts",
+    )
+    got = compile_aggregation(sdf, spec).collect()
+    assert all(r.rolling_stddev_x == 0.0 for r in got)
+
+    con = ddb(SF_DIR)
+    con.execute("CREATE OR REPLACE TABLE __t3(ts TIMESTAMP, x DOUBLE)")
+    con.executemany(
+        "INSERT INTO __t3 VALUES (?, ?)", [(t, x) for t, x in rows]
+    )
+    want = con.sql(aggregation_to_sql(spec, "__t3")).fetchall()
+    assert all(r[1] == 0.0 for r in want)
