@@ -1,0 +1,180 @@
+"""Incremental rollup maintenance: hypertable-style time-bucket aggregates
+kept up to date by MERGING partials, never rescanning history.
+
+The 100 TB pattern: a metrics table grows by a few GB per day; the daily
+rollup must not re-aggregate years of history per refresh. Store the
+rollup as MERGEABLE PARTIALS (count, decimal sum, decimal sum-of-squares,
+min, max, poison) rather than finished metrics; each refresh aggregates
+ONLY the new batch and merges it in with a tiny per-bucket combine; any
+metric in the sum/avg/stddev/variance/min/max/count family finalizes from
+the partials on read.
+
+Because the moment partials accumulate in exact decimals
+(functions/stable.dec_term), merging is INTEGER math — associative and
+commutative — so an incrementally-maintained rollup is BIT-IDENTICAL to a
+from-scratch recompute, regardless of how the arrivals were batched. That
+is the invariant the registered query verdicts cross-engine: Spark runs
+history ⊕ batch through the merge path while the DuckDB oracle
+recomputes from the raw table.
+
+(reference surface: raise_/analytics/live_table.py's refresh-on-change
+materialization contract; this module supplies the scalable MERGE
+semantics a live aggregate table needs at 100 TB.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.functions.stable import (
+    dec_poison,
+    dec_poison_sql,
+    dec_term,
+    dec_term_sql,
+    poisoned,
+    poisoned_sql,
+    stable_round,
+    stable_round_sql,
+)
+
+_PARTIAL_COLS = ["n", "s1", "ss", "mn", "mx", "pois"]
+
+
+def rollup_partials(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    bucket: str = "day",
+    group_by: str | None = None,
+) -> DataFrame:
+    """Per-bucket mergeable partials of ``value_col`` — the STORED form of
+    the rollup. One grouped aggregate (map-side combinable)."""
+    d = F.col(value_col).cast("double")
+    dec = dec_term(d)
+    keys = [F.col(group_by)] if group_by else []
+    period = F.date_format(
+        F.date_trunc(bucket, F.col(time_col)), "yyyy-MM-dd"
+    ).alias("period_start")
+    return df.groupBy(*keys, period).agg(
+        F.count(d).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("ss"),
+        F.min(d).alias("mn"),
+        F.max(d).alias("mx"),
+        dec_poison(d).alias("pois"),
+    )
+
+
+def merge_rollups(
+    existing: DataFrame, delta: DataFrame, group_by: str | None = None
+) -> DataFrame:
+    """Combine two partial tables: unionByName + one per-bucket combine.
+    Decimal sums merge exactly; the refresh cost is O(|delta| buckets),
+    independent of history size."""
+    keys = ([group_by] if group_by else []) + ["period_start"]
+    return (
+        existing.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("ss").alias("ss"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.max("pois").alias("pois"),
+        )
+    )
+
+
+def finalize_rollup(
+    partials: DataFrame,
+    metrics: list[str],
+    group_by: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Finished metrics from partials — a pure projection (no scan of the
+    base table). Formulas match analytics/aggregation.py's exact path, so
+    a finalized incremental rollup hash-matches a direct Aggregation."""
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    ss = F.col("ss").cast("double")
+    pois = F.col("pois")
+    out = ([F.col(group_by)] if group_by else []) + [F.col("period_start")]
+    for m in metrics:
+        if m == "count":
+            out.append(F.col("n").alias("count_value"))
+            continue
+        if m == "sum":
+            core = s1
+        elif m in ("avg", "mean"):
+            core = s1 / n
+        elif m in ("variance", "stddev"):
+            var = (ss - s1 * s1 / n) / (n - F.lit(1.0))
+            if m == "stddev":
+                var = F.sqrt(F.greatest(var, F.lit(0.0)))
+            core = F.when(F.col("n") > 1, var)
+        elif m == "min":
+            out.append(F.col("mn").alias("min_value"))
+            continue
+        elif m == "max":
+            out.append(F.col("mx").alias("max_value"))
+            continue
+        else:
+            raise ValueError(f"unsupported rollup metric {m!r}")
+        out.append(
+            stable_round(poisoned(core, pois), decimals=round_to).alias(f"{m}_value")
+        )
+    return partials.select(*out)
+
+
+def rollup_recompute_sql(
+    table: str,
+    value_col: str,
+    metrics: list[str],
+    time_col: str = "ts",
+    bucket: str = "day",
+    group_by: str | None = None,
+    where: str | None = None,
+    round_to: int = 4,
+) -> str:
+    """From-scratch DuckDB recompute — the oracle the incremental path
+    must hash-match (same exact-decimal formulas)."""
+    d = f"CAST({value_col} AS DOUBLE)"
+    dec = dec_term_sql(d)
+    n = f"CAST(COUNT({d}) AS DOUBLE)"
+    s1 = f"CAST(SUM({dec}) AS DOUBLE)"
+    ss = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+    pois = dec_poison_sql(d)
+    outs = []
+    for m in metrics:
+        if m == "count":
+            outs.append(f"COUNT({d}) AS count_value")
+            continue
+        if m == "sum":
+            core = s1
+        elif m in ("avg", "mean"):
+            core = f"{s1} / {n}"
+        elif m in ("variance", "stddev"):
+            var = f"({ss} - {s1} * {s1} / {n}) / ({n} - 1.0)"
+            if m == "stddev":
+                var = f"SQRT(GREATEST({var}, 0.0))"
+            core = f"CASE WHEN COUNT({d}) > 1 THEN {var} END"
+        elif m == "min":
+            outs.append(f"MIN({value_col}) AS min_value")
+            continue
+        elif m == "max":
+            outs.append(f"MAX({value_col}) AS max_value")
+            continue
+        else:
+            raise ValueError(f"unsupported rollup metric {m!r}")
+        outs.append(
+            f"{stable_round_sql(poisoned_sql(core, pois), decimals=round_to)} AS {m}_value"
+        )
+    keys = f"{group_by}, " if group_by else ""
+    grp = "1, 2" if group_by else "1"
+    w = f" WHERE {where}" if where else ""
+    return (
+        f"SELECT {keys}STRFTIME(DATE_TRUNC('{bucket}', {time_col}), '%Y-%m-%d') "
+        f"AS period_start, {', '.join(outs)} FROM {table}{w} GROUP BY {grp}"
+    )

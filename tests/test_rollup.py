@@ -1,0 +1,79 @@
+"""Incremental rollup: merge associativity/commutativity, NaN poison
+propagation through merges, and bit-equality with a from-scratch rebuild
+under arbitrary batching."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from raise_featurestore_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "events")
+
+
+def _finalized_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def test_incremental_equals_recompute_any_batching(spark, events):
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+
+    metrics = ["count", "sum", "avg", "stddev", "min", "max"]
+    full = finalize_rollup(rollup_partials(events, "value"), metrics)
+    want = _finalized_rows(full)
+
+    # three different batchings, including a 3-way merge
+    for splits in (["event_id % 2 = 0", "event_id % 2 = 1"],
+                   ["event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2"]):
+        parts = [rollup_partials(events.where(s), "value") for s in splits]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merge_rollups(merged, p)
+        got = _finalized_rows(finalize_rollup(merged, metrics))
+        assert got == want, splits
+
+
+def test_merge_preserves_poison_and_empty_delta(spark):
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+
+    rows = [("2026-01-01 00:00:00", 1.0), ("2026-01-01 12:00:00", float("nan")),
+            ("2026-01-02 00:00:00", 2.0)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    clean = rollup_partials(df.where("value = 2.0 OR value = 1.0"), "value")
+    dirty = rollup_partials(df.where("ISNAN(value)"), "value")
+    out = {
+        r.period_start: r
+        for r in finalize_rollup(
+            merge_rollups(clean, dirty), ["sum", "stddev"]
+        ).collect()
+    }
+    assert math.isnan(out["2026-01-01"].sum_value)  # poison survives merge
+    assert out["2026-01-02"].sum_value == 2.0
+    # merging an empty delta is the identity
+    empty = rollup_partials(df.where("value < -1e9"), "value")
+    out2 = finalize_rollup(merge_rollups(clean, empty), ["sum"]).collect()
+    assert {r.period_start: r.sum_value for r in out2} == {
+        "2026-01-01": 1.0, "2026-01-02": 2.0,
+    }
