@@ -178,3 +178,67 @@ def rollup_recompute_sql(
         f"SELECT {keys}STRFTIME(DATE_TRUNC('{bucket}', {time_col}), '%Y-%m-%d') "
         f"AS period_start, {', '.join(outs)} FROM {table}{w} GROUP BY {grp}"
     )
+
+
+# ------------------------------------------------------------- streaming
+
+
+def make_rollup_batch_fn(
+    spark,
+    state_path: str,
+    value_col: str,
+    time_col: str = "ts",
+    bucket: str = "day",
+    group_by: str | None = None,
+):
+    """``foreachBatch`` function maintaining the partial table on disk:
+    aggregate ONLY the micro-batch, merge with the stored partials, and
+    stage-and-swap the result. State between micro-batches IS the partial
+    table (same posture as streaming/curation.py) — no executor-memory
+    state, so restart/rescale is free and a year of history is never
+    rescanned. The swap directory write is atomic-enough for the
+    single-writer test environment; production would back this with a
+    Delta/Iceberg transactional overwrite (io/writer.py's MERGE path)."""
+    import os
+    import shutil
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = rollup_partials(batch_df, value_col, time_col, bucket, group_by)
+        live = os.path.join(state_path, "live")
+        if os.path.isdir(live) and any(
+            n.endswith(".parquet") for n in os.listdir(live)
+        ):
+            existing = spark.read.parquet(live)
+            merged = merge_rollups(existing, delta, group_by)
+        else:
+            merged = delta
+        stage = os.path.join(state_path, f"stage-{batch_id}")
+        merged.write.mode("overwrite").parquet(stage)
+        old = os.path.join(state_path, f"old-{batch_id}")
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(stage, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    return on_batch
+
+
+def rollup_stream(
+    stream_df: DataFrame,
+    spark,
+    state_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    **kw,
+):
+    """Wire the merge function into a writeStream (caller starts it)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_rollup_batch_fn(spark, state_path, value_col, **kw)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )

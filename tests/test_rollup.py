@@ -77,3 +77,40 @@ def test_merge_preserves_poison_and_empty_delta(spark):
     assert {r.period_start: r.sum_value for r in out2} == {
         "2026-01-01": 1.0, "2026-01-02": 2.0,
     }
+
+
+def test_streaming_rollup_matches_batch_recompute(spark, events, tmp_path):
+    """maxFilesPerTrigger=1 forces multiple micro-batches; the maintained
+    partial table must finalize to exactly the one-shot batch rollup."""
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        rollup_partials,
+        rollup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    # several input files -> several micro-batches
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    q = (
+        rollup_stream(stream, spark, state, chk, "value")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = _finalized_rows(
+        finalize_rollup(
+            spark.read.parquet(state + "/live"), ["count", "sum", "avg", "stddev"]
+        )
+    )
+    want = _finalized_rows(
+        finalize_rollup(rollup_partials(events, "value"), ["count", "sum", "avg", "stddev"])
+    )
+    assert got == want and len(got) > 0
