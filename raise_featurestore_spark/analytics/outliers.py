@@ -119,3 +119,117 @@ def winsorized_stats_sql(
         f"{stable_round_sql(f'STDDEV_SAMP({clamped})')} AS win_stddev "
         f"FROM src s {join}{grp}"
     )
+
+
+def flag_outliers(
+    df: DataFrame,
+    feature: str,
+    id_col: str,
+    group_by: str | None = None,
+    method: str = "iqr",
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-row outlier flags — the materialized form winsorization's
+    aggregate report summarizes. ``iqr``: outside [Q1 − k·IQR, Q3 + k·IQR]
+    (Tukey fences, k=1.5 default); ``zscore``: |x − mean| > k·stddev
+    (pass k≈3). Same two-pass shape as :func:`winsorized_stats`: one
+    fused bounds aggregate per group, joined back (broadcast when global),
+    then a pure map-side comparison. Bounds snap to the 5-sig grid on
+    both engines so interpolation ulps cannot flip a flag.
+
+    zscore bounds use the exact-decimal moments (order-independent); a
+    NaN/Inf-poisoned group flags every row NULL rather than guessing.
+    """
+    from raise_featurestore_spark.functions.stable import (
+        dec_poison,
+        dec_term,
+        poisoned,
+    )
+
+    if method not in ("iqr", "zscore"):
+        raise ValueError(f"method must be iqr|zscore, got {method!r}")
+    d = F.col(feature).cast("double")
+    keys = [F.col(group_by)] if group_by else []
+    if method == "iqr":
+        q = F.percentile(d, F.array(F.lit(0.25), F.lit(0.75)))
+        bounds = df.groupBy(*keys).agg(
+            sig_round(
+                F.element_at(q, 1)
+                - F.lit(float(k)) * (F.element_at(q, 2) - F.element_at(q, 1))
+            ).alias("__lo"),
+            sig_round(
+                F.element_at(q, 2)
+                + F.lit(float(k)) * (F.element_at(q, 2) - F.element_at(q, 1))
+            ).alias("__hi"),
+        )
+    else:
+        n = F.count(d).cast("double")
+        dec = dec_term(d)
+        s1 = F.sum(dec).cast("double")
+        s2 = F.sum(dec * dec).cast("double")
+        pois = dec_poison(d)
+        mean = poisoned(s1 / n, pois)
+        std = poisoned(
+            F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))),
+            pois,
+        )
+        bounds = df.groupBy(*keys).agg(
+            sig_round(mean - F.lit(float(k)) * std).alias("__lo"),
+            sig_round(mean + F.lit(float(k)) * std).alias("__hi"),
+        )
+    joined = (
+        df.join(bounds, group_by) if group_by else df.join(F.broadcast(bounds))
+    )
+    snapped = sig_round(d)
+    flag = F.when(
+        F.isnan(F.col("__lo")) | F.isnan(F.col("__hi")), F.lit(None).cast("boolean")
+    ).otherwise((snapped < F.col("__lo")) | (snapped > F.col("__hi")))
+    out = keys + [F.col(id_col), d.alias("value"), flag.alias("is_outlier")]
+    return joined.where(d.isNotNull()).select(*out)
+
+
+def flag_outliers_sql(
+    table: str,
+    feature: str,
+    id_col: str,
+    group_by: str | None = None,
+    method: str = "iqr",
+    k: float = 1.5,
+) -> str:
+    """DuckDB twin of :func:`flag_outliers`."""
+    from raise_featurestore_spark.functions.stable import (
+        dec_poison_sql,
+        dec_term_sql,
+        poisoned_sql,
+    )
+
+    if method not in ("iqr", "zscore"):
+        raise ValueError(f"method must be iqr|zscore, got {method!r}")
+    d = f"CAST({feature} AS DOUBLE)"
+    if method == "iqr":
+        q1, q3 = f"QUANTILE_CONT({d}, 0.25)", f"QUANTILE_CONT({d}, 0.75)"
+        lo = sig_round_sql(f"{q1} - {float(k)} * ({q3} - {q1})")
+        hi = sig_round_sql(f"{q3} + {float(k)} * ({q3} - {q1})")
+    else:
+        dec = dec_term_sql(d)
+        n = f"CAST(COUNT({d}) AS DOUBLE)"
+        s1 = f"CAST(SUM({dec}) AS DOUBLE)"
+        s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+        pois = dec_poison_sql(d)
+        mean = poisoned_sql(f"{s1} / {n}", pois)
+        std = poisoned_sql(
+            f"SQRT(GREATEST(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0), 0.0))", pois
+        )
+        lo = sig_round_sql(f"({mean}) - {float(k)} * ({std})")
+        hi = sig_round_sql(f"({mean}) + {float(k)} * ({std})")
+    keysel = f"{group_by}, " if group_by else ""
+    grp = f" GROUP BY {group_by}" if group_by else ""
+    on = f"USING ({group_by})" if group_by else "ON TRUE"
+    snapped = sig_round_sql(d)
+    return (
+        f"WITH __b AS (SELECT {keysel}{lo} AS __lo, {hi} AS __hi FROM {table}{grp}) "
+        f"SELECT {keysel}{id_col}, {d} AS value, "
+        f"CASE WHEN ISNAN(__lo) OR ISNAN(__hi) THEN NULL "
+        f"ELSE ({snapped}) < __lo OR ({snapped}) > __hi END AS is_outlier "
+        f"FROM {table} __t JOIN __b {on} WHERE {d} IS NOT NULL"
+    )

@@ -314,3 +314,72 @@ def vocab_topk_sql(
         f"SELECT token, cnt, ROUND(cnt * 1.0 / (SELECT SUM(cnt) FROM __cnt), {round_to}) AS frac "
         f"FROM __cnt ORDER BY cnt DESC, token LIMIT {k}"
     )
+
+
+def encoding_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Per-document encoding-health signals — the crawl-cleaning triage
+    columns (mojibake and binary-pasted-as-text both light these up):
+
+    - ``n_control``: C0/C1 control characters other than \\t \\n \\r
+    - ``n_replacement``: U+FFFD replacement characters (a decoder already
+      gave up upstream)
+    - ``non_ascii_ratio``: fraction of non-ASCII characters
+    - ``mojibake_hits``: classic UTF-8-read-as-Latin-1 digraphs (Ã., Â.,
+      â€., the smart-quote wrecks)
+
+    Pure per-row regexp_count folds — zero shuffle, scan-stage only.
+    Ratios snap with the IEEE grid form so thresholding downstream is
+    engine-stable.
+    """
+    from raise_featurestore_spark.functions.stable import grid_snap
+
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("double")
+    ctl = F.regexp_count(c, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"))
+    rep = F.regexp_count(c, F.lit("�"))
+    non_ascii = F.regexp_count(c, F.lit(r"[^\x00-\x7F]"))
+    moji = F.regexp_count(c, F.lit("(?:Ã.|Â.|â€.)"))
+    return df.select(
+        id_col,
+        ctl.alias("n_control"),
+        rep.alias("n_replacement"),
+        grid_snap(
+            F.when(n_chars > 0, non_ascii / n_chars).otherwise(F.lit(0.0)), round_to
+        ).alias("non_ascii_ratio"),
+        moji.alias("mojibake_hits"),
+        (
+            (ctl == 0) & (rep == 0) & (moji == 0)
+        ).alias("looks_clean"),
+    )
+
+
+def encoding_report_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`encoding_report`.
+
+    DuckDB regexes are RE2: no \\x{..} niceties needed — the same class
+    literals as the Spark (Java regex) side match the same code points.
+    """
+    from raise_featurestore_spark.functions.stable import grid_snap_sql
+
+    c = text_col
+    ctl = (
+        f"len(regexp_extract_all({c}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]'))"
+    )
+    rep = f"len(regexp_extract_all({c}, '�'))"
+    non_ascii = f"len(regexp_extract_all({c}, '[^\\x00-\\x7F]'))"
+    moji = f"len(regexp_extract_all({c}, '(?:Ã.|Â.|â€.)'))"
+    ratio = (
+        f"CASE WHEN length({c}) > 0 "
+        f"THEN CAST({non_ascii} AS DOUBLE) / length({c}) ELSE 0.0 END"
+    )
+    return (
+        f"SELECT {id_col}, {ctl} AS n_control, {rep} AS n_replacement, "
+        f"{grid_snap_sql(ratio, round_to)} AS non_ascii_ratio, "
+        f"{moji} AS mojibake_hits, "
+        f"({ctl} = 0 AND {rep} = 0 AND {moji} = 0) AS looks_clean "
+        f"FROM {table}"
+    )

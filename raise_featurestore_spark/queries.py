@@ -1040,6 +1040,34 @@ register(
     FE.sequence_features_sql("events", n=5),
 )
 
+register(
+    "text_encoding_report",
+    lambda spark, sf_dir: TX.encoding_report(load_table(spark, sf_dir, "documents")),
+    TX.encoding_report_sql("documents"),
+)
+
+register(
+    "outlier_flags_iqr",
+    lambda spark, sf_dir: OUT.flag_outliers(
+        load_table(spark, sf_dir, "events"), "value", "event_id",
+        group_by="event_type", method="iqr",
+    ),
+    OUT.flag_outliers_sql(
+        "events", "value", "event_id", group_by="event_type", method="iqr"
+    ),
+)
+
+register(
+    "outlier_flags_zscore",
+    lambda spark, sf_dir: OUT.flag_outliers(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey",
+        method="zscore", k=3.0,
+    ),
+    OUT.flag_outliers_sql(
+        "orders", "o_totalprice", "o_orderkey", method="zscore", k=3.0
+    ),
+)
+
 # Incremental rollup maintenance (streaming/rollup.py): history and batch
 # aggregated SEPARATELY into mergeable exact-decimal partials, merged, and
 # finalized — must hash-match the oracle's from-scratch recompute (the
@@ -1064,6 +1092,9 @@ def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "rollup_incremental_daily",
+    "text_encoding_report",
+    "outlier_flags_iqr",
+    "outlier_flags_zscore",
     _rollup_incremental,
     RU.rollup_recompute_sql(
         "events", "value", ["count", "sum", "avg", "stddev", "min", "max"],
@@ -2307,6 +2338,9 @@ _PROMOTED = [
     "embedding_gram_check",
     "embedding_pca_spectrum",
     "rollup_incremental_daily",
+    "text_encoding_report",
+    "outlier_flags_iqr",
+    "outlier_flags_zscore",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",

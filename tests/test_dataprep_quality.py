@@ -416,3 +416,41 @@ def test_lsh_parameter_guards():
         incremental_minhash_dedup_sql("a", "b", k=16, bands=5)
     with pytest.raises(ValueError, match="radius"):
         simhash_near_pairs_sql("documents", radius=4)
+
+
+def test_encoding_report_signals(spark):
+    from raise_featurestore_spark.dataprep.text import encoding_report
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "smart â€œquotesâ€\x9d from a latin-1 round trip"),
+        (3, "bad \x00 control \x1f chars"),
+        (4, "decoder gave up � here"),
+        (5, "naturally accented café résumé"),
+        (6, ""),
+    ]
+    out = {r.doc_id: r for r in encoding_report(
+        spark.createDataFrame(rows, "doc_id int, text string")
+    ).collect()}
+    assert out[1].looks_clean and out[1].non_ascii_ratio == 0.0
+    assert out[2].mojibake_hits > 0 and not out[2].looks_clean
+    assert out[3].n_control == 2 and not out[3].looks_clean
+    assert out[4].n_replacement == 1 and not out[4].looks_clean
+    # real accents are NOT flagged as mojibake
+    assert out[5].looks_clean and out[5].non_ascii_ratio > 0
+    assert out[6].non_ascii_ratio == 0.0 and out[6].looks_clean
+
+
+def test_flag_outliers_iqr_and_zscore(spark):
+    from raise_featurestore_spark.analytics.outliers import flag_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "id int, g string, x double")
+    iqr = {r.id: r.is_outlier for r in flag_outliers(df, "x", "id", group_by="g").collect()}
+    assert iqr[9] is True and sum(iqr.values()) == 1
+    z = {r.id: r.is_outlier for r in flag_outliers(df, "x", "id", method="zscore", k=2.0).collect()}
+    assert z[9] is True
+    # NaN-poisoned group: flags are NULL, not guesses
+    bad = df.union(spark.createDataFrame([(99, "g", float("nan"))], df.schema))
+    zbad = flag_outliers(bad, "x", "id", method="zscore", k=2.0).collect()
+    assert all(r.is_outlier is None for r in zbad)
