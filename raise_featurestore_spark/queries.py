@@ -1092,9 +1092,6 @@ def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "rollup_incremental_daily",
-    "text_encoding_report",
-    "outlier_flags_iqr",
-    "outlier_flags_zscore",
     _rollup_incremental,
     RU.rollup_recompute_sql(
         "events", "value", ["count", "sum", "avg", "stddev", "min", "max"],
