@@ -1040,6 +1040,45 @@ register(
     FE.sequence_features_sql("events", n=5),
 )
 
+# Multidimensional reports (analytics/multidim.py): CUBE / ROLLUP / PIVOT
+# — each ONE Expand-style grouped aggregate, no per-cell scans.
+from raise_featurestore_spark.analytics import multidim as MD
+
+register(
+    "agg_cube_status_priority",
+    lambda spark, sf_dir: MD.cube_report(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        "o_totalprice",
+    ),
+    MD.cube_report_sql("orders", ["o_orderstatus", "o_orderpriority"], "o_totalprice"),
+)
+
+register(
+    "agg_rollup_flag_status",
+    lambda spark, sf_dir: MD.rollup_report(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+    ),
+    MD.rollup_report_sql("lineitem", ["l_returnflag", "l_linestatus"], "l_extendedprice"),
+)
+
+register(
+    "agg_pivot_status_by_priority",
+    lambda spark, sf_dir: MD.pivot_report(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        "o_totalprice",
+    ),
+    MD.pivot_report_sql(
+        "orders", "o_orderstatus", "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM"], "o_totalprice",
+    ),
+)
+
 # Classic multi-table join benchmarks (TPC-H Q3/Q5 shapes) — the plans a
 # judge reads for join strategy: dimension sides broadcast (customer at
 # sf; nation/region always), the fact-fact join shuffles on the key, AQE
@@ -2449,6 +2488,9 @@ _PROMOTED = [
     "outlier_flags_zscore",
     "join_tpch_q3_topk",
     "join_tpch_q5_region",
+    "agg_cube_status_priority",
+    "agg_rollup_flag_status",
+    "agg_pivot_status_by_priority",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
