@@ -1040,6 +1040,101 @@ register(
     FE.sequence_features_sql("events", n=5),
 )
 
+# Set operations + semi/anti joins (SURVEY §2.8 lists set ops as absent
+# from the reference; first-class here). EXCEPT ALL / INTERSECT compile to
+# one hash-aggregate-style exchange each; semi/anti joins never materialize
+# the probe side's payload.
+
+
+def _set_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1996 but not in 1997 (EXCEPT), via exceptAll
+    over the deduped key sets — the churn query shape."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.where(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+    ).select("o_custkey").distinct()
+    y97 = o.where(
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+    ).select("o_custkey").distinct()
+    return y96.exceptAll(y97).select(F.col("o_custkey").alias("churned_custkey"))
+
+
+register(
+    "set_except_churned_buyers",
+    _set_except_buyers,
+    "SELECT o_custkey AS churned_custkey FROM ("
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "EXCEPT "
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') __e",
+)
+
+
+def _set_intersect_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in BOTH years (INTERSECT) — retention."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.where(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+    ).select("o_custkey")
+    y97 = o.where(
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+    ).select("o_custkey")
+    return y96.intersect(y97).select(F.col("o_custkey").alias("retained_custkey"))
+
+
+register(
+    "set_intersect_retained_buyers",
+    _set_intersect_repeat,
+    "SELECT o_custkey AS retained_custkey FROM ("
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "INTERSECT "
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') __i",
+)
+
+
+def _anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order — LEFT ANTI join (NOT EXISTS): the
+    probe side ships only the join key, never order payloads. (The
+    filtered predicate keeps the result non-empty at every SF — a 0-row
+    anti join would be a vacuous verdict.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(o, cust["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+register(
+    "join_anti_inactive_customers",
+    _anti_join_inactive,
+    "SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders "
+    "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
+)
+
+
+def _semi_join_active_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one >400k order — LEFT SEMI (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where("o_totalprice > 400000").select(
+        "o_custkey"
+    )
+    return cust.join(
+        o, cust["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal"))
+
+
+register(
+    "join_semi_high_value_customers",
+    _semi_join_active_high_value,
+    "SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer "
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)",
+)
+
 # Multidimensional reports (analytics/multidim.py): CUBE / ROLLUP / PIVOT
 # — each ONE Expand-style grouped aggregate, no per-cell scans.
 from raise_featurestore_spark.analytics import multidim as MD
@@ -2491,6 +2586,10 @@ _PROMOTED = [
     "agg_cube_status_priority",
     "agg_rollup_flag_status",
     "agg_pivot_status_by_priority",
+    "set_except_churned_buyers",
+    "set_intersect_retained_buyers",
+    "join_anti_inactive_customers",
+    "join_semi_high_value_customers",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
