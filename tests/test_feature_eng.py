@@ -195,3 +195,24 @@ def test_sequence_features_history_window(spark):
     assert out[3].history == "a|b"
     assert out[4].history == "b|c"  # bounded frame: only the last 2
     assert out[9].history == ""  # entities never leak into each other
+
+
+def test_fuzzy_linkage_blocks_and_best_match(spark):
+    from raise_featurestore_spark.dataprep.linkage import best_match, fuzzy_pairs
+
+    rows = [
+        (1, "red widget"), (2, "red widget"), (3, "rad widget"),
+        (4, "blue bolt"), (5, "blu bolt"), (6, "green gear"),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    pairs = {(r.name_a, r.name_b): r for r in fuzzy_pairs(df, "name", "id").collect()}
+    # distance-0 exact dups are NOT emitted; cross-block pairs never form
+    assert ("red widget", "red widget") not in pairs
+    assert ("rad widget", "red widget") in pairs
+    assert pairs[("rad widget", "red widget")].distance == 1
+    assert pairs[("rad widget", "red widget")].n_b == 2  # support count
+    assert not any("bolt" in a and "widget" in b for a, b in pairs)
+
+    left = spark.createDataFrame([(10, "red widgut")], "id int, name string")
+    m = best_match(left, df, "name", "id").collect()
+    assert len(m) == 1 and m[0].right_name == "red widget" and m[0].distance == 1
