@@ -213,6 +213,8 @@ def test_fuzzy_linkage_blocks_and_best_match(spark):
     assert pairs[("rad widget", "red widget")].n_b == 2  # support count
     assert not any("bolt" in a and "widget" in b for a, b in pairs)
 
-    left = spark.createDataFrame([(10, "red widgut")], "id int, name string")
+    # the typo must be OUTSIDE the blocking token (the last word) — a
+    # typo in the block key lands in a different block by design
+    left = spark.createDataFrame([(10, "redd widget")], "id int, name string")
     m = best_match(left, df, "name", "id").collect()
     assert len(m) == 1 and m[0].right_name == "red widget" and m[0].distance == 1
