@@ -6,11 +6,11 @@ grouped aggregate:
 
 - ``cube_report`` / ``rollup_report``: Spark's native CUBE/ROLLUP —
   physically one aggregate over an Expand (each input row contributes to
-  each grouping set), map-side combinable, one shuffle. The grouping-set
-  id is emitted so consumers can tell subtotal rows from leaves; NULL
-  group values are COALESCEd to a sentinel so a legitimate NULL key and
-  a subtotal row can't be confused (and so the cross-engine hash is on
-  strings, not engine-rendered NULLs).
+  each grouping set), map-side combinable, one shuffle. NULL group
+  values are COALESCEd to ``(null)`` BEFORE the lattice and subtotal
+  slots to ``(all)`` AFTER it, so a legitimate NULL key and a subtotal
+  row can't be confused (and the cross-engine hash is on strings, not
+  engine-rendered NULLs).
 - ``pivot_report``: cross-tab via conditional aggregation (FILTER), not
   the DataFrame ``pivot`` API — identical output, but the pivoted value
   set is an explicit, driver-validated list (a runaway-cardinality pivot
@@ -25,9 +25,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from raise_featurestore_spark.functions.stable import dec_sum, dec_sum_sql
+from raise_featurestore_spark.functions.stable import (
+    dec_sum,
+    dec_sum_sql,
+    grid_snap,
+    grid_snap_sql,
+)
 
 TOTAL = "(all)"
+
+
+def _safe_aliases(pivot_values: list[str]) -> list[str]:
+    """Column-safe aliases; DISTINCT pivot values must stay distinct after
+    sanitization ('A-B' and 'A_B' both map to 'a_b' — silently emitting
+    duplicate column names would break every downstream selection)."""
+    out = ["".join(ch if ch.isalnum() else "_" for ch in v.lower()) for v in pivot_values]
+    dupes = {a for a in out if out.count(a) > 1}
+    if dupes:
+        raise ValueError(
+            f"pivot values collide after column sanitization: {sorted(dupes)}"
+        )
+    return out
 
 
 def _key(c: str):
@@ -43,7 +61,7 @@ def cube_report(
         df.cube(*[_key(c).alias(c) for c in dims])
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(dec_sum(d), round_to).alias("total"),
+            grid_snap(dec_sum(d), round_to).alias("total"),
         )
         .select(
             *[F.coalesce(F.col(c), F.lit(TOTAL)).alias(c) for c in dims],
@@ -66,7 +84,7 @@ def cube_report_sql(
     return (
         f"SELECT {outer}, n_rows, total FROM ("
         f"SELECT {names}, COUNT(*) AS n_rows, "
-        f"ROUND({dec_sum_sql(d)}, {round_to}) AS total "
+        f"{grid_snap_sql(dec_sum_sql(d), round_to)} AS total "
         f"FROM (SELECT {keys}, {value_col} FROM {table}) __k "
         f"GROUP BY CUBE ({names})) __c"
     )
@@ -81,7 +99,7 @@ def rollup_report(
         df.rollup(*[_key(c).alias(c) for c in dims])
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(dec_sum(d), round_to).alias("total"),
+            grid_snap(dec_sum(d), round_to).alias("total"),
         )
         .select(
             *[F.coalesce(F.col(c), F.lit(TOTAL)).alias(c) for c in dims],
@@ -103,7 +121,7 @@ def rollup_report_sql(
     return (
         f"SELECT {outer}, n_rows, total FROM ("
         f"SELECT {names}, COUNT(*) AS n_rows, "
-        f"ROUND({dec_sum_sql(d)}, {round_to}) AS total "
+        f"{grid_snap_sql(dec_sum_sql(d), round_to)} AS total "
         f"FROM (SELECT {keys}, {value_col} FROM {table}) __k "
         f"GROUP BY ROLLUP ({names})) __r"
     )
@@ -125,10 +143,13 @@ def pivot_report(
         raise ValueError("pivot_values must be a non-empty explicit list")
     d = F.col(value_col).cast("double")
     aggs = []
-    for v in pivot_values:
-        safe = "".join(ch if ch.isalnum() else "_" for ch in v.lower())
+    for v, safe in zip(pivot_values, _safe_aliases(pivot_values)):
         masked = F.when(F.col(pivot_col) == v, d)
-        aggs.append(F.round(F.coalesce(dec_sum(masked), F.lit(0.0)), round_to).alias(f"total_{safe}"))
+        aggs.append(
+            grid_snap(
+                F.coalesce(dec_sum(masked), F.lit(0.0)), round_to
+            ).alias(f"total_{safe}")
+        )
         aggs.append(
             F.coalesce(
                 F.sum((F.col(pivot_col) == v).cast("long")), F.lit(0).cast("long")
@@ -149,12 +170,10 @@ def pivot_report_sql(
         raise ValueError("pivot_values must be a non-empty explicit list")
     d = f"CAST({value_col} AS DOUBLE)"
     cols = []
-    for v in pivot_values:
-        safe = "".join(ch if ch.isalnum() else "_" for ch in v.lower())
+    for v, safe in zip(pivot_values, _safe_aliases(pivot_values)):
         masked = f"(CASE WHEN {pivot_col} = '{v}' THEN {d} END)"
-        cols.append(
-            f"ROUND(COALESCE({dec_sum_sql(masked)}, 0.0), {round_to}) AS total_{safe}"
-        )
+        total = grid_snap_sql(f"COALESCE({dec_sum_sql(masked)}, 0.0)", round_to)
+        cols.append(f"{total} AS total_{safe}")
         cols.append(
             f"CAST(COALESCE(SUM(CASE WHEN {pivot_col} = '{v}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_{safe}"
         )

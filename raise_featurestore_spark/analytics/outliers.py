@@ -177,9 +177,16 @@ def flag_outliers(
             sig_round(mean - F.lit(float(k)) * std).alias("__lo"),
             sig_round(mean + F.lit(float(k)) * std).alias("__hi"),
         )
-    joined = (
-        df.join(bounds, group_by) if group_by else df.join(F.broadcast(bounds))
-    )
+    if group_by:
+        # eqNullSafe: a plain equi-join would silently DROP rows whose
+        # group key is NULL from a per-row flagging API (winsorized_stats
+        # made the same call; r5 review finding)
+        bounds = bounds.withColumnRenamed(group_by, "__gb_bounds")
+        joined = df.join(
+            bounds, F.col(group_by).eqNullSafe(F.col("__gb_bounds")), "inner"
+        ).drop("__gb_bounds")
+    else:
+        joined = df.join(F.broadcast(bounds))
     snapped = sig_round(d)
     flag = F.when(
         F.isnan(F.col("__lo")) | F.isnan(F.col("__hi")), F.lit(None).cast("boolean")
@@ -222,12 +229,17 @@ def flag_outliers_sql(
         )
         lo = sig_round_sql(f"({mean}) - {float(k)} * ({std})")
         hi = sig_round_sql(f"({mean}) + {float(k)} * ({std})")
-    keysel = f"{group_by}, " if group_by else ""
     grp = f" GROUP BY {group_by}" if group_by else ""
-    on = f"USING ({group_by})" if group_by else "ON TRUE"
+    bsel = f"{group_by} AS __gb_bounds, " if group_by else ""
+    keysel = f"__t.{group_by}, " if group_by else ""
+    on = (
+        f"ON __t.{group_by} IS NOT DISTINCT FROM __b.__gb_bounds"
+        if group_by
+        else "ON TRUE"
+    )
     snapped = sig_round_sql(d)
     return (
-        f"WITH __b AS (SELECT {keysel}{lo} AS __lo, {hi} AS __hi FROM {table}{grp}) "
+        f"WITH __b AS (SELECT {bsel}{lo} AS __lo, {hi} AS __hi FROM {table}{grp}) "
         f"SELECT {keysel}{id_col}, {d} AS value, "
         f"CASE WHEN ISNAN(__lo) OR ISNAN(__hi) THEN NULL "
         f"ELSE ({snapped}) < __lo OR ({snapped}) > __hi END AS is_outlier "

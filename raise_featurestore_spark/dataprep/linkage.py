@@ -13,9 +13,10 @@ under slightly different names). The scalable shape is always two-phase:
 2. **Score**: exact Levenshtein inside the block (JVM `levenshtein` —
    both engines implement plain edit distance, so the oracle is exact).
 
-Emits candidate pairs under ``max_distance``, canonically ordered
-(id_a < id_b). Self-pairs and symmetric duplicates never materialize —
-the inequality is part of the join condition, not a post-filter.
+``fuzzy_pairs`` emits DISTINCT-NAME pairs under ``max_distance``,
+canonically ordered (name_a < name_b); self-pairs and symmetric
+duplicates never materialize — the inequality is part of the join
+condition, not a post-filter. ``best_match`` links records.
 """
 
 from __future__ import annotations
@@ -26,7 +27,11 @@ from pyspark.sql import functions as F
 
 def _block_key(name):
     toks = F.filter(F.split(F.lower(name), r"\s+"), lambda w: F.length(w) > 0)
-    return F.element_at(toks, -1)
+    # try_element_at: an empty/whitespace-only name has no tokens, and
+    # Spark-4 ANSI element_at(-1) on an empty array is a hard error; NULL
+    # block keys never match an equi-join on either engine, so blank names
+    # drop from pairing identically everywhere (r5 review finding)
+    return F.try_element_at(toks, F.lit(-1))
 
 
 def _block_key_sql(name: str) -> str:
@@ -39,7 +44,6 @@ def _block_key_sql(name: str) -> str:
 def fuzzy_pairs(
     df: DataFrame,
     name_col: str,
-    id_col: str,
     max_distance: int = 3,
     length_band: int = 4,
 ) -> DataFrame:
@@ -54,7 +58,7 @@ def fuzzy_pairs(
     `dedup.exact_duplicates`' job. Returns (name_a < name_b, distance,
     n_a, n_b)."""
     names = df.groupBy(F.col(name_col).alias("name")).agg(
-        F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep_id")
+        F.count(F.lit(1)).alias("n")
     )
     a = names.select(
         F.col("name").alias("name_a"), F.col("n").alias("n_a"),
@@ -82,7 +86,6 @@ def fuzzy_pairs(
 def fuzzy_pairs_sql(
     table: str,
     name_col: str,
-    id_col: str,
     max_distance: int = 3,
     length_band: int = 4,
 ) -> str:

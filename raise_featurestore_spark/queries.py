@@ -1047,9 +1047,9 @@ from raise_featurestore_spark.dataprep import linkage as LK
 register(
     "linkage_fuzzy_part_names",
     lambda spark, sf_dir: LK.fuzzy_pairs(
-        load_table(spark, sf_dir, "part"), "p_name", "p_partkey", max_distance=3
+        load_table(spark, sf_dir, "part"), "p_name", max_distance=3
     ),
-    LK.fuzzy_pairs_sql("part", "p_name", "p_partkey", max_distance=3),
+    LK.fuzzy_pairs_sql("part", "p_name", max_distance=3),
 )
 
 # Set operations + semi/anti joins (SURVEY §2.8 lists set ops as absent
@@ -1194,7 +1194,7 @@ _Q3_CUT = "TIMESTAMP '1998-03-15 00:00:00'"
 
 
 def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from raise_featurestore_spark.functions.stable import dec_sum
+    from raise_featurestore_spark.functions.stable import dec_sum, grid_snap
 
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -1217,7 +1217,7 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
-            F.round(F.col("revenue"), 2).alias("revenue"),
+            grid_snap(F.col("revenue"), 2).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -1244,7 +1244,7 @@ register("join_tpch_q3_topk", _tpch_q3, _tpch_q3_sql())
 
 
 def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from raise_featurestore_spark.functions.stable import dec_sum
+    from raise_featurestore_spark.functions.stable import dec_sum, grid_snap
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
@@ -1271,7 +1271,7 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
         .groupBy("n_name")
         .agg(dec_sum(rev).alias("revenue"))
-        .select("n_name", F.round(F.col("revenue"), 2).alias("revenue"))
+        .select("n_name", grid_snap(F.col("revenue"), 2).alias("revenue"))
     )
 
 

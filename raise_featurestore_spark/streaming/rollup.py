@@ -40,6 +40,26 @@ from raise_featurestore_spark.functions.stable import (
 
 _PARTIAL_COLS = ["n", "s1", "ss", "mn", "mx", "pois"]
 
+# period rendering must carry the bucket's full granularity — truncating
+# an hourly bucket to 'yyyy-MM-dd' would silently collapse a day's hours
+# into one group on BOTH engines (so the oracle could never catch it)
+_BUCKET_FMT = {
+    "year": ("yyyy", "%Y"),
+    "month": ("yyyy-MM", "%Y-%m"),
+    "week": ("yyyy-MM-dd", "%Y-%m-%d"),
+    "day": ("yyyy-MM-dd", "%Y-%m-%d"),
+    "hour": ("yyyy-MM-dd HH:00", "%Y-%m-%d %H:00"),
+    "minute": ("yyyy-MM-dd HH:mm", "%Y-%m-%d %H:%M"),
+}
+
+
+def _fmt(bucket: str) -> tuple[str, str]:
+    if bucket not in _BUCKET_FMT:
+        raise ValueError(
+            f"unsupported rollup bucket {bucket!r}; one of {sorted(_BUCKET_FMT)}"
+        )
+    return _BUCKET_FMT[bucket]
+
 
 def rollup_partials(
     df: DataFrame,
@@ -54,7 +74,7 @@ def rollup_partials(
     dec = dec_term(d)
     keys = [F.col(group_by)] if group_by else []
     period = F.date_format(
-        F.date_trunc(bucket, F.col(time_col)), "yyyy-MM-dd"
+        F.date_trunc(bucket, F.col(time_col)), _fmt(bucket)[0]
     ).alias("period_start")
     return df.groupBy(*keys, period).agg(
         F.count(d).alias("n"),
@@ -175,7 +195,7 @@ def rollup_recompute_sql(
     grp = "1, 2" if group_by else "1"
     w = f" WHERE {where}" if where else ""
     return (
-        f"SELECT {keys}STRFTIME(DATE_TRUNC('{bucket}', {time_col}), '%Y-%m-%d') "
+        f"SELECT {keys}STRFTIME(DATE_TRUNC('{bucket}', {time_col}), '{_fmt(bucket)[1]}') "
         f"AS period_start, {', '.join(outs)} FROM {table}{w} GROUP BY {grp}"
     )
 
@@ -196,17 +216,37 @@ def make_rollup_batch_fn(
     stage-and-swap the result. State between micro-batches IS the partial
     table (same posture as streaming/curation.py) — no executor-memory
     state, so restart/rescale is free and a year of history is never
-    rescanned. The swap directory write is atomic-enough for the
-    single-writer test environment; production would back this with a
-    Delta/Iceberg transactional overwrite (io/writer.py's MERGE path)."""
+    rescanned. An interrupted
+    swap self-heals on the next batch (see the recovery block); a
+    multi-writer production deployment would back this with a
+    Delta/Iceberg transactional overwrite (io/writer.py's MERGE path)
+    instead of directory renames."""
     import os
     import shutil
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delta = rollup_partials(batch_df, value_col, time_col, bucket, group_by)
         live = os.path.join(state_path, "live")
+        if not os.path.isdir(live):
+            # interrupted swap: a death between the two renames leaves the
+            # history in an old-* dir; re-seeding from the delta would
+            # silently LOSE all pre-crash totals, so restore the newest
+            # displaced generation first (idempotent under Structured
+            # Streaming batch replay; r5 review finding)
+            olds = sorted(
+                (
+                    n
+                    for n in (
+                        os.listdir(state_path) if os.path.isdir(state_path) else []
+                    )
+                    if n.startswith("old-")
+                ),
+                key=lambda n: int(n.split("-", 1)[1]),
+            )
+            if olds:
+                os.rename(os.path.join(state_path, olds[-1]), live)
+        delta = rollup_partials(batch_df, value_col, time_col, bucket, group_by)
         if os.path.isdir(live) and any(
             n.endswith(".parquet") for n in os.listdir(live)
         ):
@@ -215,8 +255,9 @@ def make_rollup_batch_fn(
         else:
             merged = delta
         stage = os.path.join(state_path, f"stage-{batch_id}")
-        merged.write.mode("overwrite").parquet(stage)
+        merged.write.mode("overwrite").parquet(stage)  # clobbers a retry's leftover
         old = os.path.join(state_path, f"old-{batch_id}")
+        shutil.rmtree(old, ignore_errors=True)  # a retry's leftover
         if os.path.isdir(live):
             os.rename(live, old)
         os.rename(stage, live)

@@ -454,3 +454,23 @@ def test_flag_outliers_iqr_and_zscore(spark):
     bad = df.union(spark.createDataFrame([(99, "g", float("nan"))], df.schema))
     zbad = flag_outliers(bad, "x", "id", method="zscore", k=2.0).collect()
     assert all(r.is_outlier is None for r in zbad)
+
+
+def test_fuzzy_linkage_survives_blank_names(spark):
+    from raise_featurestore_spark.dataprep.linkage import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "rad widget"), (3, "   "), (4, "")],
+        "id int, name string",
+    )
+    got = fuzzy_pairs(df, "name").collect()  # must not raise under ANSI
+    assert len(got) == 1 and got[0].name_a == "rad widget"
+
+
+def test_flag_outliers_keeps_null_group_rows(spark):
+    from raise_featurestore_spark.analytics.outliers import flag_outliers
+
+    rows = [(i, None if i % 2 else "g", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, g string, x double")
+    got = flag_outliers(df, "x", "id", group_by="g").collect()
+    assert len(got) == 20  # NULL-group rows flagged, not dropped

@@ -60,3 +60,25 @@ def test_pivot_columns_and_row_sums(spark, orders):
     got = {r.o_orderstatus: r.n_1_urgent for r in out}
     for k, v in want.items():
         assert got[k] == v
+
+
+def test_pivot_alias_collision_rejected(spark, orders):
+    from raise_featurestore_spark.analytics.multidim import pivot_report
+
+    with pytest.raises(ValueError, match="collide"):
+        pivot_report(orders, "o_orderstatus", "o_orderpriority",
+                     ["A-B", "A_B"], "o_totalprice")
+
+
+def test_cube_null_key_distinct_from_subtotal(spark):
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.analytics.multidim import TOTAL, cube_report
+
+    df = spark.createDataFrame(
+        [("x", 1.0), (None, 2.0), ("x", 3.0)], "k string, v double"
+    )
+    rows = {r.k: r for r in cube_report(df, ["k"], "v").collect()}
+    assert rows["(null)"].total == 2.0      # the legitimate NULL key
+    assert rows[TOTAL].total == 6.0         # the subtotal slot
+    assert rows["x"].total == 4.0

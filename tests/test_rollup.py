@@ -114,3 +114,52 @@ def test_streaming_rollup_matches_batch_recompute(spark, events, tmp_path):
         finalize_rollup(rollup_partials(events, "value"), ["count", "sum", "avg", "stddev"])
     )
     assert got == want and len(got) > 0
+
+
+def test_rollup_hourly_bucket_not_collapsed(spark):
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        rollup_partials,
+    )
+
+    rows = [("2026-01-01 01:10:00", 1.0), ("2026-01-01 17:20:00", 2.0)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = {r.period_start: r.sum_value for r in finalize_rollup(
+        rollup_partials(df, "value", bucket="hour"), ["sum"]
+    ).collect()}
+    assert out == {"2026-01-01 01:00": 1.0, "2026-01-01 17:00": 2.0}
+    with pytest.raises(ValueError, match="unsupported rollup bucket"):
+        rollup_partials(df, "value", bucket="second")
+
+
+def test_streaming_rollup_recovers_interrupted_swap(spark, events, tmp_path):
+    """live/ missing with history in old-*: the next batch must restore
+    the displaced generation, not silently re-seed from its own delta."""
+    import os
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        make_rollup_batch_fn,
+        rollup_partials,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    fn = make_rollup_batch_fn(spark, state, "value")
+    half_a = events.where("event_id % 2 = 0")
+    half_b = events.where("event_id % 2 = 1")
+    fn(half_a, 0)
+    # simulate a crash mid-swap: live got renamed away, stage never landed
+    os.rename(os.path.join(state, "live"), os.path.join(state, "old-1"))
+    fn(half_b, 1)
+    got = _finalized_rows(
+        finalize_rollup(spark.read.parquet(state + "/live"), ["count", "sum"])
+    )
+    want = _finalized_rows(
+        finalize_rollup(rollup_partials(events, "value"), ["count", "sum"])
+    )
+    assert got == want
