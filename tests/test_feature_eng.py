@@ -205,7 +205,7 @@ def test_fuzzy_linkage_blocks_and_best_match(spark):
         (4, "blue bolt"), (5, "blu bolt"), (6, "green gear"),
     ]
     df = spark.createDataFrame(rows, "id int, name string")
-    pairs = {(r.name_a, r.name_b): r for r in fuzzy_pairs(df, "name", "id").collect()}
+    pairs = {(r.name_a, r.name_b): r for r in fuzzy_pairs(df, "name").collect()}
     # distance-0 exact dups are NOT emitted; cross-block pairs never form
     assert ("red widget", "red widget") not in pairs
     assert ("rad widget", "red widget") in pairs
