@@ -1040,6 +1040,26 @@ register(
     FE.sequence_features_sql("events", n=5),
 )
 
+# Product analytics over the events stream (analytics/funnel.py): ordered
+# funnels (conditional-min fold, k-1 entity joins) + cohort retention.
+from raise_featurestore_spark.analytics import funnel as FN
+
+register(
+    "funnel_signup_view_purchase",
+    lambda spark, sf_dir: FN.funnel_report(
+        load_table(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    ),
+    FN.funnel_report_sql("events", ["signup", "view", "purchase"]),
+)
+
+register(
+    "cohort_retention_weekly",
+    lambda spark, sf_dir: FN.cohort_retention(
+        load_table(spark, sf_dir, "events"), period="week", max_offset=4
+    ),
+    FN.cohort_retention_sql("events", period="week", max_offset=4),
+)
+
 # Fuzzy record linkage (dataprep/linkage.py): blocked Levenshtein pairs —
 # both engines implement plain edit distance, so the oracle is exact.
 from raise_featurestore_spark.dataprep import linkage as LK
@@ -2603,6 +2623,8 @@ _PROMOTED = [
     "join_anti_inactive_customers",
     "join_semi_high_value_customers",
     "linkage_fuzzy_part_names",
+    "funnel_signup_view_purchase",
+    "cohort_retention_weekly",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",

@@ -1,0 +1,65 @@
+"""Funnel ordering semantics + cohort retention math."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _events(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_funnel_requires_strict_order(spark):
+    from raise_featurestore_spark.analytics.funnel import funnel_report
+
+    rows = [
+        # u1: A -> B -> C in order: completes all three
+        (1, "2026-01-01 00:00:00", "A"), (1, "2026-01-02 00:00:00", "B"),
+        (1, "2026-01-03 00:00:00", "C"),
+        # u2: B before A, no B after -> stops at step 1
+        (2, "2026-01-01 00:00:00", "B"), (2, "2026-01-02 00:00:00", "A"),
+        # u3: A -> C -> B: C precedes B, so funnel stops after B (step 2)
+        (3, "2026-01-01 00:00:00", "A"), (3, "2026-01-02 00:00:00", "C"),
+        (3, "2026-01-03 00:00:00", "B"),
+        # u4: never does A -> counted nowhere
+        (4, "2026-01-01 00:00:00", "C"),
+    ]
+    out = {r.step: r.n_entities for r in funnel_report(
+        _events(spark, rows), ["A", "B", "C"]
+    ).collect()}
+    assert out == {"A": 3, "B": 2, "C": 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    """Strictly-after semantics: simultaneous A and B does not advance."""
+    from raise_featurestore_spark.analytics.funnel import funnel_report
+
+    rows = [(1, "2026-01-01 00:00:00", "A"), (1, "2026-01-01 00:00:00", "B")]
+    out = {r.step: r.n_entities for r in funnel_report(
+        _events(spark, rows), ["A", "B"]
+    ).collect()}
+    assert out == {"A": 1, "B": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    from raise_featurestore_spark.analytics.funnel import cohort_retention
+
+    rows = [
+        (1, "2026-01-05 00:00:00", "x"),  # cohort 2026-01
+        (1, "2026-02-10 00:00:00", "x"),  # active at offset 1
+        (1, "2026-02-11 00:00:00", "x"),  # same period: not double-counted
+        (2, "2026-01-20 00:00:00", "x"),  # cohort 2026-01, never returns
+        (3, "2026-02-01 00:00:00", "x"),  # cohort 2026-02
+    ]
+    out = {(r.cohort, r.offset): r.n_active for r in cohort_retention(
+        _events(spark, rows), period="month", max_offset=3
+    ).collect()}
+    assert out == {
+        ("2026-01", 0): 2,
+        ("2026-01", 1): 1,
+        ("2026-02", 0): 1,
+    }
