@@ -1,0 +1,139 @@
+"""Graph analytics over derived co-occurrence graphs: weighted PageRank.
+
+Engine addition (connected components live in ``dataprep/components.py``;
+this adds the importance-scoring half). The graph is DERIVED — nodes are
+parts, edges are co-occurrence within an order — so the whole pipeline is
+relational: an equi-self-join bounded by order size builds the edges, and
+each PageRank iteration is one join + one grouped aggregate.
+
+    pr₀(v)   = 1/N
+    prₖ₊₁(v) = (1−d)/N + d · Σ_{u→v} prₖ(u) · w(u,v)/outdeg(u)
+
+Scale design: the self-join key is the order id (≤ ~7 items per order ⇒
+≤ 42 pairs per order — LINEAR in lineitems, never all-pairs over parts);
+edges/degrees are materialized once and reused across iterations; each
+iteration shuffles by node id only. Iteration count is a driver-side
+loop over a bounded k (the reference pattern for Lloyd's in
+dataprep/clustering.py) — each iteration's plan embeds no literals, so
+the lineage stays compact.
+
+Edges are symmetrized by construction (both (a,b) and (b,a) pair rows
+come out of the self-join), so every node has outdegree ≥ 1 — no
+dangling-mass term needed.
+
+Cross-engine: per-edge contributions are snapped on a 1e-10 grid and
+summed in exact decimals (grid_decimals=10 — PageRank masses are ~1/N,
+far above the grid), so iterations are partition-order-free and the
+chained-CTE DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raise_featurestore_spark.functions.stable import (
+    dec_sum,
+    dec_sum_sql,
+    stable_round,
+    stable_round_sql,
+)
+
+_GRID = 10  # decimal grid for per-edge contributions (masses ~1/N)
+
+
+def cooccurrence_edges(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """(src, dst, w): how many baskets contain both items (directed both
+    ways by construction). One self-join on the basket id."""
+    a = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("src"))
+    b = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("dst"))
+    return (
+        a.join(b, "__b")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    iterations: int = 2,
+    damping: float = 0.85,
+    round_to: int = 8,
+) -> DataFrame:
+    """(node, pr) after ``iterations`` of weighted PageRank on the
+    co-occurrence graph. Emitted pr is stable-rounded (masses are ~1/N,
+    so ``round_to`` defaults fine-grained)."""
+    edges = cooccurrence_edges(df, basket_col, item_col)
+    deg = edges.groupBy("src").agg(F.sum("w").alias("__wd"))
+    n = deg.count()  # symmetric graph: every node appears as a src
+    if n == 0:
+        return edges.select(F.col("src").alias("node"), F.lit(0.0).alias("pr"))
+    base = (1.0 - damping) / n
+    edges = edges.join(deg, "src").persist()
+    # pr as a frame (node, pr); iteration joins on src and re-aggregates
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .select(
+                F.col("dst"),
+                (F.col("pr") * F.col("w") / F.col("__wd")).alias("__c"),
+            )
+            .groupBy("dst")
+            .agg(dec_sum(F.col("__c"), grid_decimals=_GRID).alias("__m"))
+        )
+        pr = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(damping) * F.col("__m")).alias("pr"),
+        )
+    out = pr.select(
+        "node", stable_round(F.col("pr"), decimals=round_to).alias("pr")
+    )
+    edges.unpersist()
+    return out
+
+
+def pagerank_sql(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    iterations: int = 2,
+    damping: float = 0.85,
+    round_to: int = 8,
+) -> str:
+    """DuckDB twin: the same iterations as chained CTEs (the k-means
+    oracle pattern — regenerate, don't simulate)."""
+    d = float(damping)
+    ctes = [
+        (
+            f"__e AS (SELECT a.{item_col} AS src, b.{item_col} AS dst, "
+            f"COUNT(*) AS w FROM {table} a JOIN {table} b "
+            f"ON a.{basket_col} = b.{basket_col} AND a.{item_col} <> b.{item_col} "
+            f"GROUP BY 1, 2)"
+        ),
+        "__deg AS (SELECT src, SUM(w) AS wd FROM __e GROUP BY src)",
+        "__n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM __deg)",
+        (
+            "__pr0 AS (SELECT src AS node, 1.0 / nn AS pr "
+            "FROM __deg CROSS JOIN __n)"
+        ),
+    ]
+    for k in range(iterations):
+        contrib = dec_sum_sql("(p.pr * e.w / g.wd)", grid_decimals=_GRID)
+        ctes.append(
+            f"__pr{k + 1} AS (SELECT e.dst AS node, "
+            f"(1.0 - {d!r}) / MIN(n.nn) + {d!r} * {contrib} AS pr "
+            f"FROM __e e JOIN __deg g ON e.src = g.src "
+            f"JOIN __pr{k} p ON p.node = e.src CROSS JOIN __n n "
+            f"GROUP BY e.dst)"
+        )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT node, {stable_round_sql('pr', decimals=round_to)} AS pr "
+        f"FROM __pr{iterations}"
+    )

@@ -1040,6 +1040,19 @@ register(
     FE.sequence_features_sql("events", n=5),
 )
 
+# Graph analytics (analytics/graph.py): weighted PageRank on the part
+# co-purchase graph — iterations regenerated as chained CTEs in the oracle.
+from raise_featurestore_spark.analytics import graph as GR
+
+register(
+    "graph_pagerank_coparts",
+    lambda spark, sf_dir: GR.pagerank(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        iterations=2,
+    ),
+    GR.pagerank_sql("lineitem", "l_orderkey", "l_partkey", iterations=2),
+)
+
 # Product analytics over the events stream (analytics/funnel.py): ordered
 # funnels (conditional-min fold, k-1 entity joins) + cohort retention.
 from raise_featurestore_spark.analytics import funnel as FN
@@ -2625,6 +2638,7 @@ _PROMOTED = [
     "linkage_fuzzy_part_names",
     "funnel_signup_view_purchase",
     "cohort_retention_weekly",
+    "graph_pagerank_coparts",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",

@@ -1,0 +1,29 @@
+"""PageRank semantics: mass conservation, hub dominance, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_pagerank_mass_and_hub(spark):
+    from raise_featurestore_spark.analytics.graph import pagerank
+
+    # star graph: hub h co-occurs with 4 spokes; spokes only see the hub
+    rows = []
+    for b, spoke in enumerate(["s1", "s2", "s3", "s4"]):
+        rows += [(b, "h"), (b, spoke)]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {r.node: r.pr for r in pagerank(df, "basket", "item", iterations=3).collect()}
+    assert got["h"] == max(got.values())  # hub dominates
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-3)  # mass conserved
+    assert len({got[s] for s in ["s1", "s2", "s3", "s4"]}) == 1  # symmetry
+
+
+def test_pagerank_partition_invariant(spark):
+    from raise_featurestore_spark.analytics.graph import pagerank
+    from raise_featurestore_spark.tables import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    a = {r.node: r.pr for r in pagerank(df.repartition(1), "l_orderkey", "l_partkey").collect()}
+    b = {r.node: r.pr for r in pagerank(df.repartition(32), "l_orderkey", "l_partkey").collect()}
+    assert a == b
