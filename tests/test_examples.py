@@ -157,3 +157,11 @@ def test_example_feature_engineering(spark):
     assert set(out["splits"]) == {"train", "val", "test"}
     assert out["splits"]["train"] > out["splits"]["val"]
     assert out["train_bins"] >= 8
+
+
+def test_example_product_analytics(spark):
+    out = _load("15_product_analytics.py").main(SF_DIR)
+    f = out["funnel"]
+    assert f["signup"] >= f["view"] >= f["purchase"] >= 0
+    assert out["n_cohorts"] > 0 and out["cube_cells"] > 4
+    assert out["grand_total"] > 0
