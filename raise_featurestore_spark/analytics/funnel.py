@@ -9,8 +9,9 @@ Python loop, never an unbounded self-join.
   step 1→2→3, … Strict ordering ("B after the user's first A") is the
   part a naive join gets wrong; it is computed as a per-user LEFT FOLD of
   conditional-min timestamps: t₁ = min ts of step 1; tₖ = min ts of step
-  k AFTER tₖ₋₁. Each level is one conditional aggregate over the SAME
-  per-user grouped pass — k levels = one shuffle, k small.
+  k AFTER tₖ₋₁ — one entity-keyed left join + conditional-min aggregate
+  per level (k−1 joins/shuffles total; k is a funnel's handful of steps,
+  and each join is keyed on the entity, so AQE handles skew).
 - ``cohort_retention``: users bucketed by first-activity period (their
   cohort); for each offset k, how many were active k periods later. Two
   grouped passes (first-activity, then distinct user-period activity)
@@ -65,7 +66,12 @@ def funnel_report(
         )
     counts = grouped.agg(
         *[
-            F.sum(F.col(f"__t_{k}").isNotNull().cast("long")).alias(f"__n_{k}")
+            # coalesce: an empty input must report 0, not NULL — the SQL
+            # twin already guards this (r5 review finding)
+            F.coalesce(
+                F.sum(F.col(f"__t_{k}").isNotNull().cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"__n_{k}")
             for k in range(len(steps))
         ]
     )

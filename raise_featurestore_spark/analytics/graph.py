@@ -46,11 +46,16 @@ def cooccurrence_edges(
     df: DataFrame, basket_col: str, item_col: str
 ) -> DataFrame:
     """(src, dst, w): how many baskets contain both items (directed both
-    ways by construction). One self-join on the basket id."""
-    a = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("src"))
-    b = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("dst"))
+    ways by construction). One self-join on the basket id over the
+    DEDUPED (basket, item) pairs — without the distinct, an item repeated
+    m times within one basket would contribute m to each partner edge,
+    skewing mass toward intra-basket duplicates (r5 review finding)."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("src")
+    ).distinct()
+    b = items.select("__b", F.col("src").alias("dst"))
     return (
-        a.join(b, "__b")
+        items.join(b, "__b")
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
@@ -74,7 +79,11 @@ def pagerank(
     if n == 0:
         return edges.select(F.col("src").alias("node"), F.lit(0.0).alias("pr"))
     base = (1.0 - damping) / n
-    edges = edges.join(deg, "src").persist()
+    # localCheckpoint (eager): materializes the edge list ONCE and
+    # truncates its lineage, so the k iterations reuse stored blocks
+    # instead of re-running the self-join per reference — a persist()
+    # released before the caller's action was a silent no-op here
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
     # pr as a frame (node, pr); iteration joins on src and re-aggregates
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
@@ -91,11 +100,9 @@ def pagerank(
             F.col("dst").alias("node"),
             (F.lit(base) + F.lit(damping) * F.col("__m")).alias("pr"),
         )
-    out = pr.select(
+    return pr.select(
         "node", stable_round(F.col("pr"), decimals=round_to).alias("pr")
     )
-    edges.unpersist()
-    return out
 
 
 def pagerank_sql(
@@ -109,12 +116,21 @@ def pagerank_sql(
     """DuckDB twin: the same iterations as chained CTEs (the k-means
     oracle pattern — regenerate, don't simulate)."""
     d = float(damping)
+    # the teleport numerator must be the PYTHON-computed double: DuckDB
+    # evaluates a bare (1.0 - 0.85) in DECIMAL (-> 0.1499999999999999944)
+    # while Spark embeds binary 0.15000000000000002 — a 1-ulp base
+    # divergence feeding every pr (r5 review finding). A string-literal
+    # CAST parses correctly-rounded to the same double everywhere.
+    omd = f"CAST('{1.0 - d!r}' AS DOUBLE)"
     ctes = [
         (
-            f"__e AS (SELECT a.{item_col} AS src, b.{item_col} AS dst, "
-            f"COUNT(*) AS w FROM {table} a JOIN {table} b "
-            f"ON a.{basket_col} = b.{basket_col} AND a.{item_col} <> b.{item_col} "
-            f"GROUP BY 1, 2)"
+            f"__i AS (SELECT DISTINCT {basket_col} AS bb, {item_col} AS it "
+            f"FROM {table})"
+        ),
+        (
+            "__e AS (SELECT a.it AS src, b.it AS dst, COUNT(*) AS w "
+            "FROM __i a JOIN __i b ON a.bb = b.bb AND a.it <> b.it "
+            "GROUP BY 1, 2)"
         ),
         "__deg AS (SELECT src, SUM(w) AS wd FROM __e GROUP BY src)",
         "__n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM __deg)",
@@ -127,7 +143,7 @@ def pagerank_sql(
         contrib = dec_sum_sql("(p.pr * e.w / g.wd)", grid_decimals=_GRID)
         ctes.append(
             f"__pr{k + 1} AS (SELECT e.dst AS node, "
-            f"(1.0 - {d!r}) / MIN(n.nn) + {d!r} * {contrib} AS pr "
+            f"{omd} / MIN(n.nn) + {d!r} * {contrib} AS pr "
             f"FROM __e e JOIN __deg g ON e.src = g.src "
             f"JOIN __pr{k} p ON p.node = e.src CROSS JOIN __n n "
             f"GROUP BY e.dst)"
