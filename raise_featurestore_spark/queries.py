@@ -1414,6 +1414,81 @@ def _pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("embedding_pca_spectrum", _pca_explained)
 
+
+def _pca_trace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-verdicted bridge for the eigendecomposition: trace(cov) =
+    Σ eigenvalues. The trace IS SQL-expressible (sum of per-dimension
+    variances), so the oracle recomputes it exactly while the in-plan
+    band verdicts the driver-side eigh against it. Upgrades the PCA
+    surface from rows-only to a cross-engine value check."""
+    from raise_featurestore_spark.functions.stable import sig_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PCA.pca_fit(emb, dim=64, k=8)
+    eig_sum = float(model.explained.sum())
+    # exact per-dimension variance, summed — the same exact-decimal path
+    # the oracle runs; compare driver eigenvalue mass against it in-plan
+    d = F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i")
+    per_dim = (
+        emb.where(F.size("embedding") == 64)
+        .select(F.col("embedding").alias("__e"))
+        .select("__e", d)
+        .select(
+            F.col("i"),
+            F.element_at(F.col("__e"), F.col("i")).cast("double").alias("x"),
+        )
+    )
+    from raise_featurestore_spark.functions.stable import dec_term, dec_poison, poisoned
+
+    dec = dec_term(F.col("x"), 8)
+    nn = F.count("x").cast("double")
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum(dec * dec).cast("double")
+    var = (s2 - s1 * s1 / nn) / (nn - F.lit(1.0))
+    per_var = per_dim.groupBy("i").agg(
+        poisoned(var, dec_poison(F.col("x"), 8)).alias("__v")
+    )
+    from raise_featurestore_spark.functions.stable import dec_sum
+
+    trace = per_var.agg(dec_sum(F.col("__v"), grid_decimals=10).alias("trace"))
+    band = (
+        F.abs(F.lit(eig_sum) - F.col("trace"))
+        <= F.lit(1e-6) * F.abs(F.col("trace"))
+    )
+    return trace.select(
+        sig_round(F.col("trace")).alias("trace"),
+        band.alias("eig_sum_within_band"),
+    )
+
+
+def _pca_trace_check_sql() -> str:
+    from raise_featurestore_spark.functions.stable import (
+        dec_poison_sql,
+        dec_term_sql,
+        poisoned_sql,
+        sig_round_sql,
+    )
+
+    dec = dec_term_sql("x", 8)
+    nn = "CAST(COUNT(x) AS DOUBLE)"
+    s1 = f"CAST(SUM({dec}) AS DOUBLE)"
+    s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+    var = f"({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0)"
+    from raise_featurestore_spark.functions.stable import dec_sum_sql
+
+    v = poisoned_sql(var, dec_poison_sql("x", 8))
+    tr = dec_sum_sql("__v", 10)
+    return (
+        f"SELECT {sig_round_sql('trace')} AS trace, TRUE AS eig_sum_within_band "
+        f"FROM (SELECT {tr} AS trace FROM ("
+        f"SELECT i, {v} AS __v FROM ("
+        f"SELECT i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, "
+        f"range(1, 65) __r(i) WHERE len(embedding) = 64) __x GROUP BY i) __pv) __t"
+    )
+
+
+register("embedding_pca_trace_check", _pca_trace_check, _pca_trace_check_sql())
+
 # BPE tokenizer-training support (dataprep/bpe.py): the corpus-scale half
 # of BPE — word-frequency collapse + first-merge pair statistics. The
 # sequential merge loop (train_bpe) runs driver-side over the collapsed
@@ -2639,6 +2714,7 @@ _PROMOTED = [
     "funnel_signup_view_purchase",
     "cohort_retention_weekly",
     "graph_pagerank_coparts",
+    "embedding_pca_trace_check",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",
