@@ -1040,6 +1040,17 @@ register(
     FE.sequence_features_sql("events", n=5),
 )
 
+# Time-series baseline (analytics/forecast.py): seasonal-naive backtest.
+from raise_featurestore_spark.analytics import forecast as FC
+
+register(
+    "forecast_backtest_naive",
+    lambda spark, sf_dir: FC.backtest_seasonal_naive(
+        load_table(spark, sf_dir, "events"), season_days=7
+    ),
+    FC.backtest_seasonal_naive_sql("events", season_days=7),
+)
+
 # Graph analytics (analytics/graph.py): weighted PageRank on the part
 # co-purchase graph — iterations regenerated as chained CTEs in the oracle.
 from raise_featurestore_spark.analytics import graph as GR
@@ -2715,6 +2726,7 @@ _PROMOTED = [
     "cohort_retention_weekly",
     "graph_pagerank_coparts",
     "embedding_pca_trace_check",
+    "forecast_backtest_naive",
     # latest verdict r3 — refresh before it ages past two rounds
     "stattest_mannwhitney",
     "stattest_ks",

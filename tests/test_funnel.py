@@ -63,3 +63,29 @@ def test_cohort_retention_offsets(spark):
         ("2026-01", 1): 1,
         ("2026-02", 0): 1,
     }
+
+
+def test_forecast_backtest_seasonal_naive(spark):
+    """A perfectly 2-period-seasonal series has MAE 0 and beats the mean
+    forecaster; a gap in the series must not mis-shift the forecast."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.analytics.forecast import backtest_seasonal_naive
+
+    rows = []
+    # key 'a': alternating 10, 20 daily; perfect season at 2 days
+    for d in range(1, 11):
+        rows.append(("a", f"2026-01-{d:02d} 00:00:00", 10.0 if d % 2 else 20.0))
+    # key 'b': same pattern but day 5 is MISSING — a row-lag would
+    # mis-align; the date-join must simply skip the gap rows
+    for d in range(1, 11):
+        if d != 5:
+            rows.append(("b", f"2026-01-{d:02d} 00:00:00", 10.0 if d % 2 else 20.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r.key: r for r in backtest_seasonal_naive(df, season_days=2).collect()}
+    assert out["a"].mae == 0.0 and out["a"].naive_mae_ratio == 0.0
+    assert out["a"].n_eval == 8
+    assert out["b"].mae == 0.0  # gap skipped, alignment preserved
+    assert out["b"].n_eval == 6  # day 5 and day 7 evaluations drop
