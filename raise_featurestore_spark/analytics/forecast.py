@@ -80,13 +80,17 @@ def backtest_seasonal_naive(
     )
     joined = cur.join(
         prev, (F.col("key") == F.col("__k")) & (F.col("day") == F.col("__d"))
+    ).where(
+        # only EVALUABLE rows: a day whose value (or whose seasonal
+        # predecessor) is NULL must not inflate the denominator while its
+        # NULL error term drops out of the numerator (r5 review finding)
+        F.col("y").isNotNull() & F.col("__y_prev").isNotNull()
     )
     mean_y = dec_sum(F.col("y")) / F.count("y")
     agg = joined.groupBy("key").agg(
         F.count("y").alias("n_eval"),
         (dec_sum(F.abs(F.col("y") - F.col("__y_prev"))) / F.count("y")).alias("__mae"),
         mean_y.alias("__mean"),
-        dec_sum(F.col("y")).alias("__sy"),
     )
     # mean-forecaster MAE needs a second pass over the evaluated rows with
     # the per-key mean joined back (the mean depends on the full group)
@@ -130,7 +134,8 @@ def backtest_seasonal_naive_sql(
         f"WITH __s AS ({series}), "
         f"__j AS (SELECT c.key, c.day, c.y, p.y AS __y_prev "
         f"FROM __s c JOIN __s p ON c.key = p.key "
-        f"AND c.day = p.day + INTERVAL {season_days} DAY), "
+        f"AND c.day = p.day + INTERVAL {season_days} DAY "
+        f"WHERE c.y IS NOT NULL AND p.y IS NOT NULL), "
         f"__a AS (SELECT key, COUNT(y) AS n_eval, {mae} AS __mae, "
         f"{mean_y} AS __mean FROM __j GROUP BY key), "
         f"__b AS (SELECT j.key, {mae0} AS __mae0 "

@@ -255,3 +255,35 @@ def dec_sum_sql(expr: str, grid_decimals: int = 4) -> str:
     """DuckDB twin of :func:`dec_sum`."""
     core = f"CAST(SUM({dec_term_sql(expr, grid_decimals)}) AS DOUBLE)"
     return f"({poisoned_sql(core, dec_poison_sql(expr, grid_decimals))})"
+
+
+def dec_var(c: Column, grid_decimals: int = 4) -> Column:
+    """Order-independent SAMPLE VARIANCE of a double column, as a double:
+    exact-decimal moments (dec_term), NaN-poisoned (dec_poison/poisoned),
+    NULL for n < 2, clamped at 0 against catastrophic cancellation (a
+    constant column's exact moments still cancel to ~-1e-24 in the final
+    double subtraction, and DuckDB's SQRT(negative) downstream is a hard
+    error). The standalone form of the variance the aggregation compiler
+    inlines (aggregation.py shares its s1/s2/poison terms across several
+    metrics in one agg, so it keeps its own wiring; every OTHER call site
+    should use this)."""
+    dec = dec_term(c, grid_decimals)
+    nn = F.count(c).cast("double")
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum(dec * dec).cast("double")
+    var = F.greatest(
+        (s2 - s1 * s1 / nn) / (nn - F.lit(1.0)), F.lit(0.0)
+    )
+    core = F.when(F.count(c) > 1, var)
+    return poisoned(core, dec_poison(c, grid_decimals))
+
+
+def dec_var_sql(expr: str, grid_decimals: int = 4) -> str:
+    """DuckDB twin of :func:`dec_var`."""
+    dec = dec_term_sql(expr, grid_decimals)
+    nn = f"CAST(COUNT({expr}) AS DOUBLE)"
+    s1 = f"CAST(SUM({dec}) AS DOUBLE)"
+    s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+    var = f"GREATEST(({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0), 0.0)"
+    core = f"CASE WHEN COUNT({expr}) > 1 THEN {var} END"
+    return f"({poisoned_sql(core, dec_poison_sql(expr, grid_decimals))})"

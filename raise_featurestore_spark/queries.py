@@ -1449,22 +1449,19 @@ def _pca_trace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("__e"), F.col("i")).cast("double").alias("x"),
         )
     )
-    from raise_featurestore_spark.functions.stable import dec_term, dec_poison, poisoned
+    from raise_featurestore_spark.functions.stable import dec_var
 
-    dec = dec_term(F.col("x"), 8)
-    nn = F.count("x").cast("double")
-    s1 = F.sum(dec).cast("double")
-    s2 = F.sum(dec * dec).cast("double")
-    var = (s2 - s1 * s1 / nn) / (nn - F.lit(1.0))
-    per_var = per_dim.groupBy("i").agg(
-        poisoned(var, dec_poison(F.col("x"), 8)).alias("__v")
-    )
+    per_var = per_dim.groupBy("i").agg(dec_var(F.col("x"), 8).alias("__v"))
     from raise_featurestore_spark.functions.stable import dec_sum
 
     trace = per_var.agg(dec_sum(F.col("__v"), grid_decimals=10).alias("trace"))
+    # absolute floor in the band (gram_check pattern): a degenerate
+    # all-identical embedding table snaps trace to exactly 0.0 while
+    # eigh's clamped eigenvalue mass is ~1e-12 — a zero-width band would
+    # misverdict FALSE against the oracle's literal TRUE
     band = (
         F.abs(F.lit(eig_sum) - F.col("trace"))
-        <= F.lit(1e-6) * F.abs(F.col("trace"))
+        <= F.lit(1e-6) * F.greatest(F.abs(F.col("trace")), F.lit(1e-3))
     )
     return trace.select(
         sig_round(F.col("trace")).alias("trace"),
@@ -1474,20 +1471,12 @@ def _pca_trace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pca_trace_check_sql() -> str:
     from raise_featurestore_spark.functions.stable import (
-        dec_poison_sql,
-        dec_term_sql,
-        poisoned_sql,
+        dec_sum_sql,
+        dec_var_sql,
         sig_round_sql,
     )
 
-    dec = dec_term_sql("x", 8)
-    nn = "CAST(COUNT(x) AS DOUBLE)"
-    s1 = f"CAST(SUM({dec}) AS DOUBLE)"
-    s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
-    var = f"({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0)"
-    from raise_featurestore_spark.functions.stable import dec_sum_sql
-
-    v = poisoned_sql(var, dec_poison_sql("x", 8))
+    v = dec_var_sql("x", 8)
     tr = dec_sum_sql("__v", 10)
     return (
         f"SELECT {sig_round_sql('trace')} AS trace, TRUE AS eig_sum_within_band "

@@ -89,3 +89,24 @@ def test_forecast_backtest_seasonal_naive(spark):
     assert out["a"].n_eval == 8
     assert out["b"].mae == 0.0  # gap skipped, alignment preserved
     assert out["b"].n_eval == 6  # day 5 and day 7 evaluations drop
+
+
+def test_forecast_backtest_skips_unevaluable_rows(spark):
+    """A NULL daily value (or NULL seasonal predecessor) must not inflate
+    the MAE denominator while dropping from the numerator."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.analytics.forecast import backtest_seasonal_naive
+
+    rows = [
+        ("a", "2026-01-01 00:00:00", 10.0),
+        ("a", "2026-01-02 00:00:00", None),   # day-2 value NULL
+        ("a", "2026-01-03 00:00:00", 20.0),   # evaluable vs day 1: |20-10|
+        ("a", "2026-01-04 00:00:00", 99.0),   # prev (day 2) is NULL: skip
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = backtest_seasonal_naive(df, season_days=2).collect()
+    assert len(out) == 1
+    assert out[0].n_eval == 1 and out[0].mae == 10.0
