@@ -44,6 +44,8 @@ from raise_featurestore_spark.functions.stable import (
     dec_poison_sql,
     dec_term,
     dec_term_sql,
+    grid_snap,
+    grid_snap_sql,
     poisoned,
     poisoned_sql,
     stable_round,
@@ -112,7 +114,9 @@ def _round_final(col: Column, metric: str, round_to: int | None) -> Column:
         return col
     if metric in _SIG_METRICS:
         return stable_round(col, decimals=round_to)
-    return F.round(col, round_to)
+    # grid_snap, not F.round: engine ROUND diverges on repr-ties even over
+    # identical doubles (Spark HALF_UP on shortest repr vs DuckDB binary)
+    return grid_snap(col, round_to)
 
 
 def _metric_column(
@@ -121,14 +125,15 @@ def _metric_column(
     round_to: int | None,
     exact: bool = False,
     defer_round: bool = False,
+    grid: int = 4,
 ) -> Column:
     c = F.col(feature)
     d = c.cast("double")
     if exact and metric in ("sum", "avg", "mean", "stddev", "variance"):
-        dec = _exact_dec(d)
+        dec = _exact_dec(d, grid)
         s1 = F.sum(dec).cast("double")
         nn = F.count(d).cast("double")
-        poison = _exact_poison(d)
+        poison = _exact_poison(d, grid)
         if metric == "sum":
             core = s1
         elif metric in ("avg", "mean"):
@@ -182,15 +187,16 @@ def _metric_column(
 
 
 def _metric_sql(
-    metric: str, feature: str, round_to: int | None, exact: bool = False
+    metric: str, feature: str, round_to: int | None, exact: bool = False,
+    grid: int = 4,
 ) -> str:
     x = feature
     d = f"CAST({x} AS DOUBLE)"
     if exact and metric in ("sum", "avg", "mean", "stddev", "variance"):
-        dec = _exact_dec_sql(d)
+        dec = _exact_dec_sql(d, grid)
         s1 = f"CAST(SUM({dec}) AS DOUBLE)"
         nn = f"CAST(COUNT({d}) AS DOUBLE)"
-        poison = _exact_poison_sql(d)
+        poison = _exact_poison_sql(d, grid)
         if metric == "sum":
             core = s1
         elif metric in ("avg", "mean"):
@@ -238,7 +244,7 @@ def _metric_sql(
         if metric in _SIG_METRICS:
             e = stable_round_sql(e, decimals=round_to)
         else:
-            e = f"ROUND({e}, {round_to})"
+            e = grid_snap_sql(e, round_to)
     return f"{e} AS {metric_alias(metric, feature)}"
 
 
@@ -254,6 +260,12 @@ def compile_aggregation(
     df: DataFrame, spec: Aggregation, round_to: int | None = DEFAULT_ROUND
 ) -> DataFrame:
     """Compile an Aggregation spec against ``df`` into a DataFrame plan."""
+    if round_to is not None:
+        # emission follows the input grid: a user who raised
+        # moment_grid_decimals for small-magnitude data (probabilities at
+        # g=8) must not have the EMISSION round re-snap the result to the
+        # coarse 1e-4 grid and zero it out
+        round_to = max(round_to, spec.moment_grid_decimals)
     if spec.filter:
         df = df.where(F.expr(spec.filter))
 
@@ -292,7 +304,8 @@ def compile_aggregation(
             if metric in pct_metrics:
                 continue
             col = _metric_column(
-                metric, feature, round_to, exact=spec.exact_moments, defer_round=True
+                metric, feature, round_to, exact=spec.exact_moments,
+                defer_round=True, grid=spec.moment_grid_decimals,
             )
             col = _null_count_fixup(metric, feature, col)
             if split_distinct and metric == "distinct_count":
@@ -356,6 +369,8 @@ def aggregation_to_sql(
     spec: Aggregation, table: str, round_to: int | None = DEFAULT_ROUND
 ) -> str:
     """Equivalent ANSI SQL (DuckDB-compatible) for the same spec."""
+    if round_to is not None:
+        round_to = max(round_to, spec.moment_grid_decimals)  # mirror compile_aggregation
     where = []
     if spec.filter:
         where.append(f"({spec.filter})")
@@ -376,7 +391,8 @@ def aggregation_to_sql(
         return _rolling_sql(spec, table, where_sql, round_to)
 
     cols = [
-        _metric_sql(m, ft, round_to, exact=spec.exact_moments)
+        _metric_sql(m, ft, round_to, exact=spec.exact_moments,
+                    grid=spec.moment_grid_decimals)
         for ft in spec.features
         for m in spec.metrics
     ]
@@ -388,7 +404,7 @@ def aggregation_to_sql(
     return f"SELECT {', '.join(cols)} FROM {table}{where_sql}"
 
 
-def _rolling_partials(feature: str, exact: bool) -> list[Column]:
+def _rolling_partials(feature: str, exact: bool, grid: int = 4) -> list[Column]:
     c = F.col(feature)
     d = c.cast("double")
     s = "".join(ch if ch.isalnum() else "_" for ch in feature)
@@ -398,14 +414,14 @@ def _rolling_partials(feature: str, exact: bool) -> list[Column]:
         # AND the window recombination are order-independent integer math;
         # a per-bucket NaN/Inf poison flag rides along (decimal can't hold
         # non-finites — they are nulled before the cast and re-applied).
-        dec = _exact_dec(d)
+        dec = _exact_dec(d, grid)
         return [
             F.count(c).alias(f"__n_{s}"),
             F.sum(dec).alias(f"__s_{s}"),
             F.sum(dec * dec).alias(f"__ss_{s}"),
             F.min(c).alias(f"__mn_{s}"),
             F.max(c).alias(f"__mx_{s}"),
-            _exact_poison(d).alias(f"__p_{s}"),
+            _exact_poison(d, grid).alias(f"__p_{s}"),
         ]
     return [
         F.count(c).alias(f"__n_{s}"),
@@ -432,7 +448,11 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
     )
     keys = [F.col(spec.group_by)] if spec.group_by else []
     bucketed = df.groupBy(*keys, period).agg(
-        *[p for ft in spec.features for p in _rolling_partials(ft, spec.exact_moments)]
+        *[
+            p
+            for ft in spec.features
+            for p in _rolling_partials(ft, spec.exact_moments, spec.moment_grid_decimals)
+        ]
     )
 
     # ungrouped: constant partition key — the input here is already the
@@ -495,14 +515,14 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
         s = "".join(ch if ch.isalnum() else "_" for ch in ft)
         d = f"CAST({ft} AS DOUBLE)"
         if spec.exact_moments:
-            dec = _exact_dec_sql(d)
+            dec = _exact_dec_sql(d, spec.moment_grid_decimals)
             partials += [
                 f"COUNT({ft}) AS __n_{s}",
                 f"SUM({dec}) AS __s_{s}",
                 f"SUM(({dec}) * ({dec})) AS __ss_{s}",
                 f"MIN({ft}) AS __mn_{s}",
                 f"MAX({ft}) AS __mx_{s}",
-                f"{_exact_poison_sql(d)} AS __p_{s}",
+                f"{_exact_poison_sql(d, spec.moment_grid_decimals)} AS __p_{s}",
             ]
         else:
             partials += [

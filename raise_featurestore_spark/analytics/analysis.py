@@ -116,12 +116,23 @@ class Aggregation(_Spec):
     approx_percentiles: bool = False
     percentile_accuracy: int = 10_000
     # engine addition, the flake-class killer for sum/avg/stddev/variance:
-    # accumulate in exact DECIMAL(18,4) (rows pre-snapped to the 1e-4 grid
+    # accumulate in exact DECIMAL(18,g) (rows pre-snapped to the 1e-g grid
     # with the IEEE floor form) so the moments are independent of partition
     # count, merge order, AND engine ROUND semantics; only the final
     # formula runs in (deterministic, identically-written) double ops.
-    # Opt out for |row| ≥ 1e13 domains, where the decimal cast overflows.
+    # TWO domain bounds, both set by moment_grid_decimals (default g=4):
+    #  - overflow: rows with |x| ≥ 10^(17-g) poison the group to NaN
+    #    (loud, instead of ANSI cast errors); opt out entirely for such
+    #    domains via exact_moments=False.
+    #  - quantization: each row is snapped to the 1e-g grid BEFORE
+    #    summing, so per-row error is ≤ 0.5e-g. For data whose magnitude
+    #    is itself below ~0.5e-g (rates, probabilities, tiny measurements)
+    #    every row snaps to 0 and the aggregate is arbitrarily wrong —
+    #    consistently on BOTH engines, invisible to the oracle. RAISE g
+    #    (e.g. 8 for unit-scale/probability data) so the grid is lossless
+    #    for your feature's magnitude; keep typical |x| ≥ ~10·1e-g.
     exact_moments: bool = True
+    moment_grid_decimals: int = 4
 
     def __post_init__(self) -> None:
         bad = set(self.metrics) - AGGREGATION_METRICS
@@ -133,6 +144,11 @@ class Aggregation(_Spec):
             raise AnalysisSpecError("Aggregation requires at least one feature")
         if self.rolling and self.periods < 1:
             raise AnalysisSpecError("rolling aggregation requires periods >= 1")
+        if not (0 <= self.moment_grid_decimals <= 12):
+            raise AnalysisSpecError(
+                "moment_grid_decimals must be in [0, 12] "
+                "(DECIMAL(18, g) needs integer headroom)"
+            )
         if self.window:
             parse_duration_seconds(self.window)
 

@@ -16,8 +16,17 @@ Scale design:
   cost further. Tie handling is the standard average-rank
   ``rank + (ties-1)/2``.
 - **kendall** (tau-b) has no distributed closed form; it runs on a bounded
-  sample via ``applyInPandas`` with an O(n²) numpy kernel (no scipy in the
-  runtime). Rows-only oracle check, as the driver contract allows.
+  sample via ``applyInPandas`` (Knight O(n log n) kernel). The sample is
+  the TakeOrdered prefix of a salted content hash — a uniform pseudo-random
+  draw, so the estimate carries the U-statistic error bound below.
+
+Sampled-kendall error bound (vs the full-data population tau): tau-b over
+a uniform random sample of size m is a two-sample U-statistic with kernel
+bounded in [−1, 1], so Hoeffding's inequality for U-statistics gives
+``P(|τ̂ − τ| ≥ t) ≤ 2·exp(−⌊m/2⌋·t²/2)`` and a distribution-free standard
+error ``SE(τ̂) ≤ 2/√m`` — ±0.009 at the 50k cap, ±0.028 at m = 5 000.
+(Heavy ties only shrink the effective variance.) tests/test_stats.py pins
+a 4/√m band against a 200k-row population with known tau.
 
 ``correlation_to_sql`` emits the same pearson/spearman plan for DuckDB.
 """
@@ -30,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.analysis import Correlation
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 DEFAULT_ROUND = 4
 # guard for the single-task kendall kernel; Knight's O(n log n) keeps even
@@ -118,7 +128,7 @@ def compile_correlation(
     if round_to is not None:
         # + 0.0 canonicalizes IEEE −0.0 after rounding (a correlation in
         # (−5e-5, 0) would otherwise hash as "-0" on one engine only)
-        out = out.withColumn("corr", F.round("corr", round_to) + F.lit(0.0))
+        out = out.withColumn("corr", grid_snap(F.col("corr"), round_to) + F.lit(0.0))
     return out
 
 
@@ -149,7 +159,7 @@ def kendall_to_sql(
         "CAST(s AS DOUBLE) / SQRT(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))"
     )
     if round_to is not None:
-        tau = f"ROUND({tau}, {round_to}) + 0.0"
+        tau = f"{grid_snap_sql(tau, round_to)} + 0.0"
     return (
         f"WITH __s AS (SELECT {f1}, {f2} FROM {table} "
         f"WHERE {where}{f1} IS NOT NULL AND {f2} IS NOT NULL "
@@ -206,7 +216,7 @@ def correlation_to_sql(
         for ft in feats
     ] + [
         f"SELECT '{feats[i]}', '{feats[j]}', "
-        f"ROUND(CORR(CAST({feats[i]} AS DOUBLE), CAST({feats[j]} AS DOUBLE)), {round_to}) + 0.0 "
+        f"{grid_snap_sql(f'CORR(CAST({feats[i]} AS DOUBLE), CAST({feats[j]} AS DOUBLE))', round_to)} + 0.0 "
         f"FROM {src}"
         for i, j in pairs
     ]
@@ -275,7 +285,11 @@ def _tau_b(x, y) -> float:
 
 
 def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame:
-    """Kendall tau-b on a bounded sample via applyInPandas (Knight kernel)."""
+    """Kendall tau-b on a bounded sample via applyInPandas (Knight kernel).
+
+    Estimate quality: with a uniform random sample of size m (the salted-
+    hash prefix `_prepare` takes), |τ̂ − τ_population| has SE ≤ 2/√m and
+    Hoeffding tail 2·exp(−⌊m/2⌋t²/2) — see the module docstring."""
     import pandas as pd
 
     df = df.limit(KENDALL_MAX_SAMPLE)
@@ -290,7 +304,16 @@ def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame
             y = pdf[feats[j]].to_numpy(dtype=float)
             tau = _tau_b(x, y)
             # + 0.0 canonicalizes −0.0, mirroring the SQL twin
-            r = round(tau, round_to) + 0.0 if round_to is not None else tau
+            # same FLOOR(x*s + 0.5)/s form as grid_snap/grid_snap_sql —
+            # Python round() is banker's rounding and would diverge from
+            # the oracle twin on exact ties
+            if round_to is not None and not (tau != tau):  # skip NaN
+                s10 = float(10**round_to)
+                import math
+
+                r = math.floor(tau * s10 + 0.5) / s10 + 0.0
+            else:
+                r = tau
             rows.append((feats[i], feats[j], r))
         return pd.DataFrame(rows, columns=["feature_a", "feature_b", "corr"])
 

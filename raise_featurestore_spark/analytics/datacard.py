@@ -33,6 +33,7 @@ def build_data_card(
     stats. ~4 Spark jobs total, each a single aggregate."""
     from pyspark.sql import functions as F
 
+    from raise_featurestore_spark.functions.stable import grid_snap
     from raise_featurestore_spark.dataprep.filters import (
         QualityRules,
         quality_filter_report,
@@ -44,7 +45,7 @@ def build_data_card(
     size = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length(text_col)).alias("total_chars"),
-        F.round(F.avg(F.length(text_col)), 2).alias("avg_chars"),
+        grid_snap(F.avg(F.length(text_col)), 2).alias("avg_chars"),
         F.min(F.length(text_col)).alias("min_chars"),
         F.max(F.length(text_col)).alias("max_chars"),
     ).collect()[0]
@@ -54,7 +55,7 @@ def build_data_card(
         for r in docs.groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.length(text_col)), 2).alias("avg_chars"),
+            grid_snap(F.avg(F.length(text_col)), 2).alias("avg_chars"),
         )
         .orderBy(source_col)
         .collect()

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.analysis import Distribution
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 DEFAULT_ROUND = 4
 
@@ -90,8 +91,8 @@ def _histogram(df, spec, x, seg, round_to):
     out = bucketed.select(
         *seg,
         F.col("bucket"),
-        F.round(F.col("__mn") + (F.col("bucket") - 1) * width, round_to).alias("bucket_lo"),
-        F.round(F.col("__mn") + F.col("bucket") * width, round_to).alias("bucket_hi"),
+        grid_snap(F.col("__mn") + (F.col("bucket") - 1) * width, round_to).alias("bucket_lo"),
+        grid_snap(F.col("__mn") + F.col("bucket") * width, round_to).alias("bucket_hi"),
         F.col("bucket_count"),
     )
     if "cdf" in spec.metrics or "density" in spec.metrics:
@@ -106,7 +107,9 @@ def _histogram(df, spec, x, seg, round_to):
         total = Window.partitionBy(*seg) if seg else Window.partitionBy(F.lit(0))
         out = out.withColumn(
             "cdf",
-            F.round(
+            # grid_snap, not engine ROUND: the cdf is an int/int ratio,
+            # the class that lands on exact repr-ties (emission rules)
+            grid_snap(
                 F.sum("bucket_count").over(w) / F.sum("bucket_count").over(total), round_to
             ),
         )
@@ -125,7 +128,7 @@ def _percentiles(df, spec, x, seg, round_to):
     ).alias("__p")
     grouped = df.groupBy(*seg).agg(agg) if seg else df.agg(agg)
     cols = list(seg) + [
-        F.round(F.element_at(F.col("__p"), i + 1), round_to).alias(_p_alias(p))
+        grid_snap(F.element_at(F.col("__p"), i + 1), round_to).alias(_p_alias(p))
         for i, p in enumerate(fracs)
     ]
     return grouped.select(*cols)
@@ -145,12 +148,12 @@ def _moments(df, spec, x, seg, round_to):
     out_cols: list[Column] = [F.col(c) for c in seg] + [F.col("n")]
     if "skewness" in spec.metrics:
         out_cols.append(
-            (F.round(F.col("__m3") / F.pow(F.col("__m2"), 1.5), round_to) + F.lit(0.0)).alias("skewness")
+            (grid_snap(F.col("__m3") / F.pow(F.col("__m2"), 1.5), round_to) + F.lit(0.0)).alias("skewness")
         )
     if "kurtosis" in spec.metrics:
         out_cols.append(
             (
-                F.round(F.col("__m4") / (F.col("__m2") * F.col("__m2")) - 3.0, round_to)
+                grid_snap(F.col("__m4") / (F.col("__m2") * F.col("__m2")) - 3.0, round_to)
                 + F.lit(0.0)
             ).alias("kurtosis")
         )
@@ -179,8 +182,10 @@ def distribution_to_sql(spec: Distribution, table: str, round_to: int | None = D
         width = f"((__mx - __mn) / {float(spec.bins)})"
         part = f"PARTITION BY {seg} " if seg else ""
         cdf_col = (
-            f", ROUND(SUM(bucket_count) OVER ({part}ORDER BY bucket) * 1.0 / "
-            f"SUM(bucket_count) OVER ({part.strip() or 'PARTITION BY 1'}), {round_to}) AS cdf"
+            ", " + grid_snap_sql(
+                f"SUM(bucket_count) OVER ({part}ORDER BY bucket) * 1.0 / "
+                f"SUM(bucket_count) OVER ({part.strip() or 'PARTITION BY 1'})", round_to
+            ) + " AS cdf"
             if "cdf" in spec.metrics or "density" in spec.metrics
             else ""
         )
@@ -193,14 +198,14 @@ def distribution_to_sql(spec: Distribution, table: str, round_to: int | None = D
             f"FROM (SELECT * FROM {table}{where}) t {join} "
             f"GROUP BY {seg_grp}bucket, __mn, __mx) "
             f"SELECT {seg_sel}bucket, "
-            f"ROUND(__mn + (bucket - 1) * {width}, {round_to}) AS bucket_lo, "
-            f"ROUND(__mn + bucket * {width}, {round_to}) AS bucket_hi, "
+            f"{grid_snap_sql(f'__mn + (bucket - 1) * {width}', round_to)} AS bucket_lo, "
+            f"{grid_snap_sql(f'__mn + bucket * {width}', round_to)} AS bucket_hi, "
             f"bucket_count{cdf_col} FROM __bk"
         )
 
     if "percentiles" in spec.metrics or "quantiles" in spec.metrics:
         cols = ", ".join(
-            f"ROUND(QUANTILE_CONT({x}, {p}), {round_to}) AS {_p_alias(p)}"
+            f"{grid_snap_sql(f'QUANTILE_CONT({x}, {p})', round_to)} AS {_p_alias(p)}"
             for p in spec.percentiles
         )
         grp = f" GROUP BY {seg}" if seg else ""
@@ -216,10 +221,10 @@ def distribution_to_sql(spec: Distribution, table: str, round_to: int | None = D
     sel = ["n"]
     if "skewness" in spec.metrics:
         outs.append(f"AVG({d}*{d}*{d}) AS __m3")
-        sel.append(f"ROUND(__m3 / POWER(__m2, 1.5), {round_to}) + 0.0 AS skewness")
+        sel.append(f"{grid_snap_sql('__m3 / POWER(__m2, 1.5)', round_to)} + 0.0 AS skewness")
     if "kurtosis" in spec.metrics:
         outs.append(f"AVG({d}*{d}*{d}*{d}) AS __m4")
-        sel.append(f"ROUND(__m4 / (__m2 * __m2) - 3.0, {round_to}) + 0.0 AS kurtosis")
+        sel.append(f"{grid_snap_sql('__m4 / (__m2 * __m2) - 3.0', round_to)} + 0.0 AS kurtosis")
     return (
         f"WITH __m AS (SELECT {seg_sel}AVG({x}) AS __mean, COUNT({x}) AS __n "
         f"FROM {table}{where}{grp}), "

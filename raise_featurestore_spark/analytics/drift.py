@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.analysis import Drift
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 from raise_featurestore_spark.analytics.distribution import _bucket_col, _bucket_sql
 
 DEFAULT_ROUND = 4
@@ -87,7 +88,7 @@ def compile_drift(df: DataFrame, spec: Drift, round_to: int | None = DEFAULT_ROU
         if name == "wasserstein":
             c = c * width
         if round_to is not None:
-            c = F.round(c, round_to)
+            c = grid_snap(c, round_to)
         cols.append(c.alias(name))
     if spec.threshold is not None and "psi" in spec.metrics:
         cols.append((F.col("__psi") > F.lit(spec.threshold)).alias("exceeds_threshold"))
@@ -113,7 +114,7 @@ def drift_to_sql(spec: Drift, table: str, round_to: int | None = DEFAULT_ROUND) 
         if name == "wasserstein":
             e = f"{e} * (MAX(__mx) - MAX(__mn)) / {float(spec.bins)}"
         if round_to is not None:
-            e = f"ROUND({e}, {round_to})"
+            e = grid_snap_sql(e, round_to)
         sel.append(f"{e} AS {name}")
     if spec.threshold is not None and "psi" in spec.metrics:
         sel.append(f"SUM((p - q) * LN(p / q)) > {spec.threshold} AS exceeds_threshold")

@@ -35,12 +35,30 @@ def funnel_report(
     entity_col: str = "user_id",
     type_col: str = "event_type",
     time_col: str = "ts",
+    within: str | None = None,
 ) -> DataFrame:
     """One row per funnel step: (step_index, step, n_entities) where
     n_entities completed steps 1..k IN ORDER (strictly increasing
-    timestamps across steps)."""
+    timestamps across steps).
+
+    ``within`` (PRD duration grammar, e.g. "7d" — the most common real
+    funnel spec) bounds each CONVERSION: step k counts only if it occurs
+    within that duration AFTER the user's step k−1 time. The
+    conditional-min fold extends naturally — the window predicate
+    ``tₖ₋₁ < ts ≤ tₖ₋₁ + within`` rides inside the same conditional min,
+    so the plan shape (k−1 entity-keyed joins) is unchanged. Note the
+    fold is greedy on tₖ₋₁ (each tₖ is the EARLIEST qualifying time);
+    a user who could only convert from a later step-(k−1) occurrence is
+    not counted — the standard first-touch funnel semantics."""
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
+    secs = None
+    if within is not None:
+        from raise_featurestore_spark.analytics.analysis import (
+            parse_duration_seconds,
+        )
+
+        secs = parse_duration_seconds(within)
     ts = F.col(time_col)
     # t₀ = first occurrence of step 1; tₖ = first step-k occurrence
     # strictly after tₖ₋₁ — one entity-keyed LEFT join + conditional-min
@@ -55,14 +73,18 @@ def funnel_report(
             F.col(entity_col).alias("__e"), ts.alias("__ts")
         )
         carry = [entity_col] + [f"__t_{i}" for i in range(k)]
+        qual = F.col("__ts") > F.col(f"__t_{k-1}")
+        if secs is not None:
+            # timestamp + interval is exact integer-microsecond arithmetic
+            # on both engines, so the boundary `<=` cannot diverge
+            qual = qual & (
+                F.col("__ts")
+                <= F.col(f"__t_{k-1}") + F.expr(f"INTERVAL {secs} SECOND")
+            )
         grouped = (
             grouped.join(evk, F.col(entity_col) == F.col("__e"), "left")
             .groupBy(*carry)
-            .agg(
-                F.min(
-                    F.when(F.col("__ts") > F.col(f"__t_{k-1}"), F.col("__ts"))
-                ).alias(f"__t_{k}")
-            )
+            .agg(F.min(F.when(qual, F.col("__ts"))).alias(f"__t_{k}"))
         )
     counts = grouped.agg(
         *[
@@ -94,11 +116,19 @@ def funnel_report_sql(
     entity_col: str = "user_id",
     type_col: str = "event_type",
     time_col: str = "ts",
+    within: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`funnel_report` (the same conditional-min
     fold, expressed as chained CTEs)."""
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
+    secs = None
+    if within is not None:
+        from raise_featurestore_spark.analytics.analysis import (
+            parse_duration_seconds,
+        )
+
+        secs = parse_duration_seconds(within)
     ctes = [
         f"__f0 AS (SELECT {entity_col} AS e, "
         f"MIN(CASE WHEN {type_col} = '{steps[0]}' THEN {time_col} END) AS t_0 "
@@ -106,9 +136,14 @@ def funnel_report_sql(
     ]
     for k in range(1, len(steps)):
         prev_cols = ", ".join(f"p.t_{i}" for i in range(k))
+        qual = f"s.{time_col} > p.t_{k-1}"
+        if secs is not None:
+            qual += (
+                f" AND s.{time_col} <= p.t_{k-1} + INTERVAL {secs} SECOND"
+            )
         ctes.append(
             f"__f{k} AS (SELECT p.e, {prev_cols}, "
-            f"MIN(CASE WHEN s.{time_col} > p.t_{k-1} THEN s.{time_col} END) AS t_{k} "
+            f"MIN(CASE WHEN {qual} THEN s.{time_col} END) AS t_{k} "
             f"FROM __f{k-1} p LEFT JOIN {table} s "
             f"ON s.{entity_col} = p.e AND s.{type_col} = '{steps[k]}' "
             f"GROUP BY p.e, {prev_cols})"

@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.functions.stable import (
+    dec_sum,
+    dec_sum_sql,
+    dec_var,
+    dec_var_sql,
     sig_round,
     sig_round_sql,
     stable_round,
@@ -80,10 +84,15 @@ def winsorized_stats(
         F.count("__x").alias("n"),
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
-        F.sum((F.col("__x") < F.col("lo")).cast("long")).alias("n_clipped_lo"),
-        F.sum((F.col("__x") > F.col("hi")).cast("long")).alias("n_clipped_hi"),
-        stable_round(F.avg(clamped)).alias("win_mean"),
-        stable_round(F.stddev_samp(clamped)).alias("win_stddev"),
+        F.sum((F.col("__x") < F.col("lo")).cast("long")).cast("long").alias("n_clipped_lo"),
+        F.sum((F.col("__x") > F.col("hi")).cast("long")).cast("long").alias("n_clipped_hi"),
+        # exact-decimal moments, NOT F.avg/F.stddev_samp: plain float
+        # aggregation is sum-order-dependent on BOTH engines (DuckDB's
+        # parallel morsels reorder run-to-run), so a mean near a
+        # stable_round snap boundary is a per-run coin flip — the emission
+        # rules require order-independent accumulation for emitted values.
+        stable_round(dec_sum(clamped) / F.count("__x").cast("double")).alias("win_mean"),
+        stable_round(F.sqrt(dec_var(clamped))).alias("win_stddev"),
     ]
     return joined.groupBy(group_by).agg(*aggs) if group_by else joined.agg(*aggs)
 
@@ -113,10 +122,14 @@ def winsorized_stats_sql(
         f"bounds AS (SELECT {gb_sel}{lo} AS lo, {hi} AS hi FROM src{gb_grp}) "
         f"SELECT {out_gb}COUNT(s.__x) AS n, ANY_VALUE(b.lo) AS lo, "
         f"ANY_VALUE(b.hi) AS hi, "
-        f"SUM(CASE WHEN s.__x < b.lo THEN 1 ELSE 0 END) AS n_clipped_lo, "
-        f"SUM(CASE WHEN s.__x > b.hi THEN 1 ELSE 0 END) AS n_clipped_hi, "
-        f"{stable_round_sql(f'AVG({clamped})')} AS win_mean, "
-        f"{stable_round_sql(f'STDDEV_SAMP({clamped})')} AS win_stddev "
+        # CAST AS BIGINT: DuckDB's integer SUM widens to HUGEINT -> pandas
+        # float64, splitting dtype vs Spark's long and canon-hashing
+        # differently under repr-style float rendering (r5 driver-gate red;
+        # scripts/dtype_sweep.py pins parity).
+        f"CAST(SUM(CASE WHEN s.__x < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo, "
+        f"CAST(SUM(CASE WHEN s.__x > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi, "
+        f"{stable_round_sql(f'{dec_sum_sql(clamped)} / CAST(COUNT(s.__x) AS DOUBLE)')} AS win_mean, "
+        f"{stable_round_sql(f'SQRT({dec_var_sql(clamped)})')} AS win_stddev "
         f"FROM src s {join}{grp}"
     )
 

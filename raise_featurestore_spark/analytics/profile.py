@@ -28,6 +28,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from raise_featurestore_spark.functions.stable import (
+    dec_sum,
+    dec_sum_sql,
+    dec_var,
+    dec_var_sql,
+    grid_snap,
+    grid_snap_sql,
+    stable_round,
+    stable_round_sql,
+)
+
 DEFAULT_ROUND = 4
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
@@ -47,14 +58,15 @@ def _metrics_for(col: str, dtype: str, approx_distinct: bool, round_to: int) -> 
     if base_type in _NUMERIC:
         d = c.cast("double")
         out += [
-            ("mean", F.round(F.avg(d), round_to) + F.lit(0.0)),
-            ("stddev", F.round(F.stddev(d), round_to) + F.lit(0.0)),
+            ("mean", stable_round(dec_sum(d) / F.count(d).cast("double"),
+                                  decimals=round_to) + F.lit(0.0)),
+            ("stddev", stable_round(F.sqrt(dec_var(d)), decimals=round_to) + F.lit(0.0)),
             ("min", F.min(d)),
             ("max", F.max(d)),
         ]
     elif base_type == "string":
         out += [
-            ("avg_length", F.round(F.avg(F.length(c)), round_to) + F.lit(0.0)),
+            ("avg_length", grid_snap(F.avg(F.length(c)), round_to) + F.lit(0.0)),
             ("max_length", F.max(F.length(c)).cast("double")),
         ]
     elif base_type in ("timestamp", "timestamp_ntz"):
@@ -112,14 +124,17 @@ def profile_sql(
         if base_type in _NUMERIC:
             d = f"CAST({col} AS DOUBLE)"
             rows += [
-                ("mean", f"ROUND(AVG({d}), {round_to}) + 0.0"),
-                ("stddev", f"ROUND(STDDEV_SAMP({d}), {round_to}) + 0.0"),
+                ("mean", stable_round_sql(
+                    f"{dec_sum_sql(d)} / CAST(COUNT({d}) AS DOUBLE)",
+                    decimals=round_to) + " + 0.0"),
+                ("stddev", stable_round_sql(
+                    f"SQRT({dec_var_sql(d)})", decimals=round_to) + " + 0.0"),
                 ("min", f"MIN({d})"),
                 ("max", f"MAX({d})"),
             ]
         elif base_type == "string":
             rows += [
-                ("avg_length", f"ROUND(AVG(LENGTH({col})), {round_to}) + 0.0"),
+                ("avg_length", grid_snap_sql(f"AVG(LENGTH({col}))", round_to) + " + 0.0"),
                 ("max_length", f"CAST(MAX(LENGTH({col})) AS DOUBLE)"),
             ]
         elif base_type in ("timestamp", "timestamp_ntz"):

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
+
 from raise_featurestore_spark.analytics.analysis import DataQuality
 
 DEFAULT_ROUND = 4
@@ -135,7 +137,9 @@ def compile_data_quality(
 
     cols = []
     for check, target, val in items:
-        v = F.round(val, round_to) if round_to is not None else val
+        # grid_snap, not engine ROUND: these are count ratios, the
+        # exact repr-tie class (emission rules)
+        v = grid_snap(val, round_to) if round_to is not None else val
         cols.append(F.struct(F.lit(check).alias("check"), F.lit(target).alias("target"), v.cast("double").alias("value")))
     return one.select(F.explode(F.array(*cols)).alias("__r")).select(
         F.col("__r.check").alias("check"),
@@ -156,7 +160,7 @@ def data_quality_to_sql(
         if "completeness" in spec.checks:
             sels.append(
                 f"SELECT 'completeness' AS \"check\", '{ft}' AS target, "
-                f"ROUND(1.0 - AVG(CASE WHEN {ft} IS NULL THEN 1.0 ELSE 0.0 END), {round_to}) "
+                f"{grid_snap_sql(f'1.0 - AVG(CASE WHEN {ft} IS NULL THEN 1.0 ELSE 0.0 END)', round_to)} "
                 f"AS value FROM {table}"
             )
         if "validity" in spec.checks:
@@ -169,16 +173,16 @@ def data_quality_to_sql(
             else:
                 v = "1.0"
             sels.append(
-                f"SELECT 'validity', '{ft}', ROUND({v}, {round_to}) FROM {table}"
+                f"SELECT 'validity', '{ft}', {grid_snap_sql(v, round_to)} FROM {table}"
             )
         if "outliers" in spec.checks:
             k = spec.outlier_stddevs
             x = f"CAST({ft} AS DOUBLE)"
             sels.append(
-                f"SELECT 'outliers', '{ft}', ROUND("
-                f"CASE WHEN COUNT({x}) > 0 THEN "
-                f"SUM(CASE WHEN {x} < __m - {k} * __s OR {x} > __m + {k} * __s THEN 1.0 ELSE 0.0 END)"
-                f" / COUNT({x}) ELSE 0.0 END, {round_to}) "
+                f"SELECT 'outliers', '{ft}', " + grid_snap_sql(
+                    f"CASE WHEN COUNT({x}) > 0 THEN "
+                    f"SUM(CASE WHEN {x} < __m - {k} * __s OR {x} > __m + {k} * __s THEN 1.0 ELSE 0.0 END)"
+                    f" / COUNT({x}) ELSE 0.0 END", round_to) + " "
                 f"FROM {table} CROSS JOIN (SELECT AVG({x}) AS __m, STDDEV_SAMP({x}) AS __s "
                 f"FROM {table}) __mo"
             )
@@ -187,18 +191,18 @@ def data_quality_to_sql(
         kexpr = f"({', '.join(keys)})" if len(keys) > 1 else keys[0]
         sels.append(
             f"SELECT 'uniqueness', '{','.join(keys)}', "
-            f"ROUND(CAST(COUNT(DISTINCT {kexpr}) AS DOUBLE) / COUNT(*), {round_to}) FROM {table}"
+            f"{grid_snap_sql(f'CAST(COUNT(DISTINCT {kexpr}) AS DOUBLE) / COUNT(*)', round_to)} FROM {table}"
         )
     if "consistency" in spec.checks and spec.consistency_rules:
         for rname, rule in spec.consistency_rules.items():
             sels.append(
                 f"SELECT 'consistency', '{rname}', "
-                f"ROUND(SUM(CASE WHEN {rule} THEN 1.0 ELSE 0.0 END) / COUNT(*), {round_to}) "
+                f"{grid_snap_sql(f'SUM(CASE WHEN {rule} THEN 1.0 ELSE 0.0 END) / COUNT(*)', round_to)} "
                 f"FROM {table}"
             )
     if "freshness" in spec.checks and spec.time_column:
         sels.append(
             f"SELECT 'freshness', '{spec.time_column}', "
-            f"ROUND(EPOCH(MAX(CAST({spec.time_column} AS TIMESTAMP))), {round_to}) FROM {table}"
+            f"{grid_snap_sql(f'EPOCH(MAX(CAST({spec.time_column} AS TIMESTAMP)))', round_to)} FROM {table}"
         )
     return " UNION ALL ".join(sels)

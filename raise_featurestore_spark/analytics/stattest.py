@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 from pyspark.sql.types import DoubleType
 
 from raise_featurestore_spark.analytics.analysis import StatTest
@@ -90,7 +92,7 @@ def stattest_to_sql(spec: StatTest, table: str, round_to: int | None = DEFAULT_R
 def _rnd(c: Column, round_to: int | None) -> Column:
     # + 0.0 canonicalizes IEEE −0.0 after rounding (statistics are ±
     # continuous; mirrors the `ROUND(...) + 0.0` in every SQL twin)
-    return F.round(c, round_to) + F.lit(0.0) if round_to is not None else c
+    return grid_snap(c, round_to) + F.lit(0.0) if round_to is not None else c
 
 
 # ---------------------------------------------------------------- t tests
@@ -190,9 +192,9 @@ def _ttest_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         eff = "(m1 - m2) / SQRT((v1 + v2) / 2.0)"
     return (
         f"SELECT '{spec.test}' AS test, n1 AS n_control, n2 AS n_treatment, "
-        f"ROUND(m1, {round_to}) + 0.0 AS mean_control, ROUND(m2, {round_to}) + 0.0 AS mean_treatment, "
-        f"ROUND({tstat}, {round_to}) + 0.0 AS statistic, ROUND({dof}, {round_to}) + 0.0 AS df, "
-        f"ROUND({eff}, {round_to}) + 0.0 AS effect_size FROM ({inner}) __m"
+        f"{grid_snap_sql('m1', round_to)} + 0.0 AS mean_control, {grid_snap_sql('m2', round_to)} + 0.0 AS mean_treatment, "
+        f"{grid_snap_sql(tstat, round_to)} + 0.0 AS statistic, {grid_snap_sql(dof, round_to)} + 0.0 AS df, "
+        f"{grid_snap_sql(eff, round_to)} + 0.0 AS effect_size FROM ({inner}) __m"
     )
 
 
@@ -242,9 +244,9 @@ def _anova_sql(spec: StatTest, table: str, round_to: int | None) -> str:
     fstat = f"({ssb} / (k - 1)) / (ssw / (N - k))"
     return (
         f"SELECT 'anova' AS test, N AS n_total, k AS k_groups, "
-        f"ROUND({fstat}, {round_to}) + 0.0 AS statistic, "
+        f"{grid_snap_sql(fstat, round_to)} + 0.0 AS statistic, "
         f"CAST(k - 1 AS DOUBLE) AS df1, CAST(N - k AS DOUBLE) AS df2, "
-        f"ROUND({ssb} / ({ssb} + ssw), {round_to}) + 0.0 AS effect_size FROM ({s}) __s"
+        f"{grid_snap_sql(f'{ssb} / ({ssb} + ssw)', round_to)} + 0.0 AS effect_size FROM ({s}) __s"
     )
 
 
@@ -288,9 +290,9 @@ def _chi2_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         f"COUNT(DISTINCT __ct.{f_}) AS r, COUNT(DISTINCT __ct.{s_}) AS c "
         f"FROM __ct JOIN __rt USING ({f_}) JOIN __cl USING ({s_})) "
         f"SELECT 'chi2' AS test, N AS n_total, r AS r_levels, c AS c_levels, "
-        f"ROUND(N * (q - 1), {round_to}) + 0.0 AS statistic, "
+        f"{grid_snap_sql('N * (q - 1)', round_to)} + 0.0 AS statistic, "
         f"CAST((r - 1) * (c - 1) AS DOUBLE) AS df, "
-        f"ROUND(SQRT(N * (q - 1) / (N * LEAST(r - 1, c - 1))), {round_to}) + 0.0 AS effect_size "
+        f"{grid_snap_sql('SQRT(N * (q - 1) / (N * LEAST(r - 1, c - 1)))', round_to)} + 0.0 AS effect_size "
         f"FROM __s"
     )
 
@@ -363,11 +365,9 @@ def _mannwhitney_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         "CAST(SUM(t - tc) AS BIGINT) AS n2, "
         "SUM(CAST(t AS DOUBLE) * t * t - t) AS tie3 FROM __r) "
         "SELECT 'mannwhitney' AS test, n1 AS n_control, n2 AS n_treatment, "
-        f"ROUND(R1 - n1 * (n1 + 1) / 2.0, {round_to}) + 0.0 AS statistic, "
-        f"ROUND((R1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / "
-        "SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1) - tie3 / ((n1 + n2) * (n1 + n2 - 1)))), "
-        f"{round_to}) + 0.0 AS z, "
-        f"ROUND(2.0 * (R1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0, {round_to}) + 0.0 AS effect_size "
+        f"{grid_snap_sql('R1 - n1 * (n1 + 1) / 2.0', round_to)} + 0.0 AS statistic, "
+        f"{grid_snap_sql('(R1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1) - tie3 / ((n1 + n2) * (n1 + n2 - 1))))', round_to)} + 0.0 AS z, "
+        f"{grid_snap_sql('2.0 * (R1 - n1 * (n1 + 1) / 2.0) / (n1 * n2) - 1.0', round_to)} + 0.0 AS effect_size "
         "FROM __s"
     )
 
@@ -422,7 +422,7 @@ def _ks_sql(spec: StatTest, table: str, round_to: int | None) -> str:
         "SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM __v) "
         "SELECT 'ks' AS test, CAST(MAX(n1) AS BIGINT) AS n_control, "
         "CAST(MAX(n2) AS BIGINT) AS n_treatment, "
-        f"ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)), {round_to}) "
+        f"{grid_snap_sql('MAX(ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2))', round_to)} "
         "AS statistic FROM __c"
     )
 
@@ -483,5 +483,5 @@ def _add_p(out: DataFrame, test: str, round_to: int | None) -> DataFrame:
     else:  # pragma: no cover
         raise ValueError(test)
     if round_to is not None:
-        col = F.round(col, max(round_to, 6))
+        col = grid_snap(col, max(round_to, 6))
     return out.withColumn("p_value", col)

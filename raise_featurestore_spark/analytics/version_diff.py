@@ -55,19 +55,31 @@ def compile_version_diff(
 
     parts = []
     if "statistics" in spec.compare or "samples" in spec.compare:
+        # exact-decimal moments + stable emission, not ROUND(float SUM):
+        # the float sum is parallel-order-dependent and engine ROUND
+        # diverges on repr-ties — the round-4 flake class (emission rules)
+        from raise_featurestore_spark.functions.stable import (
+            dec_sum,
+            dec_var,
+            stable_round,
+        )
+
         a, b = col_from.cast("double"), col_to.cast("double")
-        mean_a = F.round(F.sum(a), 4) / F.count(a)
-        mean_b = F.round(F.sum(b), 4) / F.count(b)
+        mean_a = dec_sum(a) / F.count(a).cast("double")
+        mean_b = dec_sum(b) / F.count(b).cast("double")
         stats = df.agg(
             F.count(a).alias("count_from"),
             F.count(b).alias("count_to"),
-            mean_a.alias("mean_from"),
-            mean_b.alias("mean_to"),
-            (F.round((mean_b - mean_a) / mean_a * 100.0, round_to) + F.lit(0.0)).alias(
+            stable_round(mean_a).alias("mean_from"),
+            stable_round(mean_b).alias("mean_to"),
+            (
+                stable_round((mean_b - mean_a) / mean_a * 100.0, decimals=round_to)
+                + F.lit(0.0)
+            ).alias(
                 "mean_change_pct"  # + 0.0: −0.0 canonicalization, mirrors SQL
             ),
-            F.round(F.stddev_samp(a), round_to).alias("stddev_from"),
-            F.round(F.stddev_samp(b), round_to).alias("stddev_to"),
+            stable_round(F.sqrt(dec_var(a)), decimals=round_to).alias("stddev_from"),
+            stable_round(F.sqrt(dec_var(b)), decimals=round_to).alias("stddev_to"),
         )
         parts.append(stats)
 
@@ -98,17 +110,28 @@ def version_diff_to_sql(
 ) -> str:
     """DuckDB oracle for the same comparison; ``expr_from``/``expr_to`` are
     the SQL forms of the resolved version expressions."""
+    from raise_featurestore_spark.functions.stable import (
+        dec_sum_sql,
+        dec_var_sql,
+        stable_round_sql,
+    )
+
     a, b = f"CAST({expr_from} AS DOUBLE)", f"CAST({expr_to} AS DOUBLE)"
-    mean_a = f"(ROUND(SUM({a}), 4) / COUNT({a}))"
-    mean_b = f"(ROUND(SUM({b}), 4) / COUNT({b}))"
+    mean_a = f"({dec_sum_sql(a)} / CAST(COUNT({a}) AS DOUBLE))"
+    mean_b = f"({dec_sum_sql(b)} / CAST(COUNT({b}) AS DOUBLE))"
     parts = []
     if "statistics" in spec.compare or "samples" in spec.compare:
+        pct = stable_round_sql(
+            f"({mean_b} - {mean_a}) / {mean_a} * 100.0", decimals=round_to
+        )
         parts.append(
             f"(SELECT COUNT({a}) AS count_from, COUNT({b}) AS count_to, "
-            f"{mean_a} AS mean_from, {mean_b} AS mean_to, "
-            f"ROUND(({mean_b} - {mean_a}) / {mean_a} * 100.0, {round_to}) + 0.0 AS mean_change_pct, "
-            f"ROUND(STDDEV_SAMP({a}), {round_to}) AS stddev_from, "
-            f"ROUND(STDDEV_SAMP({b}), {round_to}) AS stddev_to FROM {table}) __st"
+            f"{stable_round_sql(mean_a)} AS mean_from, "
+            f"{stable_round_sql(mean_b)} AS mean_to, "
+            f"{pct} + 0.0 AS mean_change_pct, "
+            f"{stable_round_sql(f'SQRT({dec_var_sql(a)})', decimals=round_to)} AS stddev_from, "
+            f"{stable_round_sql(f'SQRT({dec_var_sql(b)})', decimals=round_to)} AS stddev_to "
+            f"FROM {table}) __st"
         )
     if "distribution" in spec.compare:
         drift_spec = Drift(

@@ -122,10 +122,17 @@ def pair_counts_sql(
     min_freq: int = 2,
     lowercase: bool = True,
 ) -> str:
-    """DuckDB twin of :func:`pair_counts`."""
+    """DuckDB twin of :func:`pair_counts`.
+
+    ``SUM(freq)`` is cast to BIGINT: DuckDB widens integer SUM to HUGEINT,
+    which pandas renders as float64 — an int-vs-float dtype split against
+    Spark's long that canon-hashes differently under repr-style float
+    rendering (the r5 driver-gate red on this query; scripts/dtype_sweep.py
+    pins parity).
+    """
     return (
         f"WITH __wf AS ({word_freqs_sql(table, text_col, lowercase)}) "
-        f"SELECT pair, SUM(freq) AS n FROM ("
+        f"SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM ("
         f"SELECT UNNEST({_char_pairs_sql('word')}) AS pair, freq FROM __wf) __p "
         f"GROUP BY pair HAVING SUM(freq) >= {min_freq} "
         f"ORDER BY n DESC, pair LIMIT {top_k}"

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.dataprep import hashing as H
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 DEFAULT_NGRAM = 5
 DEFAULT_MAX_DF = 100
@@ -255,7 +256,9 @@ def jaccard_pairs(
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
-            F.round(
+            # grid_snap, not engine ROUND: int/int jaccard lands on repr-
+            # ties where Spark/DuckDB ROUND disagree (emission rules)
+            grid_snap(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), round_to
             ),
         )
@@ -284,10 +287,10 @@ def jaccard_pairs_sql(
         f"FROM __r a JOIN __r b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2) "
         # threshold on the ROUNDED jaccard, matching the Spark twin — a raw
         # compare disagrees on boundary pairs that round up to the threshold
-        f"SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {round_to}) "
+        f"SELECT id_a, id_b, {grid_snap_sql('CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)', round_to)} "
         f"AS jaccard FROM __i "
         f"JOIN __sz sa ON sa.id = id_a JOIN __sz sb ON sb.id = id_b "
-        f"WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), {round_to}) >= {threshold}"
+        f"WHERE {grid_snap_sql('CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)', round_to)} >= {threshold}"
     )
 
 
@@ -437,7 +440,7 @@ def minhash_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(matches / F.lit(float(k)), round_to).alias("est_jaccard"),
+            grid_snap(matches / F.lit(float(k)), round_to).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= min_est)
     )
@@ -465,7 +468,7 @@ def minhash_lsh_pairs_sql(
         f"WITH __sig AS ({sig}), __bands AS ({band_rows}) "
         f"SELECT id_a, id_b, est_jaccard FROM ("
         f"SELECT a.id AS id_a, b.id AS id_b, "
-        f"ROUND(MIN(({matches}) / {float(k)}), {round_to}) AS est_jaccard "
+        f"{grid_snap_sql(f'MIN(({matches}) / {float(k)})', round_to)} AS est_jaccard "
         f"FROM __bands a JOIN __bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id "
         f"GROUP BY 1, 2) __p WHERE est_jaccard >= {min_est}"
     )
@@ -680,7 +683,7 @@ def incremental_minhash_dedup(
                       *[F.col(f"mh_{i}").alias(f"__c_mh_{i}") for i in range(k)]),
             "match_id",
         )
-        .select("new_id", "match_id", F.round(est, round_to).alias("est_jaccard"))
+        .select("new_id", "match_id", grid_snap(est, round_to).alias("est_jaccard"))
     )
     w = Window.partitionBy("new_id").orderBy(F.col("est_jaccard").desc(), F.col("match_id"))
     best = (
@@ -727,7 +730,7 @@ def incremental_minhash_dedup_sql(
         f"WITH {banded_sql(new_table, 'n')}, {banded_sql(corpus_table, 'c')}, "
         f"__cand AS ("
         f"SELECT a.id AS new_id, b.id AS match_id, "
-        f"ROUND(MAX(({matches}) / {float(k)}), {round_to}) AS est_jaccard "
+        f"{grid_snap_sql(f'MAX(({matches}) / {float(k)})', round_to)} AS est_jaccard "
         f"FROM __bands_n a JOIN __bands_c b ON a.band = b.band AND a.bh = b.bh "
         f"GROUP BY 1, 2), "
         f"__best AS (SELECT new_id, match_id, est_jaccard FROM __cand "

@@ -158,15 +158,20 @@ def quality_filter_report_sql(table: str, rules: QualityRules | None = None,
         f" >= {rules.min_quality_score}",
         "lang": f"l.predicted_lang IN ({langs})",
     }
+    # CAST ... AS BIGINT: DuckDB widens integer SUM to HUGEINT -> pandas
+    # float64, an int-vs-float dtype split against Spark's long counts that
+    # canon-hashes differently under repr-style float rendering — the actual
+    # cause of the r4+r5 driver-gate reds on this query (the metric values
+    # were never wrong; scripts/dtype_sweep.py pins parity).
     rej = ", ".join(
-        f"SUM(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END) AS rej_{n}"
+        f"CAST(SUM(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END) AS BIGINT) AS rej_{n}"
         for n, p in passes.items()
     )
     keep = " AND ".join(f"({p})" for p in passes.values())
     return (
         f"WITH __q AS ({q}), __r AS ({r}), __l AS ({l_}) "
         f"SELECT COUNT(*) AS n_docs, {rej}, "
-        f"SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS n_kept "
+        f"CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
         f"FROM {table} d JOIN __q q ON d.{id_col} = q.{id_col} "
         f"JOIN __r r ON d.{id_col} = r.{id_col} "
         f"JOIN __l l ON d.{id_col} = l.{id_col}"

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from raise_featurestore_spark.dataprep import hashing as H
 from raise_featurestore_spark.dataprep.sampling import BUCKETS, _bucket
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 
 @dataclass
@@ -53,7 +54,7 @@ def source_rates(df: DataFrame, spec: MixSpec) -> DataFrame:
     total = counts.agg(F.sum("__q").alias("__tq"))
     rate = F.least(
         F.lit(1.0),
-        F.round(F.col("__q") / F.col("__tq") * F.lit(float(spec.target_rows)) / F.col("n_docs"), 6),
+        grid_snap(F.col("__q") / F.col("__tq") * F.lit(float(spec.target_rows)) / F.col("n_docs"), 6),
     )
     return (
         counts.crossJoin(F.broadcast(total))
@@ -114,7 +115,7 @@ def mix_report_sql(table: str, spec: MixSpec | None = None) -> str:
         f"WITH __c AS (SELECT {s}, COUNT(*) AS n_docs, "
         f"POWER(CAST(COUNT(*) AS DOUBLE), {a}) AS q FROM {table} GROUP BY {s}), "
         f"__r AS (SELECT {s}, n_docs, "
-        f"LEAST(1.0, ROUND(q / (SELECT SUM(q) FROM __c) * {float(spec.target_rows)} / n_docs, 6)) "
+        f"LEAST(1.0, {grid_snap_sql(f'q / (SELECT SUM(q) FROM __c) * {float(spec.target_rows)} / n_docs', 6)}) "
         f"AS rate FROM __c), "
         f"__t AS (SELECT {s}, n_docs, rate, "
         f"CAST(FLOOR(rate * {BUCKETS}) AS INT) AS keep_threshold FROM __r), "

@@ -78,6 +78,30 @@ def gram_exact_sql(table: str, dim: int, emb_col: str = "embedding") -> str:
     )
 
 
+def dim_sums(df: DataFrame, dim: int, emb_col: str = "embedding") -> DataFrame:
+    """Per-dimension exact-decimal sums (i, s) — the first-moment side of
+    the covariance bridge (`embedding_pca_frobenius_check`). Same grid as
+    the Gram so cov(i,j) arithmetic sees identical doubles on both engines."""
+    e = F.col(emb_col)
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    return (
+        df.where(F.size(e) == dim)
+        .select(e.alias("__e"), F.explode(idx).alias("i"))
+        .select("i", F.element_at(F.col("__e"), F.col("i")).cast("double").alias("x"))
+        .groupBy("i")
+        .agg(dec_sum(F.col("x"), grid_decimals=GRAM_GRID).alias("s"))
+    )
+
+
+def dim_sums_sql(table: str, dim: int, emb_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`dim_sums`."""
+    return (
+        f"SELECT i, {dec_sum_sql(f'CAST({emb_col}[i] AS DOUBLE)', grid_decimals=GRAM_GRID)} AS s "
+        f"FROM {table}, range(1, {dim + 1}) __ri(i) "
+        f"WHERE len({emb_col}) = {dim} GROUP BY i"
+    )
+
+
 def gram_fast(
     df: DataFrame, dim: int, emb_col: str = "embedding"
 ) -> DataFrame:
@@ -159,13 +183,12 @@ class PCAModel:
         return self.explained / tot if tot > 0 else self.explained
 
 
-def pca_fit(
-    df: DataFrame, dim: int, k: int, emb_col: str = "embedding"
-) -> PCAModel:
-    """Fit PCA in ONE distributed pass: mapInPandas partials carry
-    (n, Σx, X᷀X); the driver assembles the covariance and runs ``eigh``
-    (d×d — driver-scale by definition). Component signs are canonicalized
-    (largest-|coordinate| positive) so fits are reproducible."""
+def _moment_pass(
+    df: DataFrame, dim: int, emb_col: str = "embedding"
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """ONE distributed pass over the embeddings: mapInPandas partials carry
+    (n, Σx, X᷀X), merged by a tiny groupBy sum. Shared by :func:`pca_fit`
+    and :func:`covariance_matrix`."""
     schema = "kind int, cell int, val double"
 
     def partial(batches):
@@ -206,6 +229,27 @@ def pca_fit(
             s[r.cell] = r.val
         else:
             n = r.val
+    return n, s, G
+
+
+def covariance_matrix(df: DataFrame, dim: int, emb_col: str = "embedding") -> np.ndarray:
+    """Driver-side d×d sample covariance via the one-pass moment kernel —
+    the independent reconstruction the per-eigenvalue Rayleigh-residual
+    verdict checks (λ, v) pairs against."""
+    n, s, G = _moment_pass(df, dim, emb_col)
+    if n < 2:
+        raise ValueError(f"covariance needs >= 2 vectors of dim {dim}, got {int(n)}")
+    return (G - np.outer(s, s) / n) / (n - 1.0)
+
+
+def pca_fit(
+    df: DataFrame, dim: int, k: int, emb_col: str = "embedding"
+) -> PCAModel:
+    """Fit PCA from the one-pass distributed moments (:func:`_moment_pass`);
+    the driver assembles the covariance and runs ``eigh`` (d×d —
+    driver-scale by definition). Component signs are canonicalized
+    (largest-|coordinate| positive) so fits are reproducible."""
+    n, s, G = _moment_pass(df, dim, emb_col)
     if n < 2:
         raise ValueError(f"PCA needs >= 2 vectors of dim {dim}, got {int(n)}")
     mean = s / n

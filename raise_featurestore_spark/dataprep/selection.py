@@ -51,8 +51,11 @@ def select_token_budget(
     m = quality_score(
         df.where(F.col(text_col).isNotNull()), id_col, text_col
     ).select(id_col, "n_tokens", "quality_score")
+    # FLOOR(x + 0.5), not engine ROUND: a 4-decimal quality_score times
+    # QUALITY_STEPS lands on exact .5 ties where Spark/DuckDB ROUND
+    # disagree and reorder the whole selection (emission rules)
     key = (
-        F.lit(QUALITY_STEPS) - F.round(F.col("quality_score") * QUALITY_STEPS)
+        F.lit(QUALITY_STEPS) - F.floor(F.col("quality_score") * QUALITY_STEPS + F.lit(0.5))
     ).cast("long") * F.lit(KEY_STRIDE) + F.col(id_col).cast("long")
     keyed = m.withColumn("__ord", key).withColumn(
         "__tok", F.col("n_tokens").cast("long")
@@ -75,7 +78,7 @@ def select_token_budget_sql(
         f"(SELECT * FROM {table} WHERE {text_col} IS NOT NULL) __nn", id_col, text_col
     )
     key = (
-        f"({QUALITY_STEPS} - CAST(ROUND(quality_score * {QUALITY_STEPS}) AS BIGINT))"
+        f"({QUALITY_STEPS} - CAST(FLOOR(quality_score * {QUALITY_STEPS} + 0.5) AS BIGINT))"
         f" * {KEY_STRIDE} + CAST({id_col} AS BIGINT)"
     )
     return (

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.functions import vector as V
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 DEFAULT_PLANES = 6
 
@@ -87,7 +88,7 @@ def brute_force_topk(
     cos = V.cosine_similarity(F.col(emb_col), q)
     return (
         df.where(F.size(F.col(emb_col)) == len(query_vec))
-        .select(F.col(id_col), F.round(cos, round_to).alias("cosine"))
+        .select(F.col(id_col), grid_snap(cos, round_to).alias("cosine"))
         .where(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -107,9 +108,9 @@ def brute_force_topk_sql(
     # order by the ROUNDED cosine (matching the Spark twin) — ordering by
     # the raw value can pick a different top-k set on rounding ties
     return (
-        f"SELECT {id_col}, ROUND({cos}, {round_to}) AS cosine FROM {table} "
+        f"SELECT {id_col}, {grid_snap_sql(cos, round_to)} AS cosine FROM {table} "
         f"WHERE len({emb_col}) = {len(query_vec)} AND {cos} IS NOT NULL "
-        f"ORDER BY ROUND({cos}, {round_to}) DESC, {id_col} LIMIT {k}"
+        f"ORDER BY {grid_snap_sql(cos, round_to)} DESC, {id_col} LIMIT {k}"
     )
 
 
@@ -144,9 +145,9 @@ def lsh_bucket_topk_sql(
     cos = f"list_cosine_similarity(CAST({emb_col} AS DOUBLE[]), {q})"
     b = bucket_sql(f"CAST({emb_col} AS DOUBLE[])", planes)
     return (
-        f"SELECT {id_col}, ROUND({cos}, {round_to}) AS cosine FROM {table} "
+        f"SELECT {id_col}, {grid_snap_sql(cos, round_to)} AS cosine FROM {table} "
         f"WHERE len({emb_col}) = {len(query_vec)} AND {b} = {qb} AND {cos} IS NOT NULL "
-        f"ORDER BY ROUND({cos}, {round_to}) DESC, {id_col} LIMIT {k}"
+        f"ORDER BY {grid_snap_sql(cos, round_to)} DESC, {id_col} LIMIT {k}"
     )
 
 
@@ -301,7 +302,7 @@ def ivf_batch_topk(
     cand = assigned.join(F.broadcast(probed), "ivf_cluster").where(
         F.size(F.col(emb_col)) == F.size(F.col("__qv"))
     )
-    cos = F.round(
+    cos = grid_snap(
         V.cosine_similarity(F.col(emb_col).cast("array<double>"), F.col("__qv")),
         round_to,
     )
@@ -376,7 +377,7 @@ def brute_force_batch_topk(
     cand = corpus.select(F.col(id_col), F.col(emb_col)).crossJoin(F.broadcast(q)).where(
         F.size(F.col(emb_col)) == F.size(F.col("__qv"))
     )
-    cos = F.round(
+    cos = grid_snap(
         V.cosine_similarity(F.col(emb_col).cast("array<double>"), F.col("__qv")),
         round_to,
     )
@@ -407,7 +408,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cos, round_to).alias("cosine"),
+            grid_snap(cos, round_to).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -427,9 +428,9 @@ def embedding_near_dup_pairs_sql(
     src = f"(SELECT {id_col} AS id, CAST({emb_col} AS DOUBLE[]) AS v, {b} AS b FROM {table}) "
     cos = "list_cosine_similarity(a.v, b.v)"
     return (
-        f"SELECT a.id AS id_a, b.id AS id_b, ROUND({cos}, {round_to}) AS cosine "
+        f"SELECT a.id AS id_a, b.id AS id_b, {grid_snap_sql(cos, round_to)} AS cosine "
         f"FROM {src} a JOIN {src} b ON a.b = b.b AND a.id < b.id "
-        f"WHERE ROUND({cos}, {round_to}) >= {threshold}"
+        f"WHERE {grid_snap_sql(cos, round_to)} >= {threshold}"
     )
 
 
@@ -448,13 +449,13 @@ def quantize_int8(
     """
     absmax = F.array_max(F.transform(emb_col, lambda x: F.abs(x.cast("double"))))
     scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
-    q = F.transform(emb_col, lambda x: F.round(x.cast("double") * F.col("__scale")).cast("int"))
+    q = F.transform(emb_col, lambda x: grid_snap(x.cast("double") * F.col("__scale"), 0).cast("int"))
     return (
         df.withColumn("__scale", scale)
         .withColumn("quantized", q)
         .select(
             F.col(id_col),
-            F.round("__scale", 6).alias("scale_r"),
+            grid_snap(F.col("__scale"), 6).alias("scale_r"),
             F.aggregate("quantized", F.lit(0), lambda a, x: a + x).alias("q_sum"),
             F.aggregate("quantized", F.lit(0), lambda a, x: a + F.abs(x)).alias("q_l1"),
             "quantized",
@@ -474,11 +475,11 @@ def quantize_int8_sql(table: str, id_col: str = "vec_id", emb_col: str = "embedd
         f"FROM s) "
         # COALESCE: list_aggregate([], 'sum') is NULL in DuckDB while the
         # Spark fold returns its 0 init — empty vectors must agree
-        f"SELECT {id_col}, ROUND(scale, 6) AS scale_r, "
+        f"SELECT {id_col}, {grid_snap_sql('scale', 6)} AS scale_r, "
         f"CAST(COALESCE(list_aggregate(list_transform({emb_col}, "
-        f"x -> CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT)), 'sum'), 0) AS INT) AS q_sum, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), 'sum'), 0) AS INT) AS q_sum, "
         f"CAST(COALESCE(list_aggregate(list_transform({emb_col}, "
-        f"x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * scale) AS INT))), 'sum'), 0) AS INT) AS q_l1 "
+        f"x -> abs(CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS INT))), 'sum'), 0) AS INT) AS q_l1 "
         f"FROM q"
     )
 

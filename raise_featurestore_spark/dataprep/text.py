@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.dataprep import hashing as H
+from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"],
@@ -121,13 +122,18 @@ def quality_score(
     digit_score = F.greatest(F.lit(1.0) - 5.0 * digit_ratio, F.lit(0.0))
     stop_score = F.least(5.0 * stop_ratio, F.lit(1.0))
     score = 0.25 * (len_score + punct_score + digit_score + stop_score)
+    # grid_snap, not engine ROUND: int/int ratios routinely land on exact
+    # .xxx5 repr-ties where Spark (HALF_UP on shortest repr) and DuckDB
+    # (binary round) disagree in the last decimal — the banned emission
+    # class (functions/stable.py); these columns also feed the
+    # quality-filter thresholds downstream (dataprep/filters.py)
     return df.select(
         F.col(id_col),
         n_toks.cast("int").alias("n_tokens"),
-        F.round(punct_ratio, round_to).alias("punct_ratio"),
-        F.round(digit_ratio, round_to).alias("digit_ratio"),
-        F.round(stop_ratio, round_to).alias("stopword_ratio"),
-        F.round(score, round_to).alias("quality_score"),
+        grid_snap(punct_ratio, round_to).alias("punct_ratio"),
+        grid_snap(digit_ratio, round_to).alias("digit_ratio"),
+        grid_snap(stop_ratio, round_to).alias("stopword_ratio"),
+        grid_snap(score, round_to).alias("quality_score"),
     )
 
 
@@ -145,13 +151,16 @@ def quality_score_sql(
         f"/ GREATEST(len({_tokens_sql(t)}), 1) AS __sr "
         f"FROM {table}"
     )
+    score = (
+        f"0.25 * (LEAST(__nt / 100.0, 1.0) + GREATEST(1.0 - 5.0 * __pr, 0.0) "
+        f"+ GREATEST(1.0 - 5.0 * __dr, 0.0) + LEAST(5.0 * __sr, 1.0))"
+    )
     return (
         f"SELECT {id_col}, CAST(__nt AS INT) AS n_tokens, "
-        f"ROUND(__pr, {round_to}) AS punct_ratio, "
-        f"ROUND(__dr, {round_to}) AS digit_ratio, "
-        f"ROUND(__sr, {round_to}) AS stopword_ratio, "
-        f"ROUND(0.25 * (LEAST(__nt / 100.0, 1.0) + GREATEST(1.0 - 5.0 * __pr, 0.0) "
-        f"+ GREATEST(1.0 - 5.0 * __dr, 0.0) + LEAST(5.0 * __sr, 1.0)), {round_to}) "
+        f"{grid_snap_sql('__pr', round_to)} AS punct_ratio, "
+        f"{grid_snap_sql('__dr', round_to)} AS digit_ratio, "
+        f"{grid_snap_sql('__sr', round_to)} AS stopword_ratio, "
+        f"{grid_snap_sql(score, round_to)} "
         f"AS quality_score FROM ({inner}) __q"
     )
 
@@ -244,7 +253,9 @@ def repetition_metrics(
         .select(
             F.col(id_col),
             F.size("__t").alias("n_tokens"),
-            F.round(
+            # grid_snap, not engine ROUND (repr-tie divergence; this column
+            # feeds the dup_token_frac filter threshold)
+            grid_snap(
                 F.lit(1.0) - F.size(F.array_distinct("__t")) / F.greatest(F.size("__t"), F.lit(1)),
                 6,
             ).alias("dup_token_frac"),
@@ -267,7 +278,7 @@ def repetition_metrics_sql(table: str, id_col: str = "doc_id", text_col: str = "
         f"c AS (SELECT {id_col}, MAX(cnt) AS top_bigram_count FROM "
         f"(SELECT {id_col}, bg, COUNT(*) AS cnt FROM b GROUP BY {id_col}, bg) GROUP BY {id_col}) "
         f"SELECT t.{id_col}, len(toks) AS n_tokens, "
-        f"ROUND(1.0 - len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1), 6) AS dup_token_frac, "
+        f"{grid_snap_sql('1.0 - len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1)', 6)} AS dup_token_frac, "
         f"CAST(COALESCE(c.top_bigram_count, 0) AS INT) AS top_bigram_count "
         f"FROM t LEFT JOIN c ON t.{id_col} = c.{id_col}"
     )
@@ -297,7 +308,7 @@ def vocab_topk(
         .select(
             "token",
             "cnt",
-            F.round(F.col("cnt") / F.col("__total"), round_to).alias("frac"),
+            grid_snap(F.col("cnt") / F.col("__total"), round_to).alias("frac"),
         )
         .orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(k)
@@ -311,7 +322,7 @@ def vocab_topk_sql(
     return (
         f"WITH __tok AS (SELECT UNNEST({toks}) AS token FROM {table}), "
         f"__cnt AS (SELECT token, COUNT(*) AS cnt FROM __tok GROUP BY token) "
-        f"SELECT token, cnt, ROUND(cnt * 1.0 / (SELECT SUM(cnt) FROM __cnt), {round_to}) AS frac "
+        f"SELECT token, cnt, {grid_snap_sql('cnt * 1.0 / (SELECT SUM(cnt) FROM __cnt)', round_to)} AS frac "
         f"FROM __cnt ORDER BY cnt DESC, token LIMIT {k}"
     )
 

@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from raise_featurestore_spark.functions import stable as STABLE
 
 from raise_featurestore_spark.analytics.aggregation import (
     aggregation_to_sql,
@@ -532,14 +533,13 @@ def _derived_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 "
         "WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END",
     )
-    return df.select("c_custkey", F.round(col, 4).alias("adj_balance"))
+    return df.select("c_custkey", STABLE.grid_snap(col, 4).alias("adj_balance"))
 
 
 register(
     "expr_case_when",
     _derived_case,
-    "SELECT c_custkey, ROUND(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 "
-    "WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END, 4) AS adj_balance FROM customer",
+    "SELECT c_custkey, " + STABLE.grid_snap_sql("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END", 4) + " AS adj_balance FROM customer",
 )
 
 
@@ -550,14 +550,13 @@ def _derived_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, col = compile_expression(df, "(c_acctbal - AVG(c_acctbal)) / STDDEV(c_acctbal)")
     # + 0.0 canonicalizes IEEE −0.0 (a z in (−5e-5, 0) rounds to −0.0 on
     # one engine and +0.0 on the other — caught by the sf0.1 gate)
-    return df.select("c_custkey", (F.round(col, 4) + F.lit(0.0)).alias("acctbal_z"))
+    return df.select("c_custkey", (STABLE.grid_snap(col, 4) + F.lit(0.0)).alias("acctbal_z"))
 
 
 register(
     "expr_zscore_hoisted",
     _derived_zscore,
-    "SELECT c_custkey, ROUND((c_acctbal - (SELECT AVG(c_acctbal) FROM customer)) / "
-    "(SELECT STDDEV_SAMP(c_acctbal) FROM customer), 4) + 0.0 AS acctbal_z FROM customer",
+    "SELECT c_custkey, " + STABLE.grid_snap_sql("(c_acctbal - (SELECT AVG(c_acctbal) FROM customer)) / (SELECT STDDEV_SAMP(c_acctbal) FROM customer)", 4) + " + 0.0 AS acctbal_z FROM customer",
 )
 
 
@@ -592,7 +591,7 @@ def _cross_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("o_custkey"),
         F.col("o_totalprice"),
-        F.round("price_vs_balance", 4).alias("price_vs_balance"),
+        STABLE.grid_snap(F.col("price_vs_balance"), 4).alias("price_vs_balance"),
     )
 
 
@@ -600,7 +599,7 @@ register(
     "expr_cross_group_join",
     _cross_group_expr,
     "SELECT o_custkey, o_totalprice, "
-    "ROUND(o_totalprice / NULLIF(c_acctbal, 0), 4) AS price_vs_balance "
+    + STABLE.grid_snap_sql("o_totalprice / NULLIF(c_acctbal, 0)", 4) + " AS price_vs_balance "
     "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
 )
 
@@ -611,8 +610,8 @@ def _vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "embeddings")
     return df.select(
         "vec_id",
-        F.round(V.norm("embedding"), 4).alias("l2_norm"),
-        F.round(V.dot("embedding", "embedding"), 4).alias("self_dot"),
+        STABLE.grid_snap(V.norm("embedding"), 4).alias("l2_norm"),
+        STABLE.grid_snap(V.dot("embedding", "embedding"), 4).alias("self_dot"),
     )
 
 
@@ -629,9 +628,9 @@ def _vector_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE −0.0 after rounding (sf0.1 gate caught a (−5e-5, 0) straddle)
     return pair.select(
         "vec_id",
-        (F.round(V.cosine_similarity("ea", "eb"), 4) + F.lit(0.0)).alias("cos_next"),
-        (F.round(V.l1_distance("ea", "eb"), 4) + F.lit(0.0)).alias("l1_next"),
-        (F.round(F.element_at(V.normalize("ea"), 1), 4) + F.lit(0.0)).alias("unit_first"),
+        (STABLE.grid_snap(V.cosine_similarity("ea", "eb"), 4) + F.lit(0.0)).alias("cos_next"),
+        (STABLE.grid_snap(V.l1_distance("ea", "eb"), 4) + F.lit(0.0)).alias("l1_next"),
+        (STABLE.grid_snap(F.element_at(V.normalize("ea"), 1), 4) + F.lit(0.0)).alias("unit_first"),
     )
 
 
@@ -641,11 +640,9 @@ register(
     "WITH p AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb "
     "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1) "
     "SELECT vec_id, "
-    "ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') "
-    "/ (SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')) * "
-    "SQRT(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * x), 'sum'))), 4) + 0.0 AS cos_next, "
-    "ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> ABS(CAST(x[1] AS DOUBLE) - x[2])), 'sum'), 4) + 0.0 AS l1_next, "
-    "ROUND(CAST(ea[1] AS DOUBLE) / SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')), 4) + 0.0 AS unit_first "
+    + STABLE.grid_snap_sql("list_aggregate(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') / (SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum')) * SQRT(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * x), 'sum')))", 4) + " + 0.0 AS cos_next, "
+    + STABLE.grid_snap_sql("list_aggregate(list_transform(list_zip(ea, eb), x -> ABS(CAST(x[1] AS DOUBLE) - x[2])), 'sum')", 4) + " + 0.0 AS l1_next, "
+    + STABLE.grid_snap_sql("CAST(ea[1] AS DOUBLE) / SQRT(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * x), 'sum'))", 4) + " + 0.0 AS unit_first "
     "FROM p",
 )
 
@@ -654,10 +651,8 @@ register(
     "vector_norm_dot",
     _vector_norms,
     "SELECT vec_id, "
-    "ROUND(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 4)"
-    " AS l2_norm, "
-    "ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 4)"
-    " AS self_dot FROM embeddings",
+    + STABLE.grid_snap_sql("SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))", 4) + " AS l2_norm, "
+    + STABLE.grid_snap_sql("list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')", 4) + " AS self_dot FROM embeddings",
 )
 
 
@@ -670,7 +665,7 @@ def _window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # + 0.0: deltas are ± continuous over ~100k rows — canonicalize −0.0
     return df.select(
-        "event_id", "user_id", (F.round(col, 4) + F.lit(0.0)).alias("value_delta")
+        "event_id", "user_id", (STABLE.grid_snap(col, 4) + F.lit(0.0)).alias("value_delta")
     )
 
 
@@ -678,7 +673,7 @@ register(
     "expr_window_lag",
     _window_lag,
     "SELECT event_id, user_id, "
-    "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) + 0.0 AS value_delta "
+    + STABLE.grid_snap_sql("value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)", 4) + " + 0.0 AS value_delta "
     "FROM events",
 )
 
@@ -1077,6 +1072,19 @@ register(
 )
 
 register(
+    # per-step conversion window (within="7d", the PRD duration grammar):
+    # step k counts only within 7 days of the user's step k-1 time —
+    # the most common real funnel spec (VERDICT.md r5 item 7)
+    "funnel_within_7d",
+    lambda spark, sf_dir: FN.funnel_report(
+        load_table(spark, sf_dir, "events"),
+        ["signup", "view", "purchase"],
+        within="7d",
+    ),
+    FN.funnel_report_sql("events", ["signup", "view", "purchase"], within="7d"),
+)
+
+register(
     "cohort_retention_weekly",
     lambda spark, sf_dir: FN.cohort_retention(
         load_table(spark, sf_dir, "events"), period="week", max_offset=4
@@ -1181,13 +1189,13 @@ def _semi_join_active_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cust.join(
         o, cust["c_custkey"] == o["o_custkey"], "left_semi"
-    ).select("c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal"))
+    ).select("c_custkey", STABLE.grid_snap(F.col("c_acctbal"), 2).alias("acctbal"))
 
 
 register(
     "join_semi_high_value_customers",
     _semi_join_active_high_value,
-    "SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer "
+    "SELECT c_custkey, " + STABLE.grid_snap_sql("c_acctbal", 2) + " AS acctbal FROM customer "
     "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)",
 )
 
@@ -1269,12 +1277,15 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tpch_q3_sql() -> str:
-    from raise_featurestore_spark.functions.stable import dec_sum_sql
+    # grid_snap_sql, not engine ROUND: dec_sum_sql returns a DOUBLE, so
+    # ROUND here would be float HALF-rounding — the exact Spark-vs-DuckDB
+    # .xx5-straddle asymmetry the emission rules ban (r5 ADVICE finding).
+    from raise_featurestore_spark.functions.stable import dec_sum_sql, grid_snap_sql
 
     rev = dec_sum_sql("(l_extendedprice * (1.0 - l_discount))")
     return (
         f"SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate, "
-        f"o_orderpriority, ROUND({rev}, 2) AS revenue "
+        f"o_orderpriority, {grid_snap_sql(rev, 2)} AS revenue "
         f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         f"JOIN customer ON o_custkey = c_custkey "
         f"WHERE c_mktsegment = 'BUILDING' AND o_orderdate < {_Q3_CUT} "
@@ -1320,11 +1331,12 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tpch_q5_sql() -> str:
-    from raise_featurestore_spark.functions.stable import dec_sum_sql
+    # grid_snap_sql, not engine ROUND — see _tpch_q3_sql.
+    from raise_featurestore_spark.functions.stable import dec_sum_sql, grid_snap_sql
 
     rev = dec_sum_sql("(l_extendedprice * (1.0 - l_discount))")
     return (
-        f"SELECT n_name, ROUND({rev}, 2) AS revenue "
+        f"SELECT n_name, {grid_snap_sql(rev, 2)} AS revenue "
         f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         f"JOIN supplier ON l_suppkey = s_suppkey "
         f"JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
@@ -1413,17 +1425,126 @@ register(
 
 
 def _pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explained-variance spectrum of the fitted PCA (k=8): eigenvalues are
-    driver math over the one-pass distributed covariance — not
-    SQL-expressible, so this entry is rows-only checked (pytest pins the
-    math: orthonormality, spectrum ordering, numpy ground-truth parity)."""
+    """Per-eigenvalue verdict rows for the fitted PCA (k=8): eigh itself is
+    driver math (not SQL-expressible), so each eigenvalue is certified by
+    invariants the driver CAN check and the oracle pins TRUE — nonneg,
+    descending order, and the Rayleigh residual ``‖C·v − λ·v‖ ≤ tol`` of
+    the (λ, v) pair against the assembled covariance. The cross-engine
+    anchors that make this more than self-certification are the two scalar
+    bridges verdicted alongside: Σλ = trace(C) (`embedding_pca_trace_check`)
+    and Σλ² = ‖C‖²_F (`embedding_pca_frobenius_check`) — together they pin
+    the first two moments of the spectrum to exact-decimal SQL values."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     model = PCA.pca_fit(emb, dim=64, k=8)
-    ratios = [(i + 1, round(float(r), 6)) for i, r in enumerate(model.explained_ratio[:8])]
-    return spark.createDataFrame(ratios, "component int, explained_ratio double")
+    # re-assemble the covariance the same way pca_fit did, from the model's
+    # own spectrum basis: C = V diag(λ) V^T is exact for the full basis, so
+    # the residual must be checked against an independent reconstruction —
+    # refit the covariance from the data pass (pca_fit exposes only the
+    # model; recompute via the exact same one-pass kernel)
+    cov = PCA.covariance_matrix(emb, dim=64)
+    lam = model.explained[:8]
+    comps = model.components  # (8, 64) orthonormal rows
+    rows = []
+    prev = float("inf")
+    for k in range(8):
+        v = comps[k]
+        # tolerance is dominated by the two-pass covariance delta (float
+        # partial-sum order noise between this pass and pca_fit's), not by
+        # eigh itself (~machine eps); a wrong eigenpair has residual ~λ
+        resid = float(np.linalg.norm(cov @ v - lam[k] * v))
+        ok_resid = resid <= 1e-6 * max(float(lam[k]), 1e-3)
+        rows.append(
+            (
+                k + 1,
+                bool(lam[k] >= 0.0),
+                bool(lam[k] <= prev + 1e-12),
+                bool(ok_resid),
+            )
+        )
+        prev = float(lam[k])
+    return spark.createDataFrame(
+        rows,
+        "component int, eig_nonneg boolean, eig_ordered boolean, "
+        "eig_residual_within_band boolean",
+    )
 
 
-register("embedding_pca_spectrum", _pca_explained)
+def _pca_explained_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS component, TRUE AS eig_nonneg, TRUE AS eig_ordered, "
+        f"TRUE AS eig_residual_within_band"
+        for k in range(1, 9)
+    )
+    return rows
+
+
+register("embedding_pca_spectrum", _pca_explained, _pca_explained_sql())
+
+
+def _pca_frobenius_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second spectral bridge: Σλ² = ‖C‖²_F. The Frobenius norm of the
+    covariance is exact SQL — cov(i,j) is pure arithmetic over the
+    exact-decimal Gram / per-dim sums (identical doubles on both engines),
+    and the final Σ cov² re-enters the exact-decimal sum — so the oracle
+    recomputes the snapped value while the in-plan band verdicts the
+    driver-side eigenvalue mass Σλ² against it. With the trace check this
+    pins the first TWO moments of the eigh spectrum cross-engine
+    (VERDICT.md r5 item 3)."""
+    from raise_featurestore_spark.functions.stable import dec_sum, sig_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PCA.pca_fit(emb, dim=64, k=8)
+    eig_sq = float((model.explained**2).sum())
+    g = PCA.gram_exact(emb, dim=64)  # (i, j>=i, gram) exact decimals
+    s = PCA.dim_sums(emb, dim=64)  # (i, s) exact decimals
+    n = emb.where(F.size("embedding") == 64).count()
+    nd = F.lit(float(n))
+    cov = (F.col("gram") - F.col("si") * F.col("sj") / nd) / (nd - F.lit(1.0))
+    w = F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(F.lit(2.0))
+    cells = (
+        g.join(s.select(F.col("i").alias("__i1"), F.col("s").alias("si")),
+               F.col("i") == F.col("__i1"))
+        .join(s.select(F.col("i").alias("__i2"), F.col("s").alias("sj")),
+              F.col("j") == F.col("__i2"))
+        .select((cov * cov * w).alias("__c2"))
+    )
+    frob = cells.agg(dec_sum(F.col("__c2"), grid_decimals=12).alias("frobenius_sq"))
+    band = (
+        F.abs(F.lit(eig_sq) - F.col("frobenius_sq"))
+        <= F.lit(1e-6) * F.greatest(F.abs(F.col("frobenius_sq")), F.lit(1e-3))
+    )
+    return frob.select(
+        sig_round(F.col("frobenius_sq")).alias("frobenius_sq"),
+        band.alias("eig_sq_within_band"),
+    )
+
+
+def _pca_frobenius_check_sql() -> str:
+    from raise_featurestore_spark.dataprep.pca import dim_sums_sql, gram_exact_sql
+    from raise_featurestore_spark.functions.stable import dec_sum_sql, sig_round_sql
+
+    g = gram_exact_sql("embeddings", 64)
+    s = dim_sums_sql("embeddings", 64)
+    cov = "((g.gram - si.s * sj.s / __n.n) / (__n.n - 1.0))"
+    c2 = f"({cov} * {cov} * (CASE WHEN g.i = g.j THEN 1.0 ELSE 2.0 END))"
+    return (
+        f"WITH __g AS ({g}), __s AS ({s}), "
+        f"__nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings "
+        f"WHERE len(embedding) = 64) "
+        f"SELECT {sig_round_sql('frobenius_sq')} AS frobenius_sq, "
+        f"TRUE AS eig_sq_within_band FROM ("
+        f"SELECT {dec_sum_sql('__c2', grid_decimals=12)} AS frobenius_sq FROM ("
+        f"SELECT {c2} AS __c2 FROM __g g "
+        f"JOIN __s si ON si.i = g.i JOIN __s sj ON sj.i = g.j "
+        f"CROSS JOIN __nn __n) __cells) __f"
+    )
+
+
+register(
+    "embedding_pca_frobenius_check", _pca_frobenius_check, _pca_frobenius_check_sql()
+)
 
 
 def _pca_trace_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2670,59 +2791,19 @@ register(
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
-    # r4 hash-FAIL, fixed this round — must re-verdict first
-    "agg_global_stats",
+    # (a) r5 driver hash-FAILs, root-caused this round (oracle HUGEINT-sum
+    # float64 vs Spark int64 dtype split — see scripts/dtype_sweep.py) and
+    # fixed with BIGINT casts — must re-verdict first
     "filter_quality_rules",
-    # new this round
-    "ann_ivf_batch_topk",
-    "asof_salted_spine",
-    "skew_report_orders",
-    "join_cardinality_events",
-    "zorder_morton_orders",
-    "dedup_substring_overlap",
-    "cluster_kmeans_report",
-    "cluster_balanced_sample",
-    "text_lm_perplexity",
-    "text_ppl_buckets",
-    "text_tfidf_keywords",
-    "mix_recipe_budget",
     "agg_winsorized_price",
-    "feature_decay_ewma",
-    "feature_target_encode",
-    "feature_quantile_bins",
-    "sample_weighted_aes",
     "bpe_pair_counts",
-    "feature_standardize_z",
-    "feature_standardize_robust",
-    "feature_sequence_history",
-    "embedding_gram_check",
+    # (b) first value verdict: pca_spectrum gained an oracle this round
+    # (was the last rows-only entry); the other two are new r6 queries
     "embedding_pca_spectrum",
-    "rollup_incremental_daily",
-    "text_encoding_report",
-    "outlier_flags_iqr",
-    "outlier_flags_zscore",
-    "join_tpch_q3_topk",
-    "join_tpch_q5_region",
-    "agg_cube_status_priority",
-    "agg_rollup_flag_status",
-    "agg_pivot_status_by_priority",
-    "set_except_churned_buyers",
-    "set_intersect_retained_buyers",
-    "join_anti_inactive_customers",
-    "join_semi_high_value_customers",
-    "linkage_fuzzy_part_names",
-    "funnel_signup_view_purchase",
-    "cohort_retention_weekly",
-    "graph_pagerank_coparts",
-    "embedding_pca_trace_check",
-    "forecast_backtest_naive",
-    # latest verdict r3 — refresh before it ages past two rounds
-    "stattest_mannwhitney",
-    "stattest_ks",
-    "drift_order_status",
-    "quality_orders",
-    "lookup_filter_project",
-    "lookup_sample_events",
+    "embedding_pca_frobenius_check",
+    "funnel_within_7d",
+    # (c) the 31 entries whose latest verdict is r3 (3 rounds stale) —
+    # several also carry this round's grid_snap/dec_sum emission changes
     "expr_cross_group_join",
     "expr_window_lag",
     "dedup_ngram_jaccard",
@@ -2754,6 +2835,23 @@ _PROMOTED = [
     "decontaminate_benchmark",
     "profile_table_events",
     "text_vocab_topk",
+    # (d) r4-verdicted entries whose EMITTED VALUES changed in the r6
+    # engine-ROUND->grid_snap sweep (13 slots; the remaining ~17 changed
+    # r4 entries rotate into the r7 window — with a 50-slot window and
+    # 131 queries, no schedule keeps every entry under two rounds stale)
+    "stattest_ttest",
+    "stattest_welch",
+    "stattest_anova",
+    "stattest_chi2",
+    "stattest_welch_pvalue",
+    "agg_null_profile",
+    "dist_histogram_price",
+    "dist_cdf_segmented",
+    "dist_percentiles_by_segment",
+    "corr_pearson_matrix",
+    "corr_spearman",
+    "corr_kendall_sampled",
+    "text_quality_score",
 ]
 
 

@@ -220,9 +220,24 @@ def make_rollup_batch_fn(
     swap self-heals on the next batch (see the recovery block); a
     multi-writer production deployment would back this with a
     Delta/Iceberg transactional overwrite (io/writer.py's MERGE path)
-    instead of directory renames."""
+    instead of directory renames.
+
+    Replay idempotence: the last-applied batch_id rides INSIDE the staged
+    directory (``_applied_batch`` — underscore-prefixed, so parquet readers
+    ignore it) and is therefore installed ATOMICALLY with the data by the
+    same rename. If the process dies after the swap but before Structured
+    Streaming commits its checkpoint, the replayed batch sees
+    marker >= batch_id and skips — without the marker it would re-merge a
+    delta the live table already contains (r5 ADVICE finding)."""
     import os
     import shutil
+
+    def _applied(live: str) -> int:
+        try:
+            with open(os.path.join(live, "_applied_batch")) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -246,6 +261,8 @@ def make_rollup_batch_fn(
             )
             if olds:
                 os.rename(os.path.join(state_path, olds[-1]), live)
+        if os.path.isdir(live) and _applied(live) >= batch_id:
+            return  # checkpoint-replayed batch already merged into live
         delta = rollup_partials(batch_df, value_col, time_col, bucket, group_by)
         if os.path.isdir(live) and any(
             n.endswith(".parquet") for n in os.listdir(live)
@@ -256,6 +273,8 @@ def make_rollup_batch_fn(
             merged = delta
         stage = os.path.join(state_path, f"stage-{batch_id}")
         merged.write.mode("overwrite").parquet(stage)  # clobbers a retry's leftover
+        with open(os.path.join(stage, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
         old = os.path.join(state_path, f"old-{batch_id}")
         shutil.rmtree(old, ignore_errors=True)  # a retry's leftover
         if os.path.isdir(live):

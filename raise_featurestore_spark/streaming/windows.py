@@ -33,22 +33,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from raise_featurestore_spark.analytics.analysis import parse_duration_seconds
+from raise_featurestore_spark.functions.stable import (
+    dec_sum,
+    dec_sum_sql,
+    stable_round,
+    stable_round_sql,
+)
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
-# (spark agg builder, duckdb SQL template) per supported metric
+
+def _dec_sum_tpl(c: str) -> str:
+    return stable_round_sql(dec_sum_sql(f"CAST({c} AS DOUBLE)"))
+
+
+def _dec_avg_tpl(c: str) -> str:
+    return stable_round_sql(
+        f"{dec_sum_sql(f'CAST({c} AS DOUBLE)')} / CAST(COUNT({c}) AS DOUBLE)"
+    )
+
+
+# (spark agg builder, duckdb SQL template) per supported metric.
+# sum/avg accumulate in exact decimals (dec_sum — order-independent,
+# engine-independent) and emit through stable_round: the previous
+# ROUND(float SUM, 4) stacked parallel-sum-order noise onto engine-ROUND
+# repr-tie divergence — the round-4 flake class (emission rules).
 _METRICS = {
     "count": (lambda c: F.count(F.lit(1)), "COUNT(*)"),
-    "sum": (lambda c: F.round(F.sum(F.col(c).cast("double")), 4),
-            "ROUND(SUM(CAST({c} AS DOUBLE)), 4)"),
-    # avg = rounded-sum ÷ non-null-count with NO final round: identical
-    # inputs + deterministic IEEE division ⇒ bit-identical doubles on both
-    # engines. A final ROUND would re-introduce .xxxx5 boundaries where
-    # Spark (HALF_UP on decimal repr) and DuckDB (binary) disagree — seen
-    # at sf0.001.
-    "avg": (lambda c: F.round(F.sum(F.col(c).cast("double")), 4) / F.count(c),
-            "ROUND(SUM(CAST({c} AS DOUBLE)), 4) / COUNT({c})"),
+    "sum": (lambda c: stable_round(dec_sum(F.col(c).cast("double"))),
+            "{dec_sum}"),
+    "avg": (lambda c: stable_round(
+                dec_sum(F.col(c).cast("double")) / F.count(c).cast("double")),
+            "{dec_avg}"),
     "min": (lambda c: F.min(c), "MIN({c})"),
     "max": (lambda c: F.max(c), "MAX({c})"),
 }
@@ -166,7 +183,12 @@ def window_agg_to_sql(spec: WindowSpec, table: str) -> str:
     """Same spec → DuckDB SQL for the differential oracle."""
     ts, keys = spec.time_column, spec.keys
     metric_sql = ", ".join(
-        _METRICS[m][1].format(c=spec.feature) + f" AS {m}_{spec.feature}"
+        _METRICS[m][1].format(
+            c=spec.feature,
+            dec_sum=_dec_sum_tpl(spec.feature),
+            dec_avg=_dec_avg_tpl(spec.feature),
+        )
+        + f" AS {m}_{spec.feature}"
         for m in spec.metrics
     )
     key_sql = ("".join(f"{k}, " for k in keys))

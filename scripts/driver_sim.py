@@ -1,6 +1,15 @@
 """Simulate the driver's correctness gate: run every queries() entry at
 sf0.01 and compare with oracle_sql() via DuckDB — row count, sorted column
-names, and an order-insensitive value hash (floats rounded to 6 sig figs).
+names, an order-insensitive value hash (floats rounded to 6 sig figs), AND
+per-column dtype families.
+
+The dtype check exists because the real driver's canon renders int-valued
+float64 differently from int64 (repr-style "4568.0" vs "4568") while this
+script's %.6g canon renders them identically — the exact blind spot behind
+the r5 gate reds (agg_winsorized_price / bpe_pair_counts /
+filter_quality_rules, all DuckDB HUGEINT-sum float64 vs Spark int64).
+A family mismatch is therefore reported as MISMATCH even when the %.6g
+hash agrees.
 
 Usage: python scripts/driver_sim.py [sf_dir] [name_substring ...]
 """
@@ -36,6 +45,30 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), list(df.columns), h
 
 
+def families(df: pd.DataFrame) -> dict[str, str]:
+    import decimal
+
+    out = {}
+    for c in sorted(df.columns):
+        dt = str(df[c].dtype)
+        if dt.startswith(("int", "uint", "Int", "UInt")):
+            out[c] = "int"
+        elif dt.startswith(("float", "Float")):
+            out[c] = "float"
+        elif dt == "object":
+            nn = df[c].dropna()
+            v = nn.iloc[0] if len(nn) else None
+            if isinstance(v, decimal.Decimal):
+                out[c] = "decimal"
+            elif isinstance(v, bool):
+                out[c] = "bool"
+            else:
+                out[c] = "object"
+        else:
+            out[c] = dt
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -65,8 +98,10 @@ def main() -> None:
             continue
         want_pd = con.sql(oracles[name]).df()
         g, w = canon(spark_pd), canon(want_pd)
-        status = "MATCH" if g == w else "MISMATCH"
-        if g == w:
+        gf, wf = families(spark_pd), families(want_pd)
+        good = g == w and gf == wf
+        status = "MATCH" if good else "MISMATCH"
+        if good:
             ok += 1
         else:
             bad += 1
@@ -74,6 +109,8 @@ def main() -> None:
         if g != w:
             print("  spark cols:", g[1])
             print("  oracle cols:", w[1])
+        if gf != wf:
+            print("  dtype diff:", {c: (gf.get(c), wf.get(c)) for c in sorted(set(gf) | set(wf)) if gf.get(c) != wf.get(c)})
     print(json.dumps({"match": ok, "mismatch": bad, "total": len(qs)}))
     spark.stop()
     sys.exit(1 if bad else 0)

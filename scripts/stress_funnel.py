@@ -66,6 +66,12 @@ def main(n: int = 1_000_000) -> None:
             funnel_report(events, ["signup", "view", "purchase"]),
             funnel_report_sql("events", ["signup", "view", "purchase"]),
         ),
+        # per-step conversion window — the r6 within= extension, stressed
+        # at the same scale; 3d over a 90-day horizon actually constrains
+        "funnel_within_3d": (
+            funnel_report(events, ["signup", "view", "purchase"], within="3d"),
+            funnel_report_sql("events", ["signup", "view", "purchase"], within="3d"),
+        ),
         "cohort": (
             cohort_retention(events, period="week", max_offset=12),
             cohort_retention_sql("events", period="week", max_offset=12),

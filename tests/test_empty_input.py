@@ -19,6 +19,7 @@ EXPECTED_GUARDS = {
     "ann_ivf_batch_topk": ValueError,  # same quantizer guard, batch path
     "embedding_pca_spectrum": ValueError,  # pca_fit needs >= 2 vectors
     "embedding_pca_trace_check": ValueError,  # same pca_fit guard
+    "embedding_pca_frobenius_check": ValueError,  # same pca_fit guard
 }
 
 

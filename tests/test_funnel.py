@@ -45,6 +45,33 @@ def test_funnel_same_timestamp_not_counted(spark):
     assert out == {"A": 1, "B": 0}
 
 
+def test_funnel_within_window(spark):
+    """within='1d' per-step conversion windows: a step landing exactly ON
+    the boundary counts (<=); one microsecond past does not; and the fold
+    is greedy — the window anchors on the EARLIEST qualifying prior step."""
+    from raise_featurestore_spark.analytics.funnel import funnel_report
+
+    rows = [
+        # u1: B exactly 24h after A — boundary inclusive, converts
+        (1, "2026-01-01 00:00:00", "A"), (1, "2026-01-02 00:00:00", "B"),
+        # u2: B 24h + 1s after A — outside the window
+        (2, "2026-01-01 00:00:00", "A"), (2, "2026-01-02 00:00:01", "B"),
+        # u3: first A->B conversion inside window, then C too late from
+        # that B (anchors on u3's EARLIEST B, not the later one)
+        (3, "2026-01-01 00:00:00", "A"), (3, "2026-01-01 12:00:00", "B"),
+        (3, "2026-01-05 00:00:00", "B"), (3, "2026-01-05 06:00:00", "C"),
+    ]
+    out = {r.step: r.n_entities for r in funnel_report(
+        _events(spark, rows), ["A", "B", "C"], within="1d"
+    ).collect()}
+    assert out == {"A": 3, "B": 2, "C": 0}
+    # unwindowed control: u2's B and u3's C all count
+    out2 = {r.step: r.n_entities for r in funnel_report(
+        _events(spark, rows), ["A", "B", "C"]
+    ).collect()}
+    assert out2 == {"A": 3, "B": 3, "C": 1}
+
+
 def test_cohort_retention_offsets(spark):
     from raise_featurestore_spark.analytics.funnel import cohort_retention
 

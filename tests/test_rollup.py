@@ -163,3 +163,36 @@ def test_streaming_rollup_recovers_interrupted_swap(spark, events, tmp_path):
         finalize_rollup(rollup_partials(events, "value"), ["count", "sum"])
     )
     assert got == want
+
+
+def test_streaming_rollup_replay_is_idempotent(spark, events, tmp_path):
+    """r5 ADVICE finding: a batch replayed after the swap landed but before
+    the streaming checkpoint committed must NOT re-merge its delta — the
+    _applied_batch marker (installed atomically with the swap) skips it."""
+    import os
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        make_rollup_batch_fn,
+        rollup_partials,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    fn = make_rollup_batch_fn(spark, state, "value")
+    half_a = events.where("event_id % 2 = 0")
+    half_b = events.where("event_id % 2 = 1")
+    fn(half_a, 0)
+    fn(half_b, 1)
+    want = _finalized_rows(
+        finalize_rollup(spark.read.parquet(state + "/live"), ["count", "sum"])
+    )
+    fn(half_b, 1)  # checkpoint-uncommitted crash => Structured Streaming replay
+    got = _finalized_rows(
+        finalize_rollup(spark.read.parquet(state + "/live"), ["count", "sum"])
+    )
+    assert got == want
+    # and equals a from-scratch recompute (nothing double-counted)
+    assert got == _finalized_rows(
+        finalize_rollup(rollup_partials(events, "value"), ["count", "sum"])
+    )

@@ -193,6 +193,39 @@ def test_exact_moments_match_builtin_semantics(spark):
         assert exact[name] == pytest.approx(plain[name], rel=1e-3), name
 
 
+def test_exact_moments_small_magnitude_grid(spark, ddb):
+    """r5 ADVICE finding: the default 1e-4 grid snaps sub-5e-5 rows to 0,
+    so small-magnitude domains (rates, probabilities) silently sum to 0.0
+    on BOTH engines. moment_grid_decimals raises the grid so such data
+    stays lossless; this pins both the hazard and the cure cross-engine."""
+    from raise_featurestore_spark.analytics.aggregation import (
+        aggregation_to_sql,
+        compile_aggregation,
+    )
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    rows = [(1e-5,)] * 100
+    sdf = spark.createDataFrame(rows, "x double")
+    # the documented hazard: default grid loses everything below 0.5e-4
+    coarse = Aggregation(features=["x"], metrics=["sum"])
+    assert compile_aggregation(sdf, coarse).collect()[0].sum_x == 0.0
+    # the cure: an 8-decimal grid holds 1e-5 exactly
+    fine = Aggregation(features=["x"], metrics=["sum", "avg"], moment_grid_decimals=8)
+    got = compile_aggregation(sdf, fine).collect()[0]
+    assert got.sum_x == pytest.approx(1e-3, rel=1e-9)
+    assert got.avg_x == pytest.approx(1e-5, rel=1e-9)
+
+    con = ddb(SF_DIR)
+    con.execute("CREATE OR REPLACE TABLE __tg(x DOUBLE)")
+    con.executemany("INSERT INTO __tg VALUES (?)", rows)
+    want = con.sql(aggregation_to_sql(fine, "__tg")).fetchone()
+    assert want[0] == got.sum_x and want[1] == got.avg_x
+
+    # and the knob is validated
+    with pytest.raises(Exception, match="moment_grid_decimals"):
+        Aggregation(features=["x"], metrics=["sum"], moment_grid_decimals=15)
+
+
 def test_exact_moments_nan_poison_and_n1(spark, ddb):
     """NaN rows poison exact-moment aggregates to NaN on BOTH engines;
     a 1-row group gets NULL stddev/variance on both."""

@@ -912,3 +912,90 @@ def test_quality_gate_scopes_to_batch_on_append(spark, tmp_path):
     run2 = job.run(spark)  # second append: table has 10 rows, batch has 5
     assert run2.status == "completed", run2.error
     assert spark.read.parquet(out_path).count() == 10
+
+
+def test_upsert_concurrent_reader_survives_swap(spark, tmp_path):
+    """r5 VERDICT item 6: generation-pinned reads give snapshot isolation
+    across an upsert commit — the previous generation's files never move,
+    so a reader planned before the swap finishes cleanly (the old
+    rename-swap design moved the live dir and broke every in-flight
+    reader). Fresh reads see the merged data; one retained + one live
+    generation on disk."""
+    import glob
+    import os
+
+    from raise_featurestore_spark.io.writer import (
+        read_feature_group,
+        write_feature_group,
+    )
+
+    path = str(tmp_path / "fg")
+    write_feature_group(
+        spark.range(500).selectExpr("id AS k", "id * 2 AS v"), path,
+        mode="overwrite",
+    )
+    snapshot = read_feature_group(spark, path)
+    assert snapshot.count() == 500  # plan + file index resolved pre-swap
+    write_feature_group(
+        spark.range(10).selectExpr("id AS k", "id * 100 AS v"), path,
+        mode="upsert", key_columns=["k"],
+    )
+    # the pre-swap snapshot still scans its own (retained) generation
+    assert snapshot.count() == 500
+    assert snapshot.where("k = 3").first().v == 6
+    fresh = read_feature_group(spark, path)
+    assert fresh.count() == 500 and fresh.where("k = 3").first().v == 300
+    assert len(glob.glob(path + "__gen_*")) == 2  # live + retained
+    assert os.path.islink(path)
+
+
+def test_upsert_mid_swap_crash_recovery(spark, tmp_path):
+    """r5 VERDICT item 6: crash debris must self-heal, never re-seed from
+    the next batch. (a) dangling symlink -> repoint at the newest complete
+    generation; (b) legacy layout with the live dir displaced and a
+    complete staging -> staging promoted; (c) legacy layout with only a
+    backup -> backup restored."""
+    import os
+    import shutil
+
+    from raise_featurestore_spark.io.writer import (
+        read_feature_group,
+        write_feature_group,
+    )
+
+    # (a) dangling symlink
+    path = str(tmp_path / "fg_a")
+    write_feature_group(
+        spark.range(100).selectExpr("id AS k", "id AS v"), path, mode="overwrite"
+    )
+    os.unlink(path)
+    os.symlink(str(tmp_path / "nowhere"), path)
+    write_feature_group(
+        spark.range(3).selectExpr("id AS k", "id * 9 AS v"), path,
+        mode="upsert", key_columns=["k"],
+    )
+    got = read_feature_group(spark, path)
+    assert got.count() == 100  # history recovered, not re-seeded from 3 rows
+    assert got.where("k = 1").first().v == 9
+
+    # (b) legacy: live missing, complete staging present
+    path_b = str(tmp_path / "fg_b")
+    spark.range(50).selectExpr("id AS k", "id AS v").write.parquet(
+        path_b + "__staging_dead"
+    )
+    write_feature_group(
+        spark.range(5).selectExpr("id AS k", "id * 9 AS v"), path_b,
+        mode="upsert", key_columns=["k"],
+    )
+    assert read_feature_group(spark, path_b).count() == 50
+
+    # (c) legacy: live missing, only a backup
+    path_c = str(tmp_path / "fg_c")
+    spark.range(70).selectExpr("id AS k", "id AS v").write.parquet(
+        path_c + "__old_dead"
+    )
+    write_feature_group(
+        spark.range(5).selectExpr("id AS k", "id * 9 AS v"), path_c,
+        mode="upsert", key_columns=["k"],
+    )
+    assert read_feature_group(spark, path_c).count() == 70
