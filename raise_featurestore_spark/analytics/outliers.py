@@ -79,22 +79,44 @@ def winsorized_stats(
     else:
         bounds = src.agg(*bounds_aggs)
         joined = src.crossJoin(F.broadcast(bounds))
+    from raise_featurestore_spark.functions.stable import dec_poison, dec_term, poisoned
+
     clamped = F.least(F.greatest(F.col("__x"), F.col("lo")), F.col("hi"))
+    # exact-decimal moments, NOT F.avg/F.stddev_samp: plain float
+    # aggregation is sum-order-dependent on BOTH engines (DuckDB's
+    # parallel morsels reorder run-to-run), so a mean near a stable_round
+    # snap boundary is a per-run coin flip — the emission rules require
+    # order-independent accumulation for emitted values. ONE set of
+    # decimal partials, mean/stddev derived over the grouped result
+    # (inlining dec_sum + dec_var re-evaluates the per-row decimal chain
+    # ~6× — the r6 profiler finding).
+    dec = dec_term(clamped)
     aggs = [
         F.count("__x").alias("n"),
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
         F.sum((F.col("__x") < F.col("lo")).cast("long")).cast("long").alias("n_clipped_lo"),
         F.sum((F.col("__x") > F.col("hi")).cast("long")).cast("long").alias("n_clipped_hi"),
-        # exact-decimal moments, NOT F.avg/F.stddev_samp: plain float
-        # aggregation is sum-order-dependent on BOTH engines (DuckDB's
-        # parallel morsels reorder run-to-run), so a mean near a
-        # stable_round snap boundary is a per-run coin flip — the emission
-        # rules require order-independent accumulation for emitted values.
-        stable_round(dec_sum(clamped) / F.count("__x").cast("double")).alias("win_mean"),
-        stable_round(F.sqrt(dec_var(clamped))).alias("win_stddev"),
+        F.sum(dec).cast("double").alias("__s1"),
+        F.sum(dec * dec).cast("double").alias("__s2"),
+        dec_poison(clamped).alias("__pp"),
     ]
-    return joined.groupBy(group_by).agg(*aggs) if group_by else joined.agg(*aggs)
+    grouped = joined.groupBy(group_by).agg(*aggs) if group_by else joined.agg(*aggs)
+    nn = F.col("n").cast("double")
+    s1, s2, pois = F.col("__s1"), F.col("__s2"), F.col("__pp")
+    var = F.greatest((s2 - s1 * s1 / nn) / (nn - F.lit(1.0)), F.lit(0.0))
+    out_cols = ([F.col(group_by)] if group_by else []) + [
+        F.col("n"),
+        F.col("lo"),
+        F.col("hi"),
+        F.col("n_clipped_lo"),
+        F.col("n_clipped_hi"),
+        stable_round(poisoned(s1 / nn, pois)).alias("win_mean"),
+        stable_round(
+            F.sqrt(poisoned(F.when(F.col("n") > 1, var), pois))
+        ).alias("win_stddev"),
+    ]
+    return grouped.select(*out_cols)
 
 
 def winsorized_stats_sql(

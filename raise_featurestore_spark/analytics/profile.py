@@ -45,6 +45,12 @@ _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
 
 
 def _metrics_for(col: str, dtype: str, approx_distinct: bool, round_to: int) -> list[tuple[str, Column]]:
+    """Directly-aggregated metrics. Numeric mean/stddev are NOT here — they
+    derive from the shared decimal partials (:func:`_moment_partials`) in a
+    post-aggregate projection: inlining dec_sum + dec_var per metric
+    re-evaluates the decimal when-chains ~6× per column, which blew the
+    whole-stage-codegen method budget into interpreted mode and cost 5×
+    wall-clock on the events profile (r6 bench finding)."""
     c = F.col(col)
     base_type = dtype.split("(")[0]
     distinct = (
@@ -58,9 +64,6 @@ def _metrics_for(col: str, dtype: str, approx_distinct: bool, round_to: int) -> 
     if base_type in _NUMERIC:
         d = c.cast("double")
         out += [
-            ("mean", stable_round(dec_sum(d) / F.count(d).cast("double"),
-                                  decimals=round_to) + F.lit(0.0)),
-            ("stddev", stable_round(F.sqrt(dec_var(d)), decimals=round_to) + F.lit(0.0)),
             ("min", F.min(d)),
             ("max", F.max(d)),
         ]
@@ -87,19 +90,61 @@ def profile(
 ) -> DataFrame:
     """(col_name, metric, value) — one row per computed statistic, one scan
     for the whole table."""
+    from raise_featurestore_spark.functions.stable import dec_poison, dec_term, poisoned
+
     dtypes = dict(df.dtypes)
     cols = columns or [c for c in df.columns if dtypes[c].split("(")[0] in
                        _NUMERIC | {"string", "timestamp", "timestamp_ntz", "boolean"}]
     aggs: list[Column] = []
+    # exact COUNT(DISTINCT) over N columns compiles to an Expand that
+    # multiplies every input row N+1 times — running the per-row decimal
+    # moment chains on the EXPANDED rows multiplied their cost by the
+    # column count (r6 bench finding). Distinct counts get their own
+    # aggregate pass; the two 1-row frames cross-join for free.
+    distinct_aggs: list[Column] = []
     stack_items: list[str] = []
+    derived: list[Column] = []
     for i, col in enumerate(cols):
         for j, (metric, expr) in enumerate(
             _metrics_for(col, dtypes[col], approx_distinct, round_to)
         ):
             alias = f"__p_{i}_{j}"
-            aggs.append(expr.alias(alias))
+            target = (
+                distinct_aggs
+                if metric == "distinct_count" and not approx_distinct
+                else aggs
+            )
+            target.append(expr.alias(alias))
             stack_items.append(f"'{col}', '{metric}', {alias}")
+        if dtypes[col].split("(")[0] in _NUMERIC:
+            # ONE set of exact-decimal moment partials per column; mean and
+            # stddev derive from them over the 1-row aggregate (identical
+            # op sequence to dec_sum / sqrt(dec_var), shared children)
+            d = F.col(col).cast("double")
+            dec = dec_term(d)
+            aggs += [
+                F.count(d).cast("double").alias(f"__n_{i}"),
+                F.sum(dec).cast("double").alias(f"__s1_{i}"),
+                F.sum(dec * dec).cast("double").alias(f"__s2_{i}"),
+                dec_poison(d).alias(f"__pp_{i}"),
+            ]
+            nn, s1, s2 = F.col(f"__n_{i}"), F.col(f"__s1_{i}"), F.col(f"__s2_{i}")
+            pois = F.col(f"__pp_{i}")
+            mean = stable_round(
+                poisoned(s1 / nn, pois), decimals=round_to
+            ) + F.lit(0.0)
+            var = F.greatest((s2 - s1 * s1 / nn) / (nn - F.lit(1.0)), F.lit(0.0))
+            std = stable_round(
+                F.sqrt(poisoned(F.when(nn > 1, var), pois)), decimals=round_to
+            ) + F.lit(0.0)
+            derived += [mean.alias(f"__mean_{i}"), std.alias(f"__std_{i}")]
+            stack_items.append(f"'{col}', 'mean', __mean_{i}")
+            stack_items.append(f"'{col}', 'stddev', __std_{i}")
     one_row = df.agg(*aggs)
+    if distinct_aggs:
+        one_row = one_row.crossJoin(F.broadcast(df.agg(*distinct_aggs)))
+    if derived:
+        one_row = one_row.select(F.col("*"), *derived)
     return one_row.selectExpr(
         f"stack({len(stack_items)}, {', '.join(stack_items)}) AS (col_name, metric, value)"
     )

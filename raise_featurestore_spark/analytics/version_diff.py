@@ -59,17 +59,44 @@ def compile_version_diff(
         # the float sum is parallel-order-dependent and engine ROUND
         # diverges on repr-ties — the round-4 flake class (emission rules)
         from raise_featurestore_spark.functions.stable import (
-            dec_sum,
-            dec_var,
+            dec_poison,
+            dec_term,
+            poisoned,
             stable_round,
         )
 
         a, b = col_from.cast("double"), col_to.cast("double")
-        mean_a = dec_sum(a) / F.count(a).cast("double")
-        mean_b = dec_sum(b) / F.count(b).cast("double")
-        stats = df.agg(
-            F.count(a).alias("count_from"),
-            F.count(b).alias("count_to"),
+        # ONE set of decimal partials per side, stats derived over the
+        # 1-row aggregate — inlining dec_sum/dec_var per emitted column
+        # re-evaluates the per-row decimal chains ~5× (the r6 profiler
+        # finding; same cure)
+        deca, decb = dec_term(a), dec_term(b)
+        partials = df.agg(
+            F.count(a).cast("double").alias("__na"),
+            F.sum(deca).cast("double").alias("__s1a"),
+            F.sum(deca * deca).cast("double").alias("__s2a"),
+            dec_poison(a).alias("__pa"),
+            F.count(b).cast("double").alias("__nb"),
+            F.sum(decb).cast("double").alias("__s1b"),
+            F.sum(decb * decb).cast("double").alias("__s2b"),
+            dec_poison(b).alias("__pb"),
+        )
+
+        def _derived(n, s1, s2, p):
+            mean = poisoned(s1 / n, p)
+            var = F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
+            std = F.sqrt(poisoned(F.when(n > 1, var), p))
+            return mean, std
+
+        mean_a, std_a = _derived(
+            F.col("__na"), F.col("__s1a"), F.col("__s2a"), F.col("__pa")
+        )
+        mean_b, std_b = _derived(
+            F.col("__nb"), F.col("__s1b"), F.col("__s2b"), F.col("__pb")
+        )
+        stats = partials.select(
+            F.col("__na").cast("long").alias("count_from"),
+            F.col("__nb").cast("long").alias("count_to"),
             stable_round(mean_a).alias("mean_from"),
             stable_round(mean_b).alias("mean_to"),
             (
@@ -78,8 +105,8 @@ def compile_version_diff(
             ).alias(
                 "mean_change_pct"  # + 0.0: −0.0 canonicalization, mirrors SQL
             ),
-            stable_round(F.sqrt(dec_var(a)), decimals=round_to).alias("stddev_from"),
-            stable_round(F.sqrt(dec_var(b)), decimals=round_to).alias("stddev_to"),
+            stable_round(std_a, decimals=round_to).alias("stddev_from"),
+            stable_round(std_b, decimals=round_to).alias("stddev_to"),
         )
         parts.append(stats)
 
