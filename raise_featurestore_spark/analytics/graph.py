@@ -46,17 +46,33 @@ def cooccurrence_edges(
     df: DataFrame, basket_col: str, item_col: str
 ) -> DataFrame:
     """(src, dst, w): how many baskets contain both items (directed both
-    ways by construction). One self-join on the basket id over the
-    DEDUPED (basket, item) pairs — without the distinct, an item repeated
-    m times within one basket would contribute m to each partner edge,
-    skewing mass toward intra-basket duplicates (r5 review finding)."""
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("src")
-    ).distinct()
-    b = items.select("__b", F.col("src").alias("dst"))
+    ways by construction). ``collect_set`` dedupes items per basket —
+    an item repeated m times within one basket must contribute 1 to each
+    partner edge, not m (r5 review finding) — and the ordered pairs are
+    generated MAP-SIDE from each basket's item set (bounded: ≤ ~7 items
+    per order ⇒ ≤ 42 pairs), so the whole build is two shuffles (basket
+    grouping, then the (src, dst) count) instead of the previous
+    distinct + self-join + count three-shuffle plan, which also evaluated
+    the distinct on both join sides. (Measured at sf0.1: the build itself
+    is ~1 s faster; the bigger pagerank win was eliminating a duplicate
+    full execution of this plan — see pagerank's checkpoint note.)"""
+    sets_ = df.groupBy(F.col(basket_col).alias("__b")).agg(
+        F.collect_set(F.col(item_col)).alias("__items")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__items"),
+                lambda x: F.transform(
+                    F.filter(F.col("__items"), lambda y: y != x),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        )
+    )
     return (
-        items.join(b, "__b")
-        .where(F.col("src") != F.col("dst"))
+        sets_.select(pair.alias("p"))
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -75,20 +91,31 @@ def pagerank(
     so ``round_to`` defaults fine-grained)."""
     edges = cooccurrence_edges(df, basket_col, item_col)
     deg = edges.groupBy("src").agg(F.sum("w").alias("__wd"))
-    n = deg.count()  # symmetric graph: every node appears as a src
+    # localCheckpoint (eager): materializes the (edges ⋈ deg) list ONCE
+    # and truncates its lineage, so the k iterations reuse stored blocks
+    # instead of re-running the basket build per reference. The node
+    # count reads the CHECKPOINTED frame — a deg.count() before the
+    # checkpoint was a second full execution of the edge plan (r6 bench
+    # profiling; a persist() released before the caller's action was the
+    # r5 version of the same mistake).
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    n = edges.agg(F.count_distinct("src")).collect()[0][0]
     if n == 0:
         return edges.select(F.col("src").alias("node"), F.lit(0.0).alias("pr"))
     base = (1.0 - damping) / n
-    # localCheckpoint (eager): materializes the edge list ONCE and
-    # truncates its lineage, so the k iterations reuse stored blocks
-    # instead of re-running the self-join per reference — a persist()
-    # released before the caller's action was a silent no-op here
-    edges = edges.join(deg, "src").localCheckpoint(eager=True)
-    # pr as a frame (node, pr); iteration joins on src and re-aggregates
+    deg = edges.select("src", "__wd").distinct()  # from the checkpoint
+    # pr as a frame (node, pr); iteration joins on src and re-aggregates.
+    # n is already known driver-side, so the join
+    # strategy is chosen HERE, not left to stats AQE can't see through a
+    # localCheckpoint: a node-count-bounded pr frame broadcasts (killing
+    # the per-iteration shuffle of the edge list — 2× at fixture scale);
+    # past the broadcast budget it falls back to the shuffled equi-join.
+    _BROADCAST_NODES = 2_000_000  # ~2M (node, pr) rows ≈ tens of MB
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
+        pr_side = F.broadcast(pr) if n <= _BROADCAST_NODES else pr
         contrib = (
-            edges.join(pr, edges["src"] == pr["node"])
+            edges.join(pr_side, edges["src"] == pr_side["node"])
             .select(
                 F.col("dst"),
                 (F.col("pr") * F.col("w") / F.col("__wd")).alias("__c"),

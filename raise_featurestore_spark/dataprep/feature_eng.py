@@ -379,19 +379,27 @@ def standardize(
     )
 
     aggs = []
+    derived = []
     for c in cols:
         d = F.col(c).cast("double")
         if method == "zscore":
             # NaN/Inf/out-of-domain rows poison the fit to NaN (loud) —
             # without this, n counts a NaN row the decimal term nulled and
-            # every z-score silently shifts (r5 review finding)
-            n = F.count(d).cast("double")
+            # every z-score silently shifts (r5 review finding). ONE set
+            # of decimal partials per column; center/spread derive over
+            # the 1-row fit frame (inlining re-evaluates the per-row
+            # decimal chain ~5× — the r6 profiler finding)
             dec = dec_term(d)
-            s1 = F.sum(dec).cast("double")
-            s2 = F.sum(dec * dec).cast("double")
-            pois = dec_poison(d)
-            aggs.append(poisoned(s1 / n, pois).alias(f"__c_{c}"))
-            aggs.append(
+            aggs += [
+                F.count(d).cast("double").alias(f"__n_{c}"),
+                F.sum(dec).cast("double").alias(f"__s1_{c}"),
+                F.sum(dec * dec).cast("double").alias(f"__s2_{c}"),
+                dec_poison(d).alias(f"__pp_{c}"),
+            ]
+            n, s1 = F.col(f"__n_{c}"), F.col(f"__s1_{c}")
+            s2, pois = F.col(f"__s2_{c}"), F.col(f"__pp_{c}")
+            derived.append(poisoned(s1 / n, pois).alias(f"__c_{c}"))
+            derived.append(
                 poisoned(
                     F.sqrt(
                         F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
@@ -403,6 +411,8 @@ def standardize(
             pcts = F.percentile(d, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
             aggs.append(pcts.alias(f"__q_{c}"))
     fit = df.agg(*aggs)
+    if derived:
+        fit = fit.select(*derived)
     out = [F.col(id_col)]
     for c in cols:
         d = F.col(c).cast("double")
