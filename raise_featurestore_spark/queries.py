@@ -1763,7 +1763,11 @@ def _sql_job_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = SQLTransform(
         "SELECT n.n_name AS nation, COUNT(*) AS orders, "
-        "ROUND(SUM(o.o_totalprice), 2) AS revenue "
+        # FLOOR form, not ROUND: runs as Spark SQL here and as DuckDB SQL
+        # in the oracle twin — identical IEEE ops on both (emission rules)
+        # CAST(100 AS DOUBLE): a bare 100.0 literal is DECIMAL on both engines,
+        # and Spark's BIGINT/DECIMAL division yields DECIMAL (dtype split)
+        "FLOOR(SUM(o.o_totalprice) * CAST(100 AS DOUBLE) + 0.5) / CAST(100 AS DOUBLE) AS revenue "
         "FROM ord o JOIN cust c ON o.o_custkey = c.c_custkey "
         "JOIN nat n ON c.c_nationkey = n.n_nationkey "
         "WHERE o.o_orderstatus = '{{status}}' "
@@ -1784,7 +1788,7 @@ register(
     "transform_sql_job",
     _sql_job_revenue,
     "SELECT n_name AS nation, COUNT(*) AS orders, "
-    "ROUND(SUM(o_totalprice), 2) AS revenue "
+    "FLOOR(SUM(o_totalprice) * CAST(100 AS DOUBLE) + 0.5) / CAST(100 AS DOUBLE) AS revenue "
     "FROM orders JOIN customer ON o_custkey = c_custkey "
     "JOIN nation ON c_nationkey = n_nationkey "
     "WHERE o_orderstatus = 'F' GROUP BY n_name",
@@ -1823,14 +1827,14 @@ def _incremental_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = incremental_filter(load_table(spark, sf_dir, "events"), _INC_CONFIG, _INC_CHK)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("rows"),
-        F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),
+        STABLE.stable_round(STABLE.dec_sum(F.col("value").cast("double"))).alias("sum_value"),
     )
 
 
 register(
     "job_incremental_checkpoint",
     _incremental_slice,
-    "SELECT event_type, COUNT(*) AS rows, ROUND(SUM(CAST(value AS DOUBLE)), 4) AS sum_value "
+    "SELECT event_type, COUNT(*) AS rows, " + STABLE.stable_round_sql(STABLE.dec_sum_sql("CAST(value AS DOUBLE)")) + " AS sum_value "
     "FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY event_type",
 )
 
@@ -1858,7 +1862,7 @@ def _upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # they can be removed before the driver collects the result
         return (
             spark.read.parquet(path)
-            .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+            .select("o_orderkey", STABLE.grid_snap(F.col("o_totalprice"), 4).alias("o_totalprice"))
             .localCheckpoint()
         )
     finally:
@@ -1869,8 +1873,8 @@ register(
     "job_upsert_merge",
     _upsert_merge,
     "SELECT o_orderkey, "
-    "ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END, 4) "
-    "AS o_totalprice FROM orders WHERE o_orderkey % 3 != 0 OR o_orderkey % 2 = 0",
+    + STABLE.grid_snap_sql("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END", 4)
+    + " AS o_totalprice FROM orders WHERE o_orderkey % 3 != 0 OR o_orderkey % 2 = 0",
 )
 
 
@@ -1899,16 +1903,16 @@ register(
     "job_quality_report",
     _quality_report,
     "SELECT 'null' AS \"check\", 'null_o_custkey' AS name, "
-    "ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) = 0 "
+    + STABLE.grid_snap_sql("SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1)", 6) + " = 0 "
     "AS passed, "
-    "ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) "
+    + STABLE.grid_snap_sql("SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1)", 6) + " "
     "AS observed FROM orders "
     "UNION ALL SELECT 'unique', 'unique_o_orderkey', "
     "COUNT(*) - COUNT(DISTINCT o_orderkey) = 0, "
     "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders "
     "UNION ALL SELECT 'range', 'range_o_totalprice', "
-    "ROUND(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) <= 0, "
-    "ROUND(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1), 6) "
+    + STABLE.grid_snap_sql("SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1)", 6) + " <= 0, "
+    + STABLE.grid_snap_sql("SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1)", 6) + " "
     "FROM orders "
     "UNION ALL SELECT 'custom', 'sane_date', TRUE, 0.0",
 )
@@ -1934,17 +1938,18 @@ def _inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.apply(emb.select("vec_id", "embedding")).select(
         # + 0.0 canonicalizes IEEE −0.0 → +0.0 (hash-stable across engines)
-        "vec_id", (F.round("score", 4) + F.lit(0.0)).alias("score")
+        "vec_id", (STABLE.grid_snap(F.col("score"), 4) + F.lit(0.0)).alias("score")
     )
 
 
 register(
     "inference_linear_batch",
     _inference_scores,
-    "SELECT vec_id, ROUND(0.5 + list_aggregate(list_transform(list_zip(embedding, "
+    "SELECT vec_id, "
+    + STABLE.grid_snap_sql("0.5 + list_aggregate(list_transform(list_zip(embedding, "
     "list_transform(range(1, len(embedding) + 1), i -> CASE WHEN (i - 1) % 2 = 0 "
-    "THEN 1.0 ELSE -1.0 END)), p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum'), 4) + 0.0 AS score "
-    "FROM embeddings",
+    "THEN 1.0 ELSE -1.0 END)), p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')", 4)
+    + " + 0.0 AS score FROM embeddings",
 )
 
 
@@ -2177,7 +2182,7 @@ def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("k").alias("rows"),
-            F.round(F.avg(F.col("k").cast("double")), 4).alias("avg_k"),
+            STABLE.grid_snap(F.avg(F.col("k").cast("double")), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.sum((F.col("k") > 50).cast("long")).alias("k_over_50"),
         )
@@ -2187,7 +2192,7 @@ def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "expr_json_extract",
     _json_props,
-    "SELECT event_type, COUNT(k) AS rows, ROUND(AVG(CAST(k AS DOUBLE)), 4) AS avg_k, "
+    "SELECT event_type, COUNT(k) AS rows, " + STABLE.grid_snap_sql("AVG(CAST(k AS DOUBLE))", 4) + " AS avg_k, "
     "MAX(k) AS max_k, CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k_over_50 "
     "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
     "FROM events) __j GROUP BY event_type",
@@ -2211,7 +2216,7 @@ def _split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hash_split(docs, "doc_id", _SPLITS)
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("rows"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        STABLE.grid_snap(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
     )
 
 
@@ -2220,7 +2225,7 @@ def _split_summary_sql() -> str:
 
     return (
         "SELECT split, COUNT(*) AS rows, "
-        "ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars FROM ("
+        + STABLE.grid_snap_sql("AVG(CAST(n_chars AS DOUBLE))", 4) + " AS avg_chars FROM ("
         + hash_split_sql("documents", "doc_id", _SPLITS)
         + ") __s GROUP BY split"
     )
@@ -2312,8 +2317,8 @@ def _asof_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.round("purchase_value", 4).alias("purchase_value"),
-        F.round("click_value", 4).alias("last_click_value"),
+        STABLE.grid_snap(F.col("purchase_value"), 4).alias("purchase_value"),
+        STABLE.grid_snap(F.col("click_value"), 4).alias("last_click_value"),
         F.expr("timestampdiff(MICROSECOND, __m, ts)").alias("gap_us"),
     )
 
@@ -2338,8 +2343,8 @@ def _asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.round("purchase_value", 4).alias("purchase_value"),
-        F.round("click_value", 4).alias("last_click_value"),
+        STABLE.grid_snap(F.col("purchase_value"), 4).alias("purchase_value"),
+        STABLE.grid_snap(F.col("click_value"), 4).alias("last_click_value"),
         F.expr("timestampdiff(MICROSECOND, __m, ts)").alias("gap_us"),
     )
 
@@ -2347,8 +2352,8 @@ def _asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "asof_salted_spine",
     _asof_salted,
-    "SELECT s.event_id, s.user_id, ROUND(s.value, 4) AS purchase_value, "
-    "ROUND(f.click_value, 4) AS last_click_value, "
+    "SELECT s.event_id, s.user_id, " + STABLE.grid_snap_sql("s.value", 4) + " AS purchase_value, "
+    + STABLE.grid_snap_sql("f.click_value", 4) + " AS last_click_value, "
     "CAST(date_diff('microsecond', f.ts, s.ts) AS BIGINT) AS gap_us "
     "FROM (SELECT event_id, user_id, ts, value FROM events "
     "WHERE event_type = 'purchase') s "
@@ -2361,8 +2366,8 @@ register(
 register(
     "asof_purchase_last_click",
     _asof_purchase_clicks,
-    "SELECT s.event_id, s.user_id, ROUND(s.value, 4) AS purchase_value, "
-    "ROUND(f.click_value, 4) AS last_click_value, "
+    "SELECT s.event_id, s.user_id, " + STABLE.grid_snap_sql("s.value", 4) + " AS purchase_value, "
+    + STABLE.grid_snap_sql("f.click_value", 4) + " AS last_click_value, "
     "CAST(date_diff('microsecond', f.ts, s.ts) AS BIGINT) AS gap_us "
     "FROM (SELECT event_id, user_id, ts, value FROM events "
     "WHERE event_type = 'purchase') s "
@@ -2680,10 +2685,19 @@ def _corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            (F.round(F.sum("n_chars").cast("double"), 4) / F.count("*")).alias("avg_chars"),
-            (F.round(F.sum("quality_score"), 4) / F.count("*")).alias("avg_quality"),
-            (F.round(F.sum("dup_token_frac"), 4) / F.count("*")).alias("avg_dup_frac"),
-            F.round(F.sum("n_tokens").cast("double"), 4).alias("total_tokens"),
+            # grid_snap (floor form) replaces engine ROUND; the 6-decimal
+            # dup fractions additionally sum in exact decimals — their
+            # float sum can land ON a 1e-4 midpoint where a snap of a
+            # noisy sum would flip per engine (emission rules)
+            (STABLE.grid_snap(F.sum("n_chars").cast("double"), 4) / F.count("*")).alias("avg_chars"),
+            (STABLE.grid_snap(F.sum("quality_score"), 4) / F.count("*")).alias("avg_quality"),
+            (
+                STABLE.grid_snap(
+                    STABLE.dec_sum(F.col("dup_token_frac"), grid_decimals=6), 4
+                )
+                / F.count("*")
+            ).alias("avg_dup_frac"),
+            STABLE.grid_snap(F.sum("n_tokens").cast("double"), 4).alias("total_tokens"),
         )
     )
 
@@ -2699,10 +2713,10 @@ def _corpus_health_sql() -> str:
     return (
         f"WITH __q AS ({q}), __r AS ({r}) "
         f"SELECT d.source, COUNT(*) AS n_docs, "
-        f"ROUND(SUM(CAST(d.n_chars AS DOUBLE)), 4) / COUNT(*) AS avg_chars, "
-        f"ROUND(SUM(__q.quality_score), 4) / COUNT(*) AS avg_quality, "
-        f"ROUND(SUM(__r.dup_token_frac), 4) / COUNT(*) AS avg_dup_frac, "
-        f"ROUND(SUM(CAST(__r.n_tokens AS DOUBLE)), 4) AS total_tokens "
+        f"{STABLE.grid_snap_sql('SUM(CAST(d.n_chars AS DOUBLE))', 4)} / COUNT(*) AS avg_chars, "
+        f"{STABLE.grid_snap_sql('SUM(__q.quality_score)', 4)} / COUNT(*) AS avg_quality, "
+        f"{STABLE.grid_snap_sql(STABLE.dec_sum_sql('__r.dup_token_frac', grid_decimals=6), 4)} / COUNT(*) AS avg_dup_frac, "
+        f"{STABLE.grid_snap_sql('SUM(CAST(__r.n_tokens AS DOUBLE))', 4)} AS total_tokens "
         f"FROM documents d JOIN __q ON d.doc_id = __q.doc_id "
         f"JOIN __r ON d.doc_id = __r.doc_id GROUP BY d.source"
     )

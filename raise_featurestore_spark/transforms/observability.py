@@ -34,6 +34,16 @@ class Severity(str, Enum):
     CRITICAL = "critical"
 
 
+def _snap(x: float, decimals: int) -> float:
+    """Driver-side twin of functions/stable.grid_snap: FLOOR(x*s + 0.5)/s.
+    Python's round() is banker's rounding and diverges from the engine
+    oracles on exact ties (count ratios hit them)."""
+    import math
+
+    s10 = float(10**decimals)
+    return math.floor(x * s10 + 0.5) / s10
+
+
 @dataclass
 class CheckResult:
     check: str
@@ -106,7 +116,7 @@ class NullCheck(_AggCheck):
         rate = float(row[f"{p}_rate"] or 0.0)
         return CheckResult(
             "null", self.name, rate <= self.max_null_rate, self.severity,
-            round(rate, 6), self.max_null_rate,
+            _snap(rate, 6), self.max_null_rate,
             f"null_rate({self.column})={rate:.4%}",
         )
 
@@ -182,7 +192,7 @@ class RangeCheck(_AggCheck):
         rate = float(row[f"{p}_rate"] or 0.0)
         return CheckResult(
             "range", self.name, rate <= self.max_violation_rate, self.severity,
-            round(rate, 6), self.max_violation_rate,
+            _snap(rate, 6), self.max_violation_rate,
             f"{self.column} outside [{self.min_value}, {self.max_value}]",
         )
 
@@ -238,7 +248,7 @@ class FreshnessCheck(_AggCheck):
         age = (now - newest).total_seconds()
         return CheckResult(
             "freshness", self.name, age <= limit, self.severity,
-            round(age, 1), limit, f"max({self.column}) is {age:.0f}s old",
+            _snap(age, 1), limit, f"max({self.column}) is {age:.0f}s old",
         )
 
 
@@ -267,7 +277,7 @@ class CustomCheck(_AggCheck):
         rate = float(row[f"{p}_rate"] or 0.0)
         return CheckResult(
             "custom", self.name, rate <= self.max_violation_rate, self.severity,
-            round(rate, 6), self.max_violation_rate, f"violates: {self.predicate}",
+            _snap(rate, 6), self.max_violation_rate, f"violates: {self.predicate}",
         )
 
 
@@ -297,7 +307,7 @@ class BlobIntegrityCheck:
         rate = missing / total if total else 0.0
         return CheckResult(
             "blob_integrity", self.name, rate <= self.max_missing_rate, self.severity,
-            round(rate, 6), self.max_missing_rate,
+            _snap(rate, 6), self.max_missing_rate,
             f"{missing}/{total} refs missing from storage",
         )
 
