@@ -15,10 +15,13 @@ Scale design:
   ``sample_size`` (reference analysis.py:176) remains available to bound
   cost further. Tie handling is the standard average-rank
   ``rank + (ties-1)/2``.
-- **kendall** (tau-b) has no distributed closed form; it runs on a bounded
-  sample via ``applyInPandas`` (Knight O(n log n) kernel). The sample is
-  the TakeOrdered prefix of a salted content hash — a uniform pseudo-random
-  draw, so the estimate carries the U-statistic error bound below.
+- **kendall** (tau-b) has no distributed closed form; THIS module runs it
+  on a bounded sample via ``applyInPandas`` (Knight O(n log n) kernel) —
+  the sample is the TakeOrdered prefix of a salted content hash, a uniform
+  pseudo-random draw, so the estimate carries the U-statistic error bound
+  below. For the EXACT full-data tau (no cap), use
+  ``analytics/kendall_full.kendall_tau_full`` — a distributed 3-term
+  inversion decomposition, bit-equal to this kernel.
 
 Sampled-kendall error bound (vs the full-data population tau): tau-b over
 a uniform random sample of size m is a two-sample U-statistic with kernel

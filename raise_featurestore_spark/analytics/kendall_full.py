@@ -1,0 +1,272 @@
+"""Distributed EXACT Kendall tau-b over the full data — no sample cap.
+
+Closes the r5 "what's missing" item: `analytics/correlation.py` serves
+kendall from a 50k bounded sample (with a documented U-statistic error
+bound), because tau has no single-aggregate closed form. This module
+computes the population tau-b exactly, distributed, in O(n log n)-ish
+work and memory bounded by max(partition, bucket) size:
+
+    tau_b = (n0 − n1 − n2 + n3 − 2·D) / sqrt((n0 − n1)(n0 − n2))
+
+where n0 = n(n−1)/2, n1/n2 = x/y tie pairs, n3 = joint tie pairs (all
+plain distributed groupBys) and D = discordant pairs = inversions of the
+y-sequence under the global (x, y) sort. D decomposes into three DISJOINT,
+individually-distributed terms:
+
+1. **Within-partition** — rows range-partitioned and sorted by (x, y);
+   each partition counts its own inversions with a Fenwick tree over
+   partition-local y ranks (`mapInPandas`, memory = its own rows).
+2. **Cross-partition, different y-bucket** — per-partition histograms
+   over B global y-RANK buckets (distinct y values get bucket ids from
+   the distributed rank kernel, so bucket order IS strict y order).
+   Pairs in different partitions AND different buckets are fully decided
+   by (partition, bucket) order: an exact einsum over the tiny P×B cell
+   matrix on the driver.
+3. **Cross-partition, same y-bucket** — rows shuffle by y-bucket
+   (~n/B each); within a bucket, inversions by global (x, y) order minus
+   each partition's internal inversions leaves exactly the
+   cross-partition pairs (`applyInPandas`, memory = bucket rows).
+
+x-tie safety needs no correction anywhere: the range partitioner and all
+local sorts order by (x, y), so an equal-x pair always has ascending y —
+it can never be counted as an inversion, matching its true contribution
+of zero to D.
+
+Counts are exact int64 inside kernels and DECIMAL(38,0) across the final
+aggregation; the formula itself runs in Python floats on the driver
+(n0 ~ n²/2 exceeds int64 past ~4.3e9 rows — the decimal path keeps the
+COUNTED terms exact well past that).
+
+Oracle: the direct O(n²) pair definition in DuckDB on the same (bounded)
+input — the driver gate runs it at sf0.01 where n² is affordable, and
+tests/stress pin equality with the Knight O(n log n) kernel at 100k+ rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def _fenwick_inversions(yr: np.ndarray, size: int) -> int:
+    """#pairs (i < j) with yr[i] > yr[j], ranks in [1, size]."""
+    tree = np.zeros(size + 1, dtype=np.int64)
+    inv = 0
+    seen = 0
+    for r in yr:
+        i = int(r)
+        s = 0
+        while i > 0:  # count inserted ranks <= r
+            s += tree[i]
+            i -= i & (-i)
+        inv += seen - s  # previously inserted with strictly greater rank
+        i = int(r)
+        while i <= size:
+            tree[i] += 1
+            i += i & (-i)
+        seen += 1
+    return int(inv)
+
+
+def _local_inv(y: np.ndarray) -> int:
+    """Inversions of a float sequence (ties contribute 0)."""
+    if len(y) < 2:
+        return 0
+    ranks = np.searchsorted(np.unique(y), y) + 1
+    return _fenwick_inversions(ranks, int(ranks.max()))
+
+
+def kendall_tau_full(
+    df: DataFrame,
+    feature_x: str,
+    feature_y: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """One row: (feature_a, feature_b, n, concordant_minus_discordant,
+    corr) — the EXACT tau-b over every input row."""
+    from raise_featurestore_spark.functions.prefix import ranked_by_value
+
+    spark = df.sparkSession
+    xy = (
+        df.select(
+            F.col(feature_x).cast("double").alias("__x"),
+            F.col(feature_y).cast("double").alias("__y"),
+        )
+        .na.drop()
+    )
+
+    # ----- tie terms (plain distributed groupBys, exact decimals)
+    def _tie_pairs(cols: list[str]) -> int:
+        t = xy.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+        row = t.agg(
+            F.sum(
+                (F.col("c").cast("decimal(38,0)") * (F.col("c") - 1) / 2).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("p"),
+            F.sum("c").alias("n"),
+        ).collect()[0]
+        return (int(row.p or 0), int(row.n or 0))
+
+    n1, n = _tie_pairs(["__x"])
+    n2, _ = _tie_pairs(["__y"])
+    n3, _ = _tie_pairs(["__x", "__y"])
+    if n < 2:
+        out = [(feature_x, feature_y, n, 0, None)]
+        return spark.createDataFrame(
+            out,
+            "feature_a string, feature_b string, n long, "
+            "concordant_minus_discordant long, corr double",
+        )
+    n0 = n * (n - 1) // 2
+
+    # ----- global y-rank buckets: distinct y values -> dense-rank bucket id
+    ydist = ranked_by_value(xy.select(F.col("__y").alias("v")), "v")
+    ny = ydist.count()
+    b = min(n_buckets, max(1, ny))
+    # avg_rank is strictly increasing over distinct v and lives on the ROW
+    # scale [1, n], so bucketing it yields ~equal-FREQUENCY buckets (skew-
+    # proof) while preserving strict y order between buckets
+    ybuck = ydist.select(
+        F.col("v"),
+        F.least(
+            F.lit(b - 1),
+            ((F.col("avg_rank") - 0.5) * b / F.lit(float(n))).cast("int"),
+        ).alias("__yb"),
+    )
+    rows = xy.join(F.broadcast(ybuck) if ny <= 2_000_000 else ybuck,
+                   xy["__y"] == ybuck["v"]).select("__x", "__y", "__yb")
+
+    # ----- global (x, y) range sort with partition ids.
+    # localCheckpoint (eager): the decomposition below reads this frame in
+    # TWO separate jobs (term 1+2 histograms, term 3 bucket shuffle), and
+    # repartitionByRange picks its boundaries by SAMPLING — recomputing it
+    # per job can assign the same row different __pid values, silently
+    # dropping/double-counting cross-partition pairs (caught at 30k rows:
+    # tau off by ~1e-4 in either direction). Freezing the rows pins one
+    # consistent (order, pid, bucket) view for every term.
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    srt = (
+        rows.repartitionByRange(p, "__x", "__y")
+        .sortWithinPartitions("__x", "__y")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    # ----- term 1 + histograms in ONE pass over the sorted partitions
+    def part_stats(batches):
+        xs: list[np.ndarray] = []
+        ys: list[np.ndarray] = []
+        bs: list[np.ndarray] = []
+        pid = -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            xs.append(pdf["__x"].to_numpy())
+            ys.append(pdf["__y"].to_numpy())
+            bs.append(pdf["__yb"].to_numpy())
+        if pid < 0:
+            return
+        y = np.concatenate(ys)
+        yb = np.concatenate(bs)
+        inv = _local_inv(y)
+        out = [{"kind": 0, "pid": pid, "yb": -1, "v": inv}]
+        vals, cnts = np.unique(yb, return_counts=True)
+        for u, c in zip(vals, cnts):
+            out.append({"kind": 1, "pid": pid, "yb": int(u), "v": int(c)})
+        yield pd.DataFrame(out)
+
+    stats = srt.mapInPandas(
+        part_stats, "kind int, pid int, yb int, v long"
+    ).collect()
+    d_local = sum(r.v for r in stats if r.kind == 0)
+    # term 2: exact driver einsum over the P×B cell matrix
+    maxpid = max((r.pid for r in stats if r.kind == 1), default=0)
+    M = np.zeros((maxpid + 1, b), dtype=np.int64)
+    for r in stats:
+        if r.kind == 1:
+            M[r.pid, r.yb] = r.v
+    # pairs (p < q, yb_p > yb_q): for each (q, bucket v), count of earlier
+    # partitions' rows in strictly higher buckets
+    pref_parts = np.cumsum(M, axis=0)  # inclusive over partitions
+    d_cross_diff = 0
+    for q in range(1, maxpid + 1):
+        earlier = pref_parts[q - 1]  # per-bucket counts in partitions < q
+        suffix = np.cumsum(earlier[::-1])[::-1]  # counts in buckets >= v
+        higher = np.concatenate([suffix[1:], [0]])  # strictly > v
+        # python-int products: the int64 dot would overflow past ~1e9-row
+        # partitions x buckets; P*B terms are trivially few
+        d_cross_diff += sum(int(a) * int(h) for a, h in zip(M[q], higher))
+
+    # ----- term 3: per y-bucket, cross-partition inversions
+    def bucket_inv(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__x", "__y"], kind="mergesort")
+        total = _local_inv(pdf["__y"].to_numpy())
+        within = 0
+        for _, g in pdf.groupby("__pid", sort=False):
+            within += _local_inv(g["__y"].to_numpy())
+        return pd.DataFrame({"v": [total - within]})
+
+    d_cross_same = (
+        srt.groupBy("__yb")
+        .applyInPandas(bucket_inv, "v long")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+        .collect()[0]
+    )
+    d = d_local + d_cross_diff + int(d_cross_same.s or 0)
+
+    cmd = n0 - n1 - n2 + n3 - 2 * d  # C - D
+    denom = float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
+    tau = (float(cmd) / denom) if denom > 0 else None  # all-tied: NULL
+    if round_to is not None and tau is not None:
+        import math
+
+        s10 = float(10**round_to)  # grid_snap's floor form, driver-side
+        tau = math.floor(tau * s10 + 0.5) / s10 + 0.0
+    return spark.createDataFrame(
+        [(feature_x, feature_y, n, int(cmd), tau)],
+        "feature_a string, feature_b string, n long, "
+        "concordant_minus_discordant long, corr double",
+    )
+
+
+def kendall_tau_full_sql(
+    table: str,
+    feature_x: str,
+    feature_y: str,
+    where: str | None = None,
+    round_to: int | None = 4,
+) -> str:
+    """DuckDB oracle: the direct O(n²) pair definition — affordable at the
+    gate's sf0.01 input sizes, and exactly the semantics the distributed
+    decomposition must reproduce. All terms are exact integers < 2^53."""
+    from raise_featurestore_spark.functions.stable import grid_snap_sql
+
+    w = f" WHERE ({where}) AND " if where else " WHERE "
+    w += f"{feature_x} IS NOT NULL AND {feature_y} IS NOT NULL"
+    tau = "CAST(s AS DOUBLE) / SQRT(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))"
+    if round_to is not None:
+        tau = f"{grid_snap_sql(tau, round_to)} + 0.0"
+    return (
+        f"WITH __r AS (SELECT ROW_NUMBER() OVER () AS rn, "
+        f"CAST({feature_x} AS DOUBLE) AS x, CAST({feature_y} AS DOUBLE) AS y "
+        f"FROM {table}{w}), "
+        f"__p AS (SELECT SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 "
+        f"WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1 ELSE 0 END) AS s, "
+        f"SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS n1, "
+        f"SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS n2, "
+        f"COUNT(*) AS n0 FROM __r a JOIN __r b ON a.rn < b.rn), "
+        f"__n AS (SELECT COUNT(*) AS n FROM __r) "
+        f"SELECT '{feature_x}' AS feature_a, '{feature_y}' AS feature_b, "
+        f"CAST(n AS BIGINT) AS n, "
+        f"CAST(COALESCE(s, 0) AS BIGINT) AS concordant_minus_discordant, "
+        f"CASE WHEN n0 > n1 AND n0 > n2 THEN {tau} END AS corr "
+        f"FROM __p, __n"
+    )

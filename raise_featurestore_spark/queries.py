@@ -1071,6 +1071,29 @@ register(
     FN.funnel_report_sql("events", ["signup", "view", "purchase"]),
 )
 
+# Distributed EXACT kendall tau-b (analytics/kendall_full.py): no sample
+# cap — the r5 "what's missing" item. Inversion counting decomposed into
+# within-partition Fenwick + cross-partition histogram cells + per-bucket
+# residue; oracle = the direct O(n²) pair definition on the same input
+# (affordable at gate scale; equality with the Knight kernel pinned at
+# 100k rows in tests and 1M in scripts/stress_kendall.py).
+from raise_featurestore_spark.analytics.kendall_full import (
+    kendall_tau_full,
+    kendall_tau_full_sql,
+)
+
+_KF_WHERE = "event_type = 'purchase' AND user_id % 4 = 0"
+
+register(
+    "corr_kendall_full",
+    lambda spark, sf_dir: kendall_tau_full(
+        load_table(spark, sf_dir, "events").where(_KF_WHERE),
+        "value",
+        "user_id",
+    ),
+    kendall_tau_full_sql("events", "value", "user_id", where=_KF_WHERE),
+)
+
 register(
     # per-step conversion window (within="7d", the PRD duration grammar):
     # step k counts only within 7 days of the user's step k-1 time —
@@ -2812,10 +2835,11 @@ _PROMOTED = [
     "agg_winsorized_price",
     "bpe_pair_counts",
     # (b) first value verdict: pca_spectrum gained an oracle this round
-    # (was the last rows-only entry); the other two are new r6 queries
+    # (was the last rows-only entry); the other three are new r6 queries
     "embedding_pca_spectrum",
     "embedding_pca_frobenius_check",
     "funnel_within_7d",
+    "corr_kendall_full",
     # (c) the 31 entries whose latest verdict is r3 (3 rounds stale) —
     # several also carry this round's grid_snap/dec_sum emission changes
     "expr_cross_group_join",
@@ -2865,7 +2889,6 @@ _PROMOTED = [
     "corr_pearson_matrix",
     "corr_spearman",
     "corr_kendall_sampled",
-    "text_quality_score",
 ]
 
 

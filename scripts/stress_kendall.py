@@ -1,0 +1,57 @@
+"""1M-row differential for the distributed exact Kendall tau-b.
+
+Ground truth is the Knight O(n log n) kernel (`correlation._tau_b`) on the
+same driver-collected arrays — exact, so the distributed 3-term inversion
+decomposition must agree BIT-FOR-BIT, not within a band. Heavy ties in
+both columns exercise every tie term; the partition/bucket grid shakes the
+decomposition's boundary cases at a scale where an off-by-one across a
+range boundary is ~certain to surface.
+
+Usage: python scripts/stress_kendall.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n: int = 1_000_000) -> None:
+    from raise_featurestore_spark.analytics.correlation import _tau_b
+    from raise_featurestore_spark.analytics.kendall_full import kendall_tau_full
+    from raise_featurestore_spark.session import get_spark
+
+    spark = get_spark("stress-kendall")
+    rng = np.random.default_rng(17)
+    x = np.round(rng.normal(size=n) * 40, 1)          # ~800 distinct, heavy ties
+    y = np.round(0.55 * x + rng.normal(size=n) * 25)  # integer ties
+    t0 = time.perf_counter()
+    want = _tau_b(x, y)
+    t_knight = time.perf_counter() - t0
+    sdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    ).cache()
+    sdf.count()
+    for nb, p in [(64, None), (16, 8)]:
+        t0 = time.perf_counter()
+        got = kendall_tau_full(
+            sdf, "x", "y", round_to=None, n_buckets=nb, num_partitions=p
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        status = "MATCH" if got.corr == want else "MISMATCH"
+        print(
+            f"kendall_full(buckets={nb}, parts={p}): {status} "
+            f"tau={got.corr!r} (knight {want!r}) n={got.n} spark={dt:.1f}s "
+            f"knight={t_knight:.1f}s"
+        )
+        assert got.corr == want, (got.corr, want)
+    print(f"1M-row exact-kendall differential: bit-identical (n={n})")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)

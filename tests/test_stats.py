@@ -269,3 +269,46 @@ def test_kendall_sample_estimates_population_tau(spark):
     tau_hat = got[("x", "y")]
     band = 4.0 / np.sqrt(m)  # ~0.057
     assert abs(tau_hat - tau_pop) <= band, (tau_hat, tau_pop, band)
+
+
+def test_kendall_full_matches_knight_kernel(spark):
+    """Distributed exact tau-b (3-term inversion decomposition) must equal
+    the O(n log n) Knight kernel BIT-EXACTLY — heavy x/y ties, multiple
+    partition/bucket shapes, and the degenerate edges."""
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.correlation import _tau_b
+    from raise_featurestore_spark.analytics.kendall_full import kendall_tau_full
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    x = np.round(rng.normal(size=n) * 5, 1)           # x ties
+    y = np.round(0.4 * x + rng.normal(size=n) * 2)    # integer y ties
+    sdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    want = _tau_b(x, y)
+    for nb, p in [(4, 3), (64, 32)]:
+        got = kendall_tau_full(
+            sdf, "x", "y", round_to=None, n_buckets=nb, num_partitions=p
+        ).collect()[0]
+        assert got.corr == want, (nb, p, got.corr, want)
+        assert got.n == n
+
+    # degenerate edges: single row, all-x-tied (NULL tau), anticorrelated
+    one = kendall_tau_full(
+        spark.createDataFrame([(1.0, 2.0)], "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert one.n == 1 and one.corr is None
+    tied = kendall_tau_full(
+        spark.createDataFrame([(1.0, 1.0), (1.0, 2.0)], "x double, y double"),
+        "x", "y",
+    ).collect()[0]
+    assert tied.corr is None  # zero x-spread: denominator 0
+    anti = kendall_tau_full(
+        spark.createDataFrame(
+            [(1.0, 4.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)], "x double, y double"
+        ),
+        "x", "y", round_to=None,
+    ).collect()[0]
+    assert anti.corr == -1.0 and anti.concordant_minus_discordant == -6
