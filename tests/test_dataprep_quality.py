@@ -183,8 +183,11 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
 
 
 def test_profile_single_scan_and_values(spark):
-    """profile() computes every column's stats in ONE aggregate over ONE
-    scan, and the values are right on a hand-built frame."""
+    """profile() computes every column's stats in at most TWO aggregate
+    passes — the main one, plus a separate pass for exact COUNT(DISTINCT)
+    whose Expand would otherwise multiply every row through the heavy
+    decimal moment chains (r6 bench finding: 5× wall-clock fused) — and
+    the values are right on a hand-built frame."""
     from raise_featurestore_spark.analytics.profile import profile
 
     df = spark.createDataFrame(
@@ -193,7 +196,7 @@ def test_profile_single_scan_and_values(spark):
     )
     out = profile(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 2
     got = {(r["col_name"], r["metric"]): r["value"] for r in out.collect()}
     assert got[("k", "count")] == 2.0
     assert got[("k", "null_count")] == 1.0
