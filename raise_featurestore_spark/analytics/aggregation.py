@@ -130,10 +130,16 @@ def _metric_column(
     c = F.col(feature)
     d = c.cast("double")
     if exact and metric in ("sum", "avg", "mean", "stddev", "variance"):
+        from raise_featurestore_spark.functions.stable import underflow_poison
+
         dec = _exact_dec(d, grid)
         s1 = F.sum(dec).cast("double")
         nn = F.count(d).cast("double")
-        poison = _exact_poison(d, grid)
+        # dec-domain poison + the small-magnitude underflow sentinel: a
+        # group whose rows MOSTLY snap to 0 on the 1e-g grid would emit a
+        # confidently wrong moment on BOTH engines (oracle-invisible) —
+        # poison it loud instead; callers raise moment_grid_decimals
+        poison = _exact_poison(d, grid) + underflow_poison(d, grid)
         if metric == "sum":
             core = s1
         elif metric in ("avg", "mean"):
@@ -193,10 +199,12 @@ def _metric_sql(
     x = feature
     d = f"CAST({x} AS DOUBLE)"
     if exact and metric in ("sum", "avg", "mean", "stddev", "variance"):
+        from raise_featurestore_spark.functions.stable import underflow_poison_sql
+
         dec = _exact_dec_sql(d, grid)
         s1 = f"CAST(SUM({dec}) AS DOUBLE)"
         nn = f"CAST(COUNT({d}) AS DOUBLE)"
-        poison = _exact_poison_sql(d, grid)
+        poison = f"({_exact_poison_sql(d, grid)}) + ({underflow_poison_sql(d, grid)})"
         if metric == "sum":
             core = s1
         elif metric in ("avg", "mean"):
@@ -256,16 +264,27 @@ def _null_count_fixup(metric: str, feature: str, col: Column) -> Column:
     return col
 
 
+_DEFAULT_GRID = Aggregation.__dataclass_fields__["moment_grid_decimals"].default
+
+
+def _effective_round(round_to: int | None, spec: Aggregation) -> int | None:
+    """Emission follows the input grid ONLY when the user raised it: a
+    spec with moment_grid_decimals=8 (probabilities) must not have the
+    emission round re-snap the result to the coarse 1e-4 grid and zero it
+    out, so round_to widens to g. But a caller who explicitly passed
+    round_to=2 with the DEFAULT grid gets exactly 2 decimals — the old
+    unconditional max() silently overrode that rounding contract (r6
+    ADVICE item 2)."""
+    if round_to is None or spec.moment_grid_decimals <= _DEFAULT_GRID:
+        return round_to
+    return max(round_to, spec.moment_grid_decimals)
+
+
 def compile_aggregation(
     df: DataFrame, spec: Aggregation, round_to: int | None = DEFAULT_ROUND
 ) -> DataFrame:
     """Compile an Aggregation spec against ``df`` into a DataFrame plan."""
-    if round_to is not None:
-        # emission follows the input grid: a user who raised
-        # moment_grid_decimals for small-magnitude data (probabilities at
-        # g=8) must not have the EMISSION round re-snap the result to the
-        # coarse 1e-4 grid and zero it out
-        round_to = max(round_to, spec.moment_grid_decimals)
+    round_to = _effective_round(round_to, spec)
     if spec.filter:
         df = df.where(F.expr(spec.filter))
 
@@ -369,8 +388,7 @@ def aggregation_to_sql(
     spec: Aggregation, table: str, round_to: int | None = DEFAULT_ROUND
 ) -> str:
     """Equivalent ANSI SQL (DuckDB-compatible) for the same spec."""
-    if round_to is not None:
-        round_to = max(round_to, spec.moment_grid_decimals)  # mirror compile_aggregation
+    round_to = _effective_round(round_to, spec)  # mirror compile_aggregation
     where = []
     if spec.filter:
         where.append(f"({spec.filter})")
@@ -409,11 +427,15 @@ def _rolling_partials(feature: str, exact: bool, grid: int = 4) -> list[Column]:
     d = c.cast("double")
     s = "".join(ch if ch.isalnum() else "_" for ch in feature)
     if exact:
+        from raise_featurestore_spark.functions.stable import underflow_count
+
         # the same flake-killer as the flat path (_exact_dec): per-bucket
         # moment partials in exact decimals, so both the bucket aggregate
         # AND the window recombination are order-independent integer math;
         # a per-bucket NaN/Inf poison flag rides along (decimal can't hold
-        # non-finites — they are nulled before the cast and re-applied).
+        # non-finites — they are nulled before the cast and re-applied),
+        # plus the underflow COUNT partial (mergeable across buckets; the
+        # majority test runs over the window totals, not per bucket).
         dec = _exact_dec(d, grid)
         return [
             F.count(c).alias(f"__n_{s}"),
@@ -422,6 +444,7 @@ def _rolling_partials(feature: str, exact: bool, grid: int = 4) -> list[Column]:
             F.min(c).alias(f"__mn_{s}"),
             F.max(c).alias(f"__mx_{s}"),
             _exact_poison(d, grid).alias(f"__p_{s}"),
+            underflow_count(d, grid).alias(f"__uf_{s}"),
         ]
     return [
         F.count(c).alias(f"__n_{s}"),
@@ -430,6 +453,7 @@ def _rolling_partials(feature: str, exact: bool, grid: int = 4) -> list[Column]:
         F.min(c).alias(f"__mn_{s}"),
         F.max(c).alias(f"__mx_{s}"),
         F.lit(0.0).alias(f"__p_{s}"),
+        F.lit(0).cast("long").alias(f"__uf_{s}"),
     ]
 
 
@@ -474,7 +498,10 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
         # exact integer math); only this cast-to-double rounds, once.
         tot = F.sum(F.col(f"__s_{s}")).over(w).cast("double")
         ss = F.sum(F.col(f"__ss_{s}")).over(w).cast("double")
-        pois = F.max(F.col(f"__p_{s}")).over(w)
+        uf = F.sum(F.col(f"__uf_{s}")).over(w)
+        pois = F.max(F.col(f"__p_{s}")).over(w) + F.when(
+            uf * 2 > n, F.lit(float("nan"))
+        ).otherwise(F.lit(0.0))
         for metric in spec.metrics:
             alias = f"rolling_{metric_alias(metric, ft)}"
             if metric == "count":
@@ -515,6 +542,8 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
         s = "".join(ch if ch.isalnum() else "_" for ch in ft)
         d = f"CAST({ft} AS DOUBLE)"
         if spec.exact_moments:
+            from raise_featurestore_spark.functions.stable import underflow_count_sql
+
             dec = _exact_dec_sql(d, spec.moment_grid_decimals)
             partials += [
                 f"COUNT({ft}) AS __n_{s}",
@@ -523,6 +552,7 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
                 f"MIN({ft}) AS __mn_{s}",
                 f"MAX({ft}) AS __mx_{s}",
                 f"{_exact_poison_sql(d, spec.moment_grid_decimals)} AS __p_{s}",
+                f"{underflow_count_sql(d, spec.moment_grid_decimals)} AS __uf_{s}",
             ]
         else:
             partials += [
@@ -532,6 +562,7 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
                 f"MIN({ft}) AS __mn_{s}",
                 f"MAX({ft}) AS __mx_{s}",
                 f"0.0 AS __p_{s}",
+                f"CAST(0 AS BIGINT) AS __uf_{s}",
             ]
     inner = (
         f"SELECT {keys}STRFTIME(DATE_TRUNC('day', {spec.time_column}), '%Y-%m-%d') AS period_start, "
@@ -546,7 +577,10 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
         n = f"SUM(__n_{s}) {frame}"
         tot = f"CAST(SUM(__s_{s}) {frame} AS DOUBLE)"
         ss = f"CAST(SUM(__ss_{s}) {frame} AS DOUBLE)"
-        pois = f"MAX(__p_{s}) {frame}"
+        pois = (
+            f"(MAX(__p_{s}) {frame} + CASE WHEN SUM(__uf_{s}) {frame} * 2 > {n} "
+            f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"
+        )
         for metric in spec.metrics:
             alias = f"rolling_{metric_alias(metric, ft)}"
             if metric == "count":

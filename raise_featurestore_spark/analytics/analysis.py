@@ -127,10 +127,14 @@ class Aggregation(_Spec):
     #  - quantization: each row is snapped to the 1e-g grid BEFORE
     #    summing, so per-row error is ≤ 0.5e-g. For data whose magnitude
     #    is itself below ~0.5e-g (rates, probabilities, tiny measurements)
-    #    every row snaps to 0 and the aggregate is arbitrarily wrong —
-    #    consistently on BOTH engines, invisible to the oracle. RAISE g
-    #    (e.g. 8 for unit-scale/probability data) so the grid is lossless
-    #    for your feature's magnitude; keep typical |x| ≥ ~10·1e-g.
+    #    every row snaps to 0 and the aggregate would be arbitrarily
+    #    wrong — consistently on BOTH engines, invisible to the oracle.
+    #    GUARDED since r7: an in-plan sentinel counts nonzero rows below
+    #    half a grid step and POISONS the group to NaN when they are the
+    #    majority (functions/stable.underflow_poison — loud, instead of a
+    #    confidently wrong 0.0). RAISE g (e.g. 8 for unit-scale/
+    #    probability data) so the grid is lossless for your feature's
+    #    magnitude; keep typical |x| ≥ ~10·1e-g.
     exact_moments: bool = True
     moment_grid_decimals: int = 4
 

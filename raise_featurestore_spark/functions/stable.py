@@ -200,6 +200,64 @@ def dec_poison(c: Column, grid_decimals: int = 4) -> Column:
     )
 
 
+def _underflow_limit(grid_decimals: int) -> float:
+    """Half a grid step: a row with 0 < |x| < this snaps to 0 on the grid,
+    contributing NOTHING to the exact-decimal sum."""
+    return 0.5 * 10.0 ** (-grid_decimals)
+
+
+def underflow_count(c: Column, grid_decimals: int = 4) -> Column:
+    """Aggregate count of rows that underflow the grid (nonzero yet below
+    half a grid step) — the mergeable partial behind
+    :func:`underflow_poison`; rolling recombination sums these per-bucket
+    partials over its window before applying the majority test."""
+    lim = F.lit(_underflow_limit(grid_decimals))
+    return F.sum(((c != F.lit(0.0)) & (F.abs(c) < lim)).cast("long"))
+
+
+def underflow_count_sql(expr: str, grid_decimals: int = 4) -> str:
+    """DuckDB twin of :func:`underflow_count`."""
+    lim = repr(_underflow_limit(grid_decimals))
+    return (
+        f"SUM(CASE WHEN ({expr}) <> 0 AND ABS({expr}) < {lim} "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def underflow_poison(c: Column, grid_decimals: int = 4) -> Column:
+    """The SMALL-magnitude footgun guard (r6 VERDICT "what's wrong" #1):
+    the grid snap quantizes every row BEFORE summing, so data whose
+    magnitude sits below half a grid step (probabilities/rates at the
+    default g=4) snaps to 0 row by row and the aggregate comes out
+    arbitrarily wrong — consistently on BOTH engines, structurally
+    invisible to the oracle. This sentinel counts non-null rows that are
+    nonzero yet below half a grid step and poisons the group to NaN (loud)
+    when they are the MAJORITY: at that point the grid is plainly wrong
+    for the column's magnitude and the caller must raise
+    ``moment_grid_decimals``. A minority of sub-grid rows keeps the
+    aggregate (their total contribution is bounded by n/2 half-steps —
+    negligible against a majority of on-grid rows). Pure integer
+    comparisons over identically-evaluated predicates, so Spark and the
+    DuckDB twin poison the same groups. NaN rows never count (NaN < lim is
+    false on both engines; dec_poison already NaNs them); 0.0 on a clean
+    or all-null group; NULL on an empty one — add to the dec_poison flag
+    and apply via :func:`poisoned`."""
+    uf = underflow_count(c, grid_decimals)
+    return F.when(uf * 2 > F.count(c), F.lit(float("nan"))).otherwise(F.lit(0.0))
+
+
+def underflow_poison_sql(expr: str, grid_decimals: int = 4) -> str:
+    """DuckDB twin of :func:`underflow_poison` — same predicates, same
+    integer-majority comparison. (SUM CASE yields 0 where Spark's summed
+    NULL-boolean cast yields NULL on all-null groups; both sides then
+    resolve the poison to 0.0, so the emitted flag agrees.)"""
+    uf = underflow_count_sql(expr, grid_decimals)
+    return (
+        f"CASE WHEN {uf} * 2 > COUNT({expr}) "
+        f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END"
+    )
+
+
 def poisoned(core: Column, poison: Column) -> Column:
     """NaN-poison application that survives the all-bad-rows group: the
     naive ``core + poison`` yields NULL there (SUM over all-NULL decimals
@@ -245,16 +303,24 @@ def dec_sum(c: Column, grid_decimals: int = 4) -> Column:
     Rows the decimal cannot hold (NaN, +/-Inf, |x| >= dec_domain_limit)
     poison the result to NaN — loud, instead of ANSI cast errors or
     silently dropped rows; callers with such domains opt out to the
-    plain double sum. All-NULL groups stay NULL.
+    plain double sum. Groups whose rows MOSTLY underflow the grid
+    (nonzero yet |x| < half a grid step — the small-magnitude footgun)
+    poison too (:func:`underflow_poison`): raise ``grid_decimals`` for
+    such data. All-NULL groups stay NULL.
     """
     core = F.sum(dec_term(c, grid_decimals)).cast("double")
-    return poisoned(core, dec_poison(c, grid_decimals))
+    flag = dec_poison(c, grid_decimals) + underflow_poison(c, grid_decimals)
+    return poisoned(core, flag)
 
 
 def dec_sum_sql(expr: str, grid_decimals: int = 4) -> str:
     """DuckDB twin of :func:`dec_sum`."""
     core = f"CAST(SUM({dec_term_sql(expr, grid_decimals)}) AS DOUBLE)"
-    return f"({poisoned_sql(core, dec_poison_sql(expr, grid_decimals))})"
+    flag = (
+        f"({dec_poison_sql(expr, grid_decimals)}) + "
+        f"({underflow_poison_sql(expr, grid_decimals)})"
+    )
+    return f"({poisoned_sql(core, flag)})"
 
 
 def dec_var(c: Column, grid_decimals: int = 4) -> Column:
@@ -275,7 +341,8 @@ def dec_var(c: Column, grid_decimals: int = 4) -> Column:
         (s2 - s1 * s1 / nn) / (nn - F.lit(1.0)), F.lit(0.0)
     )
     core = F.when(F.count(c) > 1, var)
-    return poisoned(core, dec_poison(c, grid_decimals))
+    flag = dec_poison(c, grid_decimals) + underflow_poison(c, grid_decimals)
+    return poisoned(core, flag)
 
 
 def dec_var_sql(expr: str, grid_decimals: int = 4) -> str:
@@ -286,4 +353,8 @@ def dec_var_sql(expr: str, grid_decimals: int = 4) -> str:
     s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
     var = f"GREATEST(({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0), 0.0)"
     core = f"CASE WHEN COUNT({expr}) > 1 THEN {var} END"
-    return f"({poisoned_sql(core, dec_poison_sql(expr, grid_decimals))})"
+    flag = (
+        f"({dec_poison_sql(expr, grid_decimals)}) + "
+        f"({underflow_poison_sql(expr, grid_decimals)})"
+    )
+    return f"({poisoned_sql(core, flag)})"

@@ -94,10 +94,20 @@ def _commit_swap(path: str, gen: str) -> None:
     tmp = f"{path}__ln_{uuid.uuid4().hex[:8]}"
     os.symlink(gen, tmp)
     os.replace(tmp, path)  # atomic on POSIX: commit point
-    keep = {gen, prev}
+    # realpath BOTH sides of the keep comparison: prev is already
+    # realpath'd, and a symlinked parent of path (symlinked data roots,
+    # macOS /tmp) would make abspath(glob entry) never equal it — the
+    # prune would delete the generation we just promised to retain
+    keep = {os.path.realpath(p) for p in (gen, prev) if p is not None}
     for g in glob.glob(f"{path}__gen_*"):
-        if os.path.abspath(g) not in keep:
+        if os.path.realpath(g) not in keep:
             shutil.rmtree(g, ignore_errors=True)
+    for ln in glob.glob(f"{path}__ln_*"):
+        # orphan temp links from a crash between symlink() and replace()
+        try:
+            os.unlink(ln)
+        except OSError:
+            pass
 
 
 def write_feature_group(
@@ -192,6 +202,12 @@ def _recover_interrupted_swap(path: str) -> None:
         else:
             os.unlink(path)
         return
+    for ln in glob.glob(f"{path}__ln_*"):
+        # stale temp links from a crash between symlink() and replace()
+        try:
+            os.unlink(ln)
+        except OSError:
+            pass
     if os.path.exists(path):
         # normal state: clear legacy stagings abandoned before their swap
         for leftover in glob.glob(f"{path}__staging_*"):

@@ -96,3 +96,114 @@ def test_dec_sum_partition_and_engine_invariant(spark):
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
     want = con.sql(f"SELECT {dec_sum_sql('x')} AS s FROM t").fetchone()[0]
     assert sums[0] == want
+
+
+def test_exact_moments_underflow_poisons_not_zero(spark):
+    """r6 VERDICT "what's wrong" #1, pinned: 1M rows of 1e-5 on the default
+    1e-4 grid must NOT emit a confidently wrong 0.0 — the in-plan underflow
+    sentinel poisons the moment to NaN, identically on BOTH engines."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.analytics.aggregation import (
+        aggregation_to_sql,
+        compile_aggregation,
+    )
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    df = spark.range(1_000_000).select(F.lit(1e-5).alias("x"))
+    spec = Aggregation(features=["x"], metrics=["sum", "avg", "stddev"])
+    row = compile_aggregation(df, spec).collect()[0]
+    assert math.isnan(row.sum_x)
+    assert math.isnan(row.avg_x)
+    assert math.isnan(row.stddev_x)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(1e-5 AS DOUBLE) AS x FROM range(1000000)")
+    got = con.sql(aggregation_to_sql(spec, "t")).fetchone()
+    assert all(math.isnan(v) for v in got)
+
+    # raising the grid to cover the magnitude restores the exact answer
+    spec8 = Aggregation(features=["x"], metrics=["sum"], moment_grid_decimals=8)
+    row8 = compile_aggregation(df, spec8).collect()[0]
+    assert abs(row8.sum_x - 10.0) < 1e-9
+    got8 = con.sql(aggregation_to_sql(spec8, "t")).fetchone()[0]
+    assert got8 == row8.sum_x
+
+    # a MINORITY of sub-grid rows keeps the aggregate (their total
+    # contribution is bounded by half-steps; poisoning here would be noise)
+    df2 = spark.range(1000).select(
+        F.when(F.col("id") < 10, F.lit(1e-5)).otherwise(F.lit(2.5)).alias("x")
+    )
+    row2 = compile_aggregation(df2, Aggregation(features=["x"], metrics=["sum"])).collect()[0]
+    assert abs(row2.sum_x - 990 * 2.5) < 0.01
+
+
+def test_dec_sum_underflow_guard(spark):
+    """The standalone dec_sum/dec_var kernels carry the same sentinel."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.functions.stable import (
+        dec_sum,
+        dec_sum_sql,
+        dec_var,
+    )
+
+    tiny = spark.range(100).select(F.lit(2e-5).alias("x"))
+    assert math.isnan(tiny.agg(dec_sum(F.col("x")).alias("s")).collect()[0].s)
+    assert math.isnan(tiny.agg(dec_var(F.col("x")).alias("v")).collect()[0].v)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(2e-5 AS DOUBLE) AS x FROM range(100)")
+    assert math.isnan(con.sql(f"SELECT {dec_sum_sql('x')} AS s FROM t").fetchone()[0])
+
+    # zeros are NOT underflow (a column of exact 0.0 sums to 0.0)
+    zeros = spark.range(100).select(F.lit(0.0).alias("x"))
+    assert zeros.agg(dec_sum(F.col("x")).alias("s")).collect()[0].s == 0.0
+
+
+def test_rolling_exact_moments_underflow_poisons(spark):
+    """The rolling recombination applies the majority test over WINDOW
+    totals of the per-bucket underflow partials."""
+    import datetime
+
+    from raise_featurestore_spark.analytics.aggregation import compile_aggregation
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, 12, 0, 0), 1e-5)
+        for d in range(3)
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, x double")
+    spec = Aggregation(
+        features=["x"], metrics=["sum"], rolling=True, periods=2, time_column="ts"
+    )
+    out = compile_aggregation(df, spec).collect()
+    assert all(math.isnan(r.rolling_sum_x) for r in out)
+
+
+def test_round_to_contract_not_silently_widened(spark):
+    """r6 ADVICE item 2: an explicit round_to=2 with the DEFAULT grid must
+    emit 2 decimals; only a RAISED grid widens the emission."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.analytics.aggregation import (
+        aggregation_to_sql,
+        compile_aggregation,
+    )
+    from raise_featurestore_spark.analytics.analysis import Aggregation
+
+    df = spark.createDataFrame([(1.2345,), (1.2345,)], "x double")
+    spec = Aggregation(features=["x"], metrics=["avg"])
+    got = compile_aggregation(df, spec, round_to=2).collect()[0].avg_x
+    assert got == 1.23
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(1.2345,), (1.2345,)])
+    assert con.sql(aggregation_to_sql(spec, "t", round_to=2)).fetchone()[0] == got
+
+    # raised grid still widens (the probabilities-at-g=8 protection)
+    spec8 = Aggregation(features=["x"], metrics=["avg"], moment_grid_decimals=8)
+    got8 = compile_aggregation(df, spec8, round_to=2).collect()[0].avg_x
+    assert got8 == 1.2345

@@ -312,3 +312,38 @@ def test_kendall_full_matches_knight_kernel(spark):
         "x", "y", round_to=None,
     ).collect()[0]
     assert anti.corr == -1.0 and anti.concordant_minus_discordant == -6
+
+
+def test_local_inv_vectorized_matches_fenwick():
+    """r7: the vectorized mergesort inversion kernel is a drop-in for the
+    interpreted Fenwick loop — pinned equal on ties, sorted, reversed,
+    constant, and random shapes."""
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.kendall_full import (
+        _fenwick_inversions,
+        _local_inv,
+    )
+
+    def fenwick_ref(y):
+        if len(y) < 2:
+            return 0
+        ranks = np.searchsorted(np.unique(y), y) + 1
+        return _fenwick_inversions(ranks, int(ranks.max()))
+
+    rng = np.random.default_rng(3)
+    cases = [
+        np.array([]), np.array([5.0]),
+        np.arange(100.0), np.arange(100.0)[::-1].copy(),
+        np.zeros(50), np.array([1.0, 1.0, 0.0, 2.0, 0.0]),
+    ]
+    for _ in range(40):
+        n = int(rng.integers(2, 400))
+        cases.append(rng.integers(0, 6, n).astype(float))   # heavy ties
+        cases.append(rng.normal(size=n))
+    for y in cases:
+        assert _local_inv(y) == fenwick_ref(y), y[:10]
+    # non-power-of-two lengths exercise the ragged final merge blocks
+    for n in (3, 5, 17, 31, 33, 255, 257, 1000):
+        y = rng.normal(size=n)
+        assert _local_inv(y) == fenwick_ref(y)

@@ -999,3 +999,58 @@ def test_upsert_mid_swap_crash_recovery(spark, tmp_path):
         mode="upsert", key_columns=["k"],
     )
     assert read_feature_group(spark, path_c).count() == 70
+
+
+def test_commit_swap_symlinked_parent_keeps_previous_generation(spark, tmp_path):
+    """r6 ADVICE item 1: with a SYMLINKED parent of the target path
+    (symlinked data roots, macOS /tmp), the prune's keep-set comparison
+    must still recognize the just-retained previous generation — an
+    abspath-vs-realpath mismatch used to rmtree it at commit, voiding
+    snapshot isolation for in-flight readers."""
+    import glob as _glob
+    import os
+
+    from raise_featurestore_spark.io.writer import (
+        read_feature_group,
+        write_feature_group,
+    )
+
+    real_root = tmp_path / "real_root"
+    real_root.mkdir()
+    link_root = tmp_path / "link_root"
+    os.symlink(str(real_root), str(link_root))
+    path = str(link_root / "fg")  # every parent access goes via the symlink
+
+    write_feature_group(
+        spark.range(100).selectExpr("id AS k", "id AS v"), path, mode="overwrite"
+    )
+    snapshot = read_feature_group(spark, path)
+    assert snapshot.count() == 100
+    write_feature_group(
+        spark.range(5).selectExpr("id AS k", "id * 9 AS v"), path,
+        mode="upsert", key_columns=["k"],
+    )
+    # previous generation retained (2 gens) AND the pinned reader survives
+    assert len(_glob.glob(path + "__gen_*")) == 2
+    assert snapshot.count() == 100
+    assert read_feature_group(spark, path).where("k = 1").first().v == 9
+
+
+def test_commit_swap_cleans_orphan_ln_links(spark, tmp_path):
+    """r6 ADVICE item 5: a crash between symlink() and replace() leaves a
+    ``path__ln_*`` orphan; the next commit/recovery must unlink it."""
+    import glob as _glob
+    import os
+
+    from raise_featurestore_spark.io.writer import write_feature_group
+
+    path = str(tmp_path / "fg")
+    write_feature_group(
+        spark.range(10).selectExpr("id AS k", "id AS v"), path, mode="overwrite"
+    )
+    os.symlink(str(tmp_path / "anywhere"), path + "__ln_deadbeef")
+    write_feature_group(
+        spark.range(3).selectExpr("id AS k", "id * 2 AS v"), path,
+        mode="upsert", key_columns=["k"],
+    )
+    assert _glob.glob(path + "__ln_*") == []
