@@ -89,7 +89,6 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "warm_total": round(sum(warm.values()), 3),
-        "queries_warm": warm,
     }
     try:
         out["prd_targets"] = _prd_targets(spark, sf_dir)
@@ -97,6 +96,21 @@ def main() -> None:
         out["prd_targets"] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
     if failures:
         out["failures"] = failures
+    # FULL record (incl. per-query warm timings) to a side file: the r6
+    # driver artifact recorded only a tail of stdout and parsed null, so
+    # the machine-readable per-query record must survive independently of
+    # any stdout capture buffer (VERDICT r6 item 6 / missing #4). Stdout
+    # keeps the one-line contract but drops the warm per-query map to
+    # halve the line.
+    full = dict(out)
+    full["queries_warm"] = warm
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_local.json")
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout must not fail the bench
     print(json.dumps(out))
     spark.stop()
     sys.exit(1 if failures else 0)

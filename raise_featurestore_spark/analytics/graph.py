@@ -98,7 +98,36 @@ def pagerank(
     # checkpoint was a second full execution of the edge plan (r6 bench
     # profiling; a persist() released before the caller's action was the
     # r5 version of the same mistake).
-    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    #
+    # repartition(dst) BEFORE the checkpoint (r6 VERDICT item 5, the one
+    # perf-weak query): each iteration aggregates contributions BY dst,
+    # and with ~2.4M nearly-unique (src, dst) edges that groupBy was a
+    # full shuffle of the edge-scale frame PER ITERATION. The checkpoint
+    # preserves outputPartitioning (LogicalRDD keeps the physical plan's
+    # partitioning), the broadcast pr-join preserves the streamed side's
+    # layout, so HashPartitioning(dst) already satisfies the aggregate's
+    # clustering — zero per-iteration edge-scale Exchange (plan-asserted
+    # in test_graph.py). One extra edge-scale shuffle at build time buys
+    # k shuffle-free iterations.
+    #
+    # AQE must be OFF while the checkpoint is CREATED (restored right
+    # after): under AQE the executed plan is an AdaptiveSparkPlan whose
+    # outputPartitioning reports unknown, so the LogicalRDD forgets the
+    # layout and every iteration re-shuffles anyway (measured: the
+    # repartition alone changed nothing). AQE has no decision to make in
+    # this one known user-specified shuffle, and consumers re-enable it.
+    spark_s = df.sparkSession
+    shuffle_p = int(spark_s.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark_s.conf.get("spark.sql.adaptive.enabled")
+    spark_s.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            edges.join(deg, "src")
+            .repartition(shuffle_p, "dst")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark_s.conf.set("spark.sql.adaptive.enabled", aqe_was)
     n = edges.agg(F.count_distinct("src")).collect()[0][0]
     if n == 0:
         return edges.select(F.col("src").alias("node"), F.lit(0.0).alias("pr"))

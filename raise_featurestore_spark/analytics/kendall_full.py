@@ -360,3 +360,253 @@ def kendall_tau_full_sql(
         f"CASE WHEN n0 > n1 AND n0 > n2 THEN {tau} END AS corr "
         f"FROM __p, __n"
     )
+
+
+def kendall_tau_matrix(
+    df: DataFrame,
+    features: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """EXACT tau-b for every feature pair — the reference's N×N
+    Correlation matrix semantics (raise_/analytics/analysis.py:152-195)
+    at full-population exactness, amortized over ONE range exchange
+    (r6 VERDICT "next round" item 4: the per-pair kendall_tau_full
+    re-shuffled the frame N(N−1)/2 times).
+
+    How one range partitioning serves every pair despite each pair
+    sorting by a different (x, y): the clean rows are REPLICATED into a
+    (pair_id, x, y) frame (posexplode of per-pair structs) and range-
+    partitioned by (pair_id, x, y) — partitions are contiguous per pair
+    and x-ordered within it, which is all the 3-term decomposition needs.
+    Total shuffled bytes equal the N(N−1)/2 separate shuffles; the plan
+    has ONE range Exchange, one checkpoint, and two term jobs for ALL
+    pairs (plan-asserted in tests). Per-partition memory keeps the
+    single-pair bound: partition count scales with the pair count.
+
+    Shared work collapses further: per-feature tie terms and rank-bucket
+    boundaries come from ONE posexplode marginal pass (a feature's x-tie
+    count is the same in every pair it joins), and per-pair JOINT tie
+    pairs ride the term-1 partition pass for free (equal (pair, x, y)
+    keys never split across range partitions, so within-partition run
+    counting is exact).
+
+    NULL semantics: LISTWISE — a row missing/NaN in ANY feature is
+    dropped from every pair, the standard correlation-matrix contract
+    (pairwise-complete would make each pair's n differ; the single-pair
+    kendall_tau_full keeps pairwise semantics).
+
+    Returns one row per unordered pair (i < j in ``features`` order):
+    (feature_a, feature_b, n, concordant_minus_discordant, corr).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from raise_featurestore_spark.functions.prefix import grouped_range_prefix_sums
+
+    if len(features) < 2:
+        raise ValueError("kendall_tau_matrix requires >= 2 features")
+    spark = df.sparkSession
+    k = len(features)
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    fcols = [F.col(f).cast("double").alias(f"__f{i}") for i, f in enumerate(features)]
+    clean = df.select(*fcols)
+    for i in range(k):
+        c = F.col(f"__f{i}")
+        clean = clean.where(c.isNotNull() & ~F.isnan(c))
+
+    # ----- one marginal pass: per-feature value counts feed BOTH the
+    # per-feature tie terms and the rank buckets
+    marg = (
+        clean.select(
+            F.posexplode(F.array(*[F.col(f"__f{i}") for i in range(k)])).alias(
+                "fi", "v"
+            )
+        )
+        .groupBy("fi", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    _tp = (F.col("t").cast("decimal(38,0)") * (F.col("t") - 1) / 2).cast(
+        "decimal(38,0)"
+    )
+    trows = (
+        marg.groupBy("fi")
+        .agg(F.sum(_tp).alias("p"), F.sum("t").alias("n"), F.count(F.lit(1)).alias("nd"))
+        .collect()
+    )
+    tie = {int(r.fi): int(r.p or 0) for r in trows}
+    n = int(trows[0].n) if trows else 0
+    ndist = {int(r.fi): int(r.nd) for r in trows}
+    schema = (
+        "feature_a string, feature_b string, n long, "
+        "concordant_minus_discordant long, corr double"
+    )
+    if n < 2:
+        return spark.createDataFrame(
+            [(features[i], features[j], n, 0, None) for i, j in pairs], schema
+        )
+    n0 = n * (n - 1) // 2
+
+    # rank buckets per feature (grouped prefix kernel; monotone in v and
+    # ~equal-frequency, same construction as the single-pair path)
+    b = min(n_buckets, max(1, max(ndist.values())))
+    ranked = grouped_range_prefix_sums(marg, ["fi"], "v", {"__cum": "t"})
+    vbuck = ranked.select(
+        F.col("fi").alias("__bfi"),
+        F.col("v").alias("__bv"),
+        F.least(
+            F.lit(b - 1),
+            (
+                (F.col("__cum") - (F.col("t") - F.lit(1)) / F.lit(2.0) - 0.5)
+                * b
+                / F.lit(float(n))
+            ).cast("int"),
+        ).alias("__yb"),
+    )
+
+    # ----- replicate into (pair, x, y, yfeat) and attach the y bucket
+    structs = [
+        F.struct(
+            F.lit(pi).cast("int").alias("__pair"),
+            F.col(f"__f{i}").alias("__x"),
+            F.col(f"__f{j}").alias("__y"),
+            F.lit(j).cast("int").alias("__yf"),
+        )
+        for pi, (i, j) in enumerate(pairs)
+    ]
+    rep = clean.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    total_dist = sum(ndist.values())
+    vb = F.broadcast(vbuck) if total_dist <= 2_000_000 else vbuck
+    rows = rep.join(
+        vb, (F.col("__yf") == F.col("__bfi")) & (F.col("__y") == F.col("__bv"))
+    ).select("__pair", "__x", "__y", "__yb")
+
+    # ----- THE one range exchange for every pair (see module docstring
+    # for why the checkpoint is mandatory); partition count scales with
+    # the pair count so per-partition memory keeps the single-pair bound
+    p = (num_partitions or spark.sparkContext.defaultParallelism) * len(pairs)
+    srt = (
+        rows.repartitionByRange(p, "__pair", "__x", "__y")
+        .sortWithinPartitions("__pair", "__x", "__y")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    # ----- term 1 + histograms + per-pair joint-tie runs, one pass
+    def part_stats(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pid = int(pdf["__pid"].iloc[0])
+        out = []
+        for pr, g in pdf.groupby("__pair", sort=False):
+            y = g["__y"].to_numpy()
+            out.append(
+                {"kind": 0, "pair": int(pr), "pid": pid, "yb": -1,
+                 "v": _local_inv(y)}
+            )
+            vals, cnts = np.unique(g["__yb"].to_numpy(), return_counts=True)
+            for u, c in zip(vals, cnts):
+                out.append(
+                    {"kind": 1, "pair": int(pr), "pid": pid, "yb": int(u),
+                     "v": int(c)}
+                )
+            # joint (x, y) tie pairs: runs in the (x, y)-sorted partition;
+            # equal keys never split across range partitions, so the
+            # per-partition run counts sum to the exact global n3
+            x = g["__x"].to_numpy()
+            if len(g) > 1:
+                change = np.empty(len(g), dtype=bool)
+                change[0] = True
+                change[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+                rc = np.diff(np.append(np.flatnonzero(change), len(g)))
+                n3p = int((rc * (rc - 1) // 2).sum())
+            else:
+                n3p = 0
+            out.append({"kind": 2, "pair": int(pr), "pid": pid, "yb": -1, "v": n3p})
+        yield pd.DataFrame(out)
+
+    def bucket_inv(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__x", "__y"], kind="mergesort")
+        total = _local_inv(pdf["__y"].to_numpy())
+        within = 0
+        for _, g in pdf.groupby("__pid", sort=False):
+            within += _local_inv(g["__y"].to_numpy())
+        return pd.DataFrame({"pair": [int(key[0])], "v": [total - within]})
+
+    def _term3() -> dict[int, int]:
+        got = (
+            srt.groupBy("__pair", "__yb")
+            .applyInPandas(bucket_inv, "pair int, v long")
+            .groupBy("pair")
+            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        return {int(r.pair): int(r.s or 0) for r in got}
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut3 = ex.submit(_term3)
+        stats = srt.mapInPandas(
+            part_stats, "kind int, pair int, pid int, yb int, v long"
+        ).collect()
+        d_same = fut3.result()
+
+    maxpid = max((r.pid for r in stats), default=0)
+    d_local: dict[int, int] = {pi: 0 for pi in range(len(pairs))}
+    n3_by: dict[int, int] = {pi: 0 for pi in range(len(pairs))}
+    M = {pi: np.zeros((maxpid + 1, b), dtype=np.int64) for pi in range(len(pairs))}
+    for r in stats:
+        if r.kind == 0:
+            d_local[r.pair] += r.v
+        elif r.kind == 1:
+            M[r.pair][r.pid, r.yb] = r.v
+        else:
+            n3_by[r.pair] += r.v
+
+    out_rows = []
+    import math
+
+    for pi, (i, j) in enumerate(pairs):
+        Mp = M[pi]
+        pref = np.cumsum(Mp, axis=0)
+        d_diff = 0
+        for q in range(1, maxpid + 1):
+            earlier = pref[q - 1]
+            suffix = np.cumsum(earlier[::-1])[::-1]
+            higher = np.concatenate([suffix[1:], [0]])
+            d_diff += sum(int(a) * int(h) for a, h in zip(Mp[q], higher))
+        d = d_local[pi] + d_diff + d_same.get(pi, 0)
+        n1, n2, n3 = tie[i], tie[j], n3_by[pi]
+        cmd = n0 - n1 - n2 + n3 - 2 * d
+        denom = float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
+        tau = (float(cmd) / denom) if denom > 0 else None
+        if round_to is not None and tau is not None:
+            s10 = float(10**round_to)
+            tau = math.floor(tau * s10 + 0.5) / s10 + 0.0
+        cmd_out = int(cmd) if abs(cmd) < 2**63 else None
+        out_rows.append((features[i], features[j], n, cmd_out, tau))
+    return spark.createDataFrame(out_rows, schema)
+
+
+def kendall_tau_matrix_sql(
+    table: str,
+    features: list[str],
+    where: str | None = None,
+    round_to: int | None = 4,
+) -> str:
+    """DuckDB oracle for :func:`kendall_tau_matrix`: the direct O(n²)
+    pair definition per feature pair, UNION ALL'd, under the SAME listwise
+    row filter (every feature non-null and non-NaN)."""
+    listwise = " AND ".join(
+        f"{f} IS NOT NULL AND NOT ISNAN(CAST({f} AS DOUBLE))" for f in features
+    )
+    w = f"({where}) AND {listwise}" if where else listwise
+    parts = [
+        kendall_tau_full_sql(table, features[i], features[j], where=w,
+                             round_to=round_to)
+        for i in range(len(features))
+        for j in range(i + 1, len(features))
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)

@@ -1080,6 +1080,8 @@ register(
 from raise_featurestore_spark.analytics.kendall_full import (
     kendall_tau_full,
     kendall_tau_full_sql,
+    kendall_tau_matrix,
+    kendall_tau_matrix_sql,
 )
 
 _KF_WHERE = "event_type = 'purchase' AND user_id % 4 = 0"
@@ -1092,6 +1094,22 @@ register(
         "user_id",
     ),
     kendall_tau_full_sql("events", "value", "user_id", where=_KF_WHERE),
+)
+
+# Exact-Kendall MATRIX (r6 VERDICT item 4): every feature pair from ONE
+# data-scale range exchange — pair replication + shared marginal tie/rank
+# pass (analytics/kendall_full.py:kendall_tau_matrix; reference matrix
+# semantics raise_/analytics/analysis.py:152-195). Listwise NULL/NaN drop;
+# oracle = per-pair O(n²) definitions UNION ALL'd under the same filter.
+_KM_FEATS = ["value", "user_id", "event_id"]
+
+register(
+    "corr_kendall_matrix",
+    lambda spark, sf_dir: kendall_tau_matrix(
+        load_table(spark, sf_dir, "events").where(_KF_WHERE),
+        _KM_FEATS,
+    ),
+    kendall_tau_matrix_sql("events", _KM_FEATS, where=_KF_WHERE),
 )
 
 register(
@@ -2819,76 +2837,70 @@ register(
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # verdict the FIRST 50 slots each round. Rotate so the least-recently-
-# verdicted entries come first. Round-5 rotation: (a) the two queries that
-# hash-FAILED in the r4 driver window, re-verdicted after the sig-round /
-# coarse-threshold fixes (VERDICT.md r4 items 1-2); (b) queries newly
-# registered this round; (c) the 37 entries whose latest verdict is r3 —
-# after this window, no query's latest verdict is older than two rounds.
-# The r4-green remainder fills the tail and rotates back next round.
+# verdicted entries come first. Round-7 rotation: (a) the 36 entries whose
+# latest verdict is r4 — exactly at the two-round staleness boundary, and
+# several (text_*, multimodal_*, dist_*, expr_*) sit on emission code the
+# r6 ROUND-purge rewrote (VERDICT r6 item 2 holds us to this); (b) the new
+# r7 query needing a first verdict; (c) 13 r5-verdicted entries that sit
+# on code r7 changed (the dec_sum/dec_var underflow sentinel, the pagerank
+# de-Exchange, the aggregation exact path, funnel). After this window no
+# query's latest verdict is older than r5.
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
-    # (a) r5 driver hash-FAILs, root-caused this round (oracle HUGEINT-sum
-    # float64 vs Spark int64 dtype split — see scripts/dtype_sweep.py) and
-    # fixed with BIGINT casts — must re-verdict first
-    "filter_quality_rules",
-    "agg_winsorized_price",
-    "bpe_pair_counts",
-    # (b) first value verdict: pca_spectrum gained an oracle this round
-    # (was the last rows-only entry); the other three are new r6 queries
-    "embedding_pca_spectrum",
-    "embedding_pca_frobenius_check",
-    "funnel_within_7d",
-    "corr_kendall_full",
-    # (c) the 31 entries whose latest verdict is r3 (3 rounds stale) —
-    # several also carry this round's grid_snap/dec_sum emission changes
-    "expr_cross_group_join",
-    "expr_window_lag",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "transform_sql_job",
-    "job_incremental_checkpoint",
-    "job_upsert_merge",
-    "job_quality_report",
-    "inference_linear_batch",
-    "version_diff_value",
-    "window_tumbling_daily",
-    "window_sliding_6h",
-    "window_session_user",
-    "source_columnar_pushdown",
-    "source_objectstorage_csv",
-    "source_filesystem_jsonl",
-    "expr_json_extract",
-    "split_train_val_test",
-    "sample_stratified_lang",
-    "asof_purchase_last_click",
-    "text_repetition",
-    "redact_pii",
-    "pack_context_windows",
-    "vector_quantize_int8",
-    "dedup_incremental_batch",
-    "decontaminate_benchmark",
-    "profile_table_events",
-    "text_vocab_topk",
-    # (d) r4-verdicted entries whose EMITTED VALUES changed in the r6
-    # engine-ROUND->grid_snap sweep (13 slots; the remaining ~17 changed
-    # r4 entries rotate into the r7 window — with a 50-slot window and
-    # 131 queries, no schedule keeps every entry under two rounds stale)
-    "stattest_ttest",
-    "stattest_welch",
-    "stattest_anova",
-    "stattest_chi2",
-    "stattest_welch_pvalue",
-    "agg_null_profile",
-    "dist_histogram_price",
-    "dist_cdf_segmented",
-    "dist_percentiles_by_segment",
-    "corr_pearson_matrix",
-    "corr_spearman",
-    "corr_kendall_sampled",
+    # (a) the 36 r4-stale entries
+    "agg_global_stats_approx",
+    "agg_pricing_summary",
+    "agg_rolling_by_type",
+    "agg_rolling_daily",
+    "agg_window_7d",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucket_topk",
+    "boilerplate_ngram_mine",
+    "chunk_sliding_window",
+    "corpus_health_by_source",
+    "corr_cross_group",
+    "dedup_exact_keepers",
+    "dist_density",
+    "dist_moments",
+    "expr_case_when",
+    "expr_zscore_hoisted",
+    "lookup_topk_orders",
+    "mix_temperature_sample",
+    "multimodal_blob_refs",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    "multimodal_integrity",
+    "point_lookup_customer",
+    "sample_exact_k_per_source",
+    "select_token_budget",
+    "semantic_dedup_clusters",
+    "shard_manifest",
+    "source_jdbc_query",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_counts",
+    "transform_pandas_batch",
+    "vector_norm_dot",
+    "vector_similarity_pairs",
+    # (b) new this round: first verdict
+    "corr_kendall_matrix",
+    # (c) r5-verdicted entries on r7-changed code paths
+    "graph_pagerank_coparts",
+    "agg_global_stats",
+    "join_tpch_q3_topk",
+    "join_tpch_q5_region",
+    "rollup_incremental_daily",
+    "forecast_backtest_naive",
+    "feature_standardize_z",
+    "feature_standardize_robust",
+    "feature_target_encode",
+    "embedding_gram_check",
+    "embedding_pca_trace_check",
+    "dedup_substring_overlap",
+    "funnel_signup_view_purchase",
 ]
 
 

@@ -347,3 +347,69 @@ def test_local_inv_vectorized_matches_fenwick():
     for n in (3, 5, 17, 31, 33, 255, 257, 1000):
         y = rng.normal(size=n)
         assert _local_inv(y) == fenwick_ref(y)
+
+
+def test_kendall_matrix_matches_knight_and_amortizes_shuffles(spark, monkeypatch):
+    """r6 VERDICT item 4: the exact-Kendall MATRIX computes every pair from
+    ONE data-scale range exchange (not one per pair) and matches the Knight
+    kernel bit-exactly per pair."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from raise_featurestore_spark.analytics.correlation import _tau_b
+    from raise_featurestore_spark.analytics.kendall_full import kendall_tau_matrix
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    a = np.round(rng.normal(size=n) * 5, 1)
+    b = np.round(0.4 * a + rng.normal(size=n) * 2)
+    c = rng.integers(0, 8, n).astype(float)
+    d = rng.normal(size=n)
+    sdf = spark.createDataFrame(
+        [tuple(map(float, t)) for t in zip(a, b, c, d)],
+        "a double, b double, c double, d double",
+    )
+
+    calls = []
+    cls = type(sdf)  # pyspark 4: the classic impl class, not the ABC
+    orig = cls.repartitionByRange
+
+    def counting(self, *args, **kwargs):
+        calls.append(args)
+        return orig(self, *args, **kwargs)
+
+    monkeypatch.setattr(cls, "repartitionByRange", counting)
+
+    arrs = {"a": a, "b": b, "c": c, "d": d}
+    for feats in (["a", "b", "c"], ["a", "b", "c", "d"]):
+        calls.clear()
+        got = {
+            (r.feature_a, r.feature_b): r.corr
+            for r in kendall_tau_matrix(sdf, feats, round_to=None).collect()
+        }
+        assert len(got) == len(feats) * (len(feats) - 1) // 2
+        for (fa, fb), tau in got.items():
+            assert tau == _tau_b(arrs[fa], arrs[fb]), (fa, fb)
+        # exactly TWO range exchanges regardless of pair count: the
+        # replicated data frame (the one data-scale shuffle) + the prefix
+        # kernel over per-feature DISTINCT values (metadata scale)
+        assert len(calls) == 2, calls
+
+
+def test_kendall_matrix_listwise_nulls_and_nan(spark):
+    """Matrix semantics are LISTWISE: a row bad in any feature drops from
+    every pair, so every pair reports the same n."""
+    from raise_featurestore_spark.analytics.kendall_full import kendall_tau_matrix
+
+    rows = [
+        (1.0, 2.0, 3.0),
+        (2.0, 1.0, None),          # null in c -> dropped everywhere
+        (3.0, float("nan"), 1.0),  # NaN in b -> dropped everywhere
+        (4.0, 4.0, 2.0),
+        (5.0, 3.0, 0.0),
+    ]
+    sdf = spark.createDataFrame(rows, "a double, b double, c double")
+    out = kendall_tau_matrix(sdf, ["a", "b", "c"]).collect()
+    assert {r.n for r in out} == {3}
+    got = {(r.feature_a, r.feature_b): r.corr for r in out}
+    assert got[("a", "c")] == -1.0  # (1,3),(4,2),(5,0) strictly discordant
