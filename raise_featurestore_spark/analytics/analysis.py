@@ -197,12 +197,27 @@ class Correlation(_Spec):
     method: str = "pearson"
     sample_size: int | None = None
     filter: str | None = None
+    # engine addition (kendall only): compute the EXACT full-population
+    # tau-b matrix via the distributed 3-term inversion decomposition
+    # (analytics/kendall_full.kendall_tau_matrix — one data-scale range
+    # exchange for every pair) instead of the default bounded-sample
+    # estimate. Pearson/spearman are always exact already.
+    exact: bool = False
 
     def __post_init__(self) -> None:
         if self.method not in CORRELATION_METHODS:
             raise AnalysisSpecError(f"unknown correlation method {self.method!r}")
         if len(self.features) < 2:
             raise AnalysisSpecError("Correlation requires >= 2 features")
+        if self.exact and self.method != "kendall":
+            raise AnalysisSpecError(
+                "exact=True applies to method='kendall' only "
+                "(pearson/spearman are exact by construction)"
+            )
+        if self.exact and self.sample_size:
+            raise AnalysisSpecError(
+                "exact=True computes the full population; drop sample_size"
+            )
 
 
 @dataclass

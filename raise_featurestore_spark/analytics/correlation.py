@@ -106,6 +106,23 @@ def compile_correlation(
     feats = spec.features
 
     if spec.method == "kendall":
+        if spec.exact:
+            # full-population tau-b matrix, no sample cap: the distributed
+            # 3-term inversion decomposition, every pair over ONE range
+            # exchange (analytics/kendall_full.py). Diagonal rows appended
+            # to match this compiler's (feature_a, feature_b, corr) shape.
+            from raise_featurestore_spark.analytics.kendall_full import (
+                kendall_tau_matrix,
+            )
+
+            m = kendall_tau_matrix(df, feats, round_to=round_to).select(
+                "feature_a", "feature_b", "corr"
+            )
+            diag = df.sparkSession.createDataFrame(
+                [(f, f, 1.0) for f in feats],
+                "feature_a string, feature_b string, corr double",
+            )
+            return diag.unionByName(m)
         return _kendall(df, feats, round_to)
 
     if spec.method == "spearman":
@@ -179,13 +196,38 @@ def kendall_to_sql(
     )
 
 
+def kendall_exact_to_sql(
+    spec: Correlation, table: str, round_to: int | None = DEFAULT_ROUND
+) -> str:
+    """DuckDB oracle for the EXACT kendall matrix (spec.exact=True): the
+    per-pair O(n²) definitions under the listwise filter, plus the
+    diagonal — mirroring compile_correlation's exact branch."""
+    if spec.method != "kendall" or not spec.exact:
+        raise ValueError("kendall_exact_to_sql needs method='kendall', exact=True")
+    from raise_featurestore_spark.analytics.kendall_full import (
+        kendall_tau_matrix_sql,
+    )
+
+    diag = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature_a, '{f}' AS feature_b, CAST(1.0 AS DOUBLE) AS corr "
+        f"FROM (SELECT 1) __d"
+        for f in spec.features
+    )
+    m = kendall_tau_matrix_sql(table, spec.features, where=spec.filter,
+                               round_to=round_to)
+    return f"{diag} UNION ALL SELECT feature_a, feature_b, corr FROM ({m})"
+
+
 def correlation_to_sql(
     spec: Correlation, table: str, round_to: int | None = DEFAULT_ROUND,
     seed: int = 42,
 ) -> str:
-    """DuckDB SQL for pearson/spearman (sampled kendall: kendall_to_sql)."""
+    """DuckDB SQL for pearson/spearman (sampled kendall: kendall_to_sql;
+    exact kendall: kendall_exact_to_sql)."""
     if spec.method == "kendall":
-        raise ValueError("use kendall_to_sql for the sampled kendall oracle")
+        raise ValueError(
+            "use kendall_to_sql (sampled) or kendall_exact_to_sql (exact)"
+        )
     feats = spec.features
     where = f" WHERE {spec.filter}" if spec.filter else ""
     notnull = " AND ".join(f"{ft} IS NOT NULL" for ft in feats)

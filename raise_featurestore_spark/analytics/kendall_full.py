@@ -14,8 +14,10 @@ y-sequence under the global (x, y) sort. D decomposes into three DISJOINT,
 individually-distributed terms:
 
 1. **Within-partition** — rows range-partitioned and sorted by (x, y);
-   each partition counts its own inversions with a Fenwick tree over
-   partition-local y ranks (`mapInPandas`, memory = its own rows).
+   each partition counts its own inversions with a fully-vectorized
+   mergesort-level kernel over partition-local y ranks (`mapInPandas`,
+   memory = its own rows; `_local_inv`, pinned against the Fenwick
+   reference kernel).
 2. **Cross-partition, different y-bucket** — per-partition histograms
    over B global y-RANK buckets (distinct y values get bucket ids from
    the distributed rank kernel, so bucket order IS strict y order).

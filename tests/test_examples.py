@@ -165,3 +165,11 @@ def test_example_product_analytics(spark):
     assert f["signup"] >= f["view"] >= f["purchase"] >= 0
     assert out["n_cohorts"] > 0 and out["cube_cells"] > 4
     assert out["grand_total"] > 0
+
+
+def test_example_dashboard_live_metrics(spark):
+    out = _load("16_dashboard_live_metrics.py").main(SF_DIR)
+    assert out["charts_ok"] == 3
+    assert out["rev_f_count"] < out["rev_all_count"]
+    assert out["live_rows"] == 3 and out["history_events"] == 2
+    assert out["published"].startswith("file://")

@@ -137,3 +137,61 @@ def test_forecast_backtest_skips_unevaluable_rows(spark):
     out = backtest_seasonal_naive(df, season_days=2).collect()
     assert len(out) == 1
     assert out[0].n_eval == 1 and out[0].mae == 10.0
+
+
+def test_funnel_within_adversarial_boundaries(spark):
+    """r6 VERDICT item 7: the within-window fold's tie semantics pinned on
+    an adversarial micro-fixture — duplicate events exactly ON the
+    boundary, same-timestamp multi-step rows, and a non-qualifying
+    earliest occurrence — asserted on BOTH engines (the DuckDB twin runs
+    the same fixture)."""
+    import duckdb
+
+    from raise_featurestore_spark.analytics.funnel import (
+        funnel_report,
+        funnel_report_sql,
+    )
+
+    rows = [
+        # u1: TWO B events both exactly at t_A + 1d (duplicate timestamps
+        # at the step boundary) — boundary is inclusive, user counts once
+        (1, "2026-01-01 00:00:00", "A"),
+        (1, "2026-01-02 00:00:00", "B"),
+        (1, "2026-01-02 00:00:00", "B"),
+        # u2: B at the SAME timestamp as A — strict `>` excludes it even
+        # though it is trivially inside the window
+        (2, "2026-01-01 00:00:00", "A"),
+        (2, "2026-01-01 00:00:00", "B"),
+        # u3: earliest B is BEFORE A (non-qualifying); a later B inside
+        # the window converts — the conditional min ranges over
+        # QUALIFYING events only, not the global earliest
+        (3, "2026-01-01 00:00:00", "A"),
+        (3, "2025-12-31 00:00:00", "B"),
+        (3, "2026-01-01 12:00:00", "B"),
+        # u4: B one microsecond past the boundary — out
+        (4, "2026-01-01 00:00:00", "A"),
+        (4, "2026-01-02 00:00:00.000001", "B"),
+        # u5: C exactly at (earliest qualifying B) + 1d — chained boundary
+        (5, "2026-01-01 00:00:00", "A"),
+        (5, "2026-01-01 06:00:00", "B"),
+        (5, "2026-01-02 06:00:00", "C"),
+    ]
+    df = _events(spark, rows)
+    out = {r.step: r.n_entities for r in funnel_report(
+        df, ["A", "B", "C"], within="1d"
+    ).collect()}
+    assert out == {"A": 5, "B": 3, "C": 1}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id INT, ts TIMESTAMP, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)",
+                    [(u, t, e) for u, t, e in rows])
+    want = {
+        r[1]: r[2]
+        for r in con.sql(
+            funnel_report_sql("events", ["A", "B", "C"], within="1d")
+        ).fetchall()
+    }
+    assert want == out

@@ -413,3 +413,59 @@ def test_kendall_matrix_listwise_nulls_and_nan(spark):
     assert {r.n for r in out} == {3}
     got = {(r.feature_a, r.feature_b): r.corr for r in out}
     assert got[("a", "c")] == -1.0  # (1,3),(4,2),(5,0) strictly discordant
+
+
+def test_correlation_spec_exact_kendall(spark):
+    """Correlation(method='kendall', exact=True) routes to the distributed
+    exact matrix (diagonal + every pair), matches the Knight kernel, and
+    its DuckDB twin agrees value-for-value."""
+    import duckdb
+    import numpy as np
+    import pytest as _pt
+
+    from raise_featurestore_spark.analytics.analysis import (
+        AnalysisSpecError,
+        Correlation,
+    )
+    from raise_featurestore_spark.analytics.correlation import (
+        _tau_b,
+        compile_correlation,
+        kendall_exact_to_sql,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    x = np.round(rng.normal(size=n) * 3, 1)
+    y = np.round(0.5 * x + rng.normal(size=n), 1)
+    z = rng.integers(0, 5, n).astype(float)
+    rows = [tuple(map(float, t)) for t in zip(x, y, z)]
+    sdf = spark.createDataFrame(rows, "x double, y double, z double")
+    spec = Correlation(features=["x", "y", "z"], method="kendall", exact=True)
+    got = {
+        (r.feature_a, r.feature_b): r.corr
+        for r in compile_correlation(sdf, spec, round_to=None).collect()
+    }
+    assert got[("x", "x")] == got[("y", "y")] == got[("z", "z")] == 1.0
+    arrs = {"x": x, "y": y, "z": z}
+    for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
+        assert got[(a, b)] == _tau_b(arrs[a], arrs[b]), (a, b)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE, y DOUBLE, z DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(kendall_exact_to_sql(spec, "t", round_to=4)).fetchall()
+    }
+    got4 = {
+        (r.feature_a, r.feature_b): r.corr
+        for r in compile_correlation(sdf, spec, round_to=4).collect()
+    }
+    assert want == got4
+
+    # spec validation: exact only makes sense for kendall / full population
+    with _pt.raises(AnalysisSpecError):
+        Correlation(features=["x", "y"], method="pearson", exact=True)
+    with _pt.raises(AnalysisSpecError):
+        Correlation(features=["x", "y"], method="kendall", exact=True,
+                    sample_size=100)

@@ -449,3 +449,96 @@ def test_live_table_on_change_batch_size_folds_files(spark, tmp_path):
         assert counts == [1, 2, 2], counts
     finally:
         lt.stop()
+
+
+def test_live_table_on_change_debounce_gap_and_fold(spark, tmp_path):
+    """r6 VERDICT item 8: debounce_seconds (-> processingTime trigger)
+    semantics under controlled arrival. Files dropped in quick succession
+    INSIDE one debounce window fold into a single refresh (one event,
+    changes_detected = all their rows), and consecutive refresh events are
+    spaced no closer than about the debounce interval."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    watch = str(tmp_path / "watch3")
+    mat = str(tmp_path / "mat3")
+    chk = str(tmp_path / "chk3")
+    os.makedirs(watch)
+    schema = "id long, v double"
+
+    def drop(i):
+        # raw pyarrow write (~ms): a Spark write takes ~1 s per file,
+        # which would spread a "burst" across trigger boundaries
+        t = pa.table({"id": pa.array([i], pa.int64()),
+                      "v": pa.array([float(i)], pa.float64())})
+        pq.write_table(t, os.path.join(watch, f"f{i}.parquet"))
+
+    def compute(s):
+        return s.read.parquet(watch).agg(F.count(F.lit(1)).alias("n"))
+
+    debounce = 5
+    lt = LiveTable(
+        "debounce_mat",
+        compute,
+        mat,
+        RefreshPolicy(mode="on_change", debounce_seconds=debounce, batch_size=10),
+    )
+    drop(0)
+    q = lt.start_on_change(spark, watch, schema, chk)
+
+    def wait_events(n, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            evs = [e for e in lt.refresh_history() if e.trigger == "on_change"]
+            if len(evs) >= n:
+                return evs
+            time.sleep(0.3)
+        return [e for e in lt.refresh_history() if e.trigger == "on_change"]
+
+    try:
+        evs = wait_events(1)
+        assert len(evs) == 1, [e.__dict__ for e in evs]
+        # burst of three files (dropped within ~ms) while the trigger
+        # sleeps out its debounce: they must FOLD — one event normally,
+        # two at most if a trigger boundary happens to split the burst,
+        # never one event per file
+        for i in (1, 2, 3):
+            drop(i)
+
+        def burst_done():
+            evs = [e for e in lt.refresh_history() if e.trigger == "on_change"]
+            return sum(e.changes_detected for e in evs[1:]) >= 3, evs
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            done, evs = burst_done()
+            if done:
+                break
+            time.sleep(0.3)
+        done, evs = burst_done()
+        assert done, [e.__dict__ for e in evs]
+        burst = evs[1:]
+        assert sum(e.changes_detected for e in burst) == 3
+        assert len(burst) <= 2, [e.__dict__ for e in burst]
+        assert max(e.changes_detected for e in burst) >= 2, [
+            e.__dict__ for e in burst
+        ]
+        # debounce SPACING: batches after the first run at epoch-aligned
+        # multiples of the interval (the stream-start batch itself is not
+        # aligned, so the first gap is uniform(0, interval] — measured
+        # live). Drop one more file and compare the LAST two events, both
+        # boundary-aligned: their refresh timestamps must sit at least
+        # half an interval apart (an undebounced per-file stream could
+        # never satisfy this for back-to-back arrivals).
+        n_before = len(evs)
+        drop(99)
+        evs = wait_events(n_before + 1)
+        assert len(evs) >= n_before + 1, [e.__dict__ for e in evs]
+        t0 = datetime.fromisoformat(evs[-2].at)
+        t1 = datetime.fromisoformat(evs[-1].at)
+        gap = (t1 - t0).total_seconds()
+        assert gap >= debounce / 2.0, gap
+    finally:
+        lt.stop()

@@ -194,10 +194,14 @@ def test_exact_moments_match_builtin_semantics(spark):
 
 
 def test_exact_moments_small_magnitude_grid(spark, ddb):
-    """r5 ADVICE finding: the default 1e-4 grid snaps sub-5e-5 rows to 0,
-    so small-magnitude domains (rates, probabilities) silently sum to 0.0
-    on BOTH engines. moment_grid_decimals raises the grid so such data
-    stays lossless; this pins both the hazard and the cure cross-engine."""
+    """r5 ADVICE finding + the r7 guard: the default 1e-4 grid snaps
+    sub-5e-5 rows to 0, so small-magnitude domains (rates, probabilities)
+    used to silently sum to 0.0 on BOTH engines. Since r7 the underflow
+    sentinel POISONS such a group to NaN (loud) instead of emitting the
+    confidently wrong zero; moment_grid_decimals raises the grid so the
+    data stays lossless. Pins the (guarded) hazard and the cure."""
+    import math
+
     from raise_featurestore_spark.analytics.aggregation import (
         aggregation_to_sql,
         compile_aggregation,
@@ -206,9 +210,10 @@ def test_exact_moments_small_magnitude_grid(spark, ddb):
 
     rows = [(1e-5,)] * 100
     sdf = spark.createDataFrame(rows, "x double")
-    # the documented hazard: default grid loses everything below 0.5e-4
+    # the guarded hazard: every row underflows the default grid -> NaN,
+    # never a silent 0.0 (tests/test_stable_fuzz.py pins the 1M-row form)
     coarse = Aggregation(features=["x"], metrics=["sum"])
-    assert compile_aggregation(sdf, coarse).collect()[0].sum_x == 0.0
+    assert math.isnan(compile_aggregation(sdf, coarse).collect()[0].sum_x)
     # the cure: an 8-decimal grid holds 1e-5 exactly
     fine = Aggregation(features=["x"], metrics=["sum", "avg"], moment_grid_decimals=8)
     got = compile_aggregation(sdf, fine).collect()[0]
