@@ -12,7 +12,10 @@ system:
   blob_ref blob_ref<mime|mime>               (multimodal pointer struct)
 
 Spark notes:
-- float16 embeddings upcast to float32 (Spark has no half type).
+- float16 embeddings upcast to float32 (Spark has no half type) — exact
+  in VALUE; for STORAGE-bound fp16 corpora the opt-in packed-binary codec
+  ``functions/fp16.py`` keeps the declared 2-bytes/component width on
+  disk (pack_fp16/unpack_fp16, decode-on-read).
 - string[N] / bounded arrays / embedding dims carry a logical constraint
   Spark types can't express; ``validation_predicate`` compiles it to a
   boolean Column for write-time enforcement (distributed check, no collect).
