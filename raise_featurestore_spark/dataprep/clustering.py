@@ -48,16 +48,33 @@ DEFAULT_ITERS = 2
 
 
 def _assign(pts: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
-    """Map-side argmin over literal centroids → (id, v, cluster, dist)."""
-    structs: list[Column] = []
-    for cid in sorted(cents):
-        carr = F.array(*[F.lit(float(x)) for x in cents[cid]])
-        diff = F.zip_with(F.col("v"), carr, lambda x, c: (x - c) * (x - c))
+    """Map-side argmin over literal centroids → (id, v, cluster, dist).
+
+    The centroid matrix rides in as ONE ``from_json`` string literal
+    (constant-folded by Catalyst into a single array<array<double>>
+    Literal) and the per-centroid distance loop is a ``transform`` over
+    cluster indices — NOT k separate 64-literal array expressions. The
+    old expanded form put ~k·dim literal nodes plus k fold chains into
+    the plan, and since each Lloyd's iteration embeds NEW centroid
+    values, Catalyst re-analyzed that tree every iteration: ~2 s of
+    DRIVER time per M-step at k=8, dim=64 (measured — execution over the
+    rows was milliseconds). Same op sequence per element (sequential
+    left fold, sig_round, (d, c) struct min), so assignments and the
+    DuckDB oracle are bit-identical to the expanded form."""
+    import json as _json
+
+    k = len(cents)
+    cents_json = _json.dumps([list(map(float, cents[c])) for c in sorted(cents)])
+    carr = F.from_json(F.lit(cents_json), "array<array<double>>")
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+
+    def _cand(i: Column) -> Column:
+        cvec = F.element_at(carr, i + 1)
+        diff = F.zip_with(F.col("v"), cvec, lambda x, c: (x - c) * (x - c))
         dist = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-        structs.append(
-            F.struct(sig_round(dist).alias("d"), F.lit(cid).alias("c"))
-        )
-    best = F.array_min(F.array(*structs))
+        return F.struct(sig_round(dist).alias("d"), i.cast("int").alias("c"))
+
+    best = F.array_min(F.transform(idx, _cand))
     return pts.select(
         "id", "v", best["c"].alias("cluster"), best["d"].alias("dist")
     )
@@ -89,13 +106,30 @@ def kmeans_fit(
     try:
         for _ in range(iters - 1):
             assigned = _assign(pts, cents)
+            # M-step as ONE posexplode + (cluster, dim) aggregate, not dim
+            # separate avg(v[d]) aggregates: the expanded form re-entered
+            # Catalyst analysis + codegen with a fresh ~dim-wide aggregate
+            # plan EVERY iteration (new centroid literals ⇒ new plan) —
+            # 2-5 s of driver time per M-step at dim=64 vs milliseconds of
+            # actual execution (2k rows). The exploded row stream partial-
+            # aggregates map-side before the k×dim-row shuffle, so the
+            # scale posture is unchanged; sig_round (applied engine-side
+            # over the k×dim grouped result, as before) absorbs the
+            # summation-order ulp between the two physical forms.
             upd = (
-                assigned.groupBy("cluster")
-                .agg(*[sig_round(F.avg(F.col("v")[d])).alias(f"m{d}") for d in range(dim)])
+                assigned.select(
+                    "cluster", F.posexplode(F.col("v")).alias("d", "x")
+                )
+                .groupBy("cluster", "d")
+                .agg(F.avg("x").alias("m"))
+                .select("cluster", "d", sig_round(F.col("m")).alias("m"))
                 .collect()
             )
+            new_cents: dict[int, list[float]] = {}
             for r in upd:
-                cents[r.cluster] = [r[f"m{d}"] for d in range(dim)]
+                new_cents.setdefault(r.cluster, [0.0] * dim)[r.d] = r.m
+            for cid, vec in new_cents.items():
+                cents[cid] = vec
         return _assign(pts, cents)
     finally:
         pts.unpersist()
