@@ -132,3 +132,154 @@ def drift_to_sql(spec: Drift, table: str, round_to: int | None = DEFAULT_ROUND) 
         f"SUM(q) OVER (ORDER BY bucket) AS cq FROM __p) "
         f"SELECT {', '.join(sel)} FROM __c CROSS JOIN __bd"
     )
+
+
+def sliced_wasserstein_drift(
+    df: DataFrame,
+    emb_col: str,
+    baseline_filter: str,
+    current_filter: str,
+    dim: int,
+    n_slices: int = 8,
+    bins: int = 32,
+    seed: int = 13,
+    round_to: int | None = DEFAULT_ROUND,
+) -> DataFrame:
+    """EMBEDDING drift: sliced Wasserstein-1 between two corpus slices of
+    an ``array<float>`` column — one row per random 1-D slice.
+
+    (Engine addition for §2.14: the scalar Drift operator covers numeric
+    features; embedding distribution shift between corpus versions —
+    re-embedding runs, new data mixes, dedup passes — needs a metric over
+    the VECTOR distribution. Sliced W1 [Rabin et al., SSVM 2011; standard
+    in the OT literature] projects both samples onto deterministic ±1
+    hyperplanes and averages the 1-D W1 across slices — a true metric on
+    distributions, cheap and fully relational.)
+
+    Plan (one corpus scan, everything after is slice×bins-bounded):
+    1. projections: ONE transform over a constant-folded from_json plane
+       matrix (the kmeans r7 lesson — no k×dim literal nodes), then
+       posexplode → (slice, x) rows; 2. per-slice min/max (broadcast
+       back); 3. width_bucket histogram per (slice, bucket) with
+       conditional baseline/current counts — the SAME bucketed-cdf
+       construction as compile_drift, so the W1 here is the histogram
+       approximation Σ|cdfB − cdfC|·bin_width (exact as bins → ∞;
+       bins empty on BOTH sides fall out of the sum identically on both
+       engines — mirrored in the oracle, see drift_to_sql's note).
+    4. per-slice Σ|cp − cq|·width via slice-partitioned windows over the
+       ≤ slices·bins-row relation.
+
+    Fold order, ±1 products, bucket arithmetic, and the final snap are
+    bit-identical to :func:`sliced_wasserstein_drift_sql`.
+    """
+    import json as _json
+
+    from raise_featurestore_spark.analytics.distribution import _bucket_col
+    from raise_featurestore_spark.dataprep.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_slices, seed)
+    parr = F.from_json(
+        F.lit(_json.dumps([[float(w) for w in p] for p in planes])),
+        "array<array<double>>",
+    )
+    emb = F.col(emb_col).cast("array<double>")
+    is_b = F.expr(baseline_filter)
+    is_c = F.expr(current_filter)
+    scoped = df.where(is_b | is_c).where(
+        emb.isNotNull() & (F.size(emb) == dim)
+    )
+    projs = F.transform(
+        parr,
+        lambda p: F.aggregate(
+            F.zip_with(emb, p, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+    rows = scoped.select(
+        is_b.alias("b"), is_c.alias("c"), F.posexplode(projs).alias("s", "x")
+    )
+    bounds = rows.groupBy("s").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    bucketed = (
+        rows.join(F.broadcast(bounds), "s")
+        .withColumn("bucket", _bucket_col(F.col("x"), F.col("mn"), F.col("mx"), bins))
+        .groupBy("s", "bucket")
+        .agg(
+            F.sum(F.col("b").cast("long")).alias("nb"),
+            F.sum(F.col("c").cast("long")).alias("nc"),
+        )
+    )
+    tot = Window.partitionBy("s")
+    w = Window.partitionBy("s").orderBy("bucket")
+    cum = bucketed.select(
+        "s",
+        (F.sum("nb").over(w) / F.sum("nb").over(tot)).alias("cp"),
+        (F.sum("nc").over(w) / F.sum("nc").over(tot)).alias("cq"),
+    )
+    per = cum.groupBy("s").agg(F.sum(F.abs(F.col("cp") - F.col("cq"))).alias("__w"))
+    out = per.join(F.broadcast(bounds), "s").select(
+        F.col("s").alias("slice"),
+        (F.col("__w") * (F.col("mx") - F.col("mn")) / F.lit(float(bins))).alias(
+            "wasserstein"
+        ),
+    )
+    if round_to is not None:
+        out = out.select(
+            "slice", grid_snap(F.col("wasserstein"), round_to).alias("wasserstein")
+        )
+    return out
+
+
+def sliced_wasserstein_drift_sql(
+    table: str,
+    emb_col: str,
+    baseline_filter: str,
+    current_filter: str,
+    dim: int,
+    n_slices: int = 8,
+    bins: int = 32,
+    seed: int = 13,
+    round_to: int | None = DEFAULT_ROUND,
+) -> str:
+    """DuckDB twin of :func:`sliced_wasserstein_drift`: per-slice ±
+    chains over 1-based list elements reproduce the fold order exactly
+    (leading ``0.0 +`` pins the -0.0-first-element edge), then the same
+    bucketed-cdf window arithmetic per slice."""
+    from raise_featurestore_spark.analytics.distribution import _bucket_sql
+    from raise_featurestore_spark.dataprep.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_slices, seed)
+    scope = (
+        f"(({baseline_filter}) OR ({current_filter})) "
+        f"AND {emb_col} IS NOT NULL AND len({emb_col}) = {dim}"
+    )
+
+    def proj(p: list[int]) -> str:
+        terms = "".join(
+            f" {'+' if w > 0 else '-'} CAST({emb_col}[{i + 1}] AS DOUBLE)"
+            for i, w in enumerate(p)
+        )
+        return f"(0.0{terms})"
+
+    slices = " UNION ALL ".join(
+        f"SELECT {s} AS s, {proj(p)} AS x, ({baseline_filter}) AS b, "
+        f"({current_filter}) AS c FROM {table} WHERE {scope}"
+        for s, p in enumerate(planes)
+    )
+    bucket = _bucket_sql("x", "mn", "mx", bins)
+    w1 = f"SUM(ABS(cp - cq)) * (MAX(mx) - MAX(mn)) / {float(bins)}"
+    if round_to is not None:
+        w1 = grid_snap_sql(w1, round_to)
+    return (
+        f"WITH __e AS ({slices}), "
+        f"__bd AS (SELECT s, MIN(x) AS mn, MAX(x) AS mx FROM __e GROUP BY s), "
+        f"__bk AS (SELECT __e.s, {bucket} AS bucket, "
+        f"SUM(CASE WHEN b THEN 1 ELSE 0 END) AS nb, "
+        f"SUM(CASE WHEN c THEN 1 ELSE 0 END) AS nc "
+        f"FROM __e JOIN __bd ON __e.s = __bd.s GROUP BY 1, 2), "
+        f"__c AS (SELECT s, "
+        f"CAST(SUM(nb) OVER (PARTITION BY s ORDER BY bucket) AS DOUBLE) / "
+        f"SUM(nb) OVER (PARTITION BY s) AS cp, "
+        f"CAST(SUM(nc) OVER (PARTITION BY s ORDER BY bucket) AS DOUBLE) / "
+        f"SUM(nc) OVER (PARTITION BY s) AS cq FROM __bk) "
+        f"SELECT __c.s AS slice, {w1} AS wasserstein "
+        f"FROM __c JOIN __bd ON __c.s = __bd.s GROUP BY __c.s"
+    )

@@ -469,3 +469,54 @@ def test_correlation_spec_exact_kendall(spark):
     with _pt.raises(AnalysisSpecError):
         Correlation(features=["x", "y"], method="kendall", exact=True,
                     sample_size=100)
+
+
+def test_sliced_wasserstein_embedding_drift(spark):
+    """Embedding drift via sliced W1: zero for identical slices, positive
+    and shift-proportional for a mean-shifted slice, bit-equal to the
+    DuckDB twin."""
+    import duckdb
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.drift import (
+        sliced_wasserstein_drift,
+        sliced_wasserstein_drift_sql,
+    )
+
+    rng = np.random.default_rng(8)
+    dim, n = 16, 2000
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    shifted = base + 0.5  # constant mean shift in every dimension
+    rows = [(i, [float(v) for v in base[i]]) for i in range(n)] + [
+        (n + i, [float(v) for v in shifted[i]]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf, cf = f"vec_id < {n}", f"vec_id >= {n}"
+    got = {
+        r.slice: r.wasserstein
+        for r in sliced_wasserstein_drift(
+            df, "embedding", bf, cf, dim=dim, n_slices=4, bins=40
+        ).collect()
+    }
+    # a 0.5-shift on every dim projects to |sum(±0.5)| per plane; every
+    # slice must register clearly positive drift
+    assert all(v > 0.1 for v in got.values()), got
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embs(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embs VALUES (?, ?)", rows)
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            sliced_wasserstein_drift_sql(
+                "embs", "embedding", bf, cf, dim=dim, n_slices=4, bins=40
+            )
+        ).fetchall()
+    }
+    assert want == got
+
+    # identical slices -> exactly zero on every slice
+    same = sliced_wasserstein_drift(
+        df, "embedding", "vec_id >= 0", "vec_id >= 0", dim=dim, n_slices=3
+    ).collect()
+    assert all(r.wasserstein == 0.0 for r in same)
