@@ -50,6 +50,28 @@ def main(n: int = 1_000_000) -> None:
             f"knight={t_knight:.1f}s"
         )
         assert got.corr == want, (got.corr, want)
+
+    # the MATRIX path at the same scale: 3 features, every pair bit-equal
+    # to the Knight kernel, all from ONE data-scale range exchange
+    from raise_featurestore_spark.analytics.kendall_full import kendall_tau_matrix
+
+    z = np.round(0.3 * y + rng.normal(size=n) * 10, 0)
+    sdf3 = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    ).cache()
+    sdf3.count()
+    arrs = {"x": x, "y": y, "z": z}
+    t0 = time.perf_counter()
+    got_m = {
+        (r.feature_a, r.feature_b): r.corr
+        for r in kendall_tau_matrix(sdf3, ["x", "y", "z"], round_to=None).collect()
+    }
+    dt = time.perf_counter() - t0
+    for (fa, fb), tau in got_m.items():
+        w = _tau_b(arrs[fa], arrs[fb])
+        assert tau == w, (fa, fb, tau, w)
+    print(f"kendall_matrix(3 features, {len(got_m)} pairs): MATCH spark={dt:.1f}s")
     print(f"1M-row exact-kendall differential: bit-identical (n={n})")
 
 

@@ -520,3 +520,35 @@ def test_sliced_wasserstein_embedding_drift(spark):
         df, "embedding", "vec_id >= 0", "vec_id >= 0", dim=dim, n_slices=3
     ).collect()
     assert all(r.wasserstein == 0.0 for r in same)
+
+
+def test_kendall_matrix_degenerate_edges(spark):
+    """Matrix edges: empty input, single row, an all-tied feature (NULL
+    tau for its pairs, real tau for the others)."""
+    import math
+
+    from raise_featurestore_spark.analytics.kendall_full import kendall_tau_matrix
+
+    empty = spark.createDataFrame([], "a double, b double, c double")
+    out = kendall_tau_matrix(empty, ["a", "b", "c"]).collect()
+    assert len(out) == 3 and all(r.n == 0 and r.corr is None for r in out)
+
+    one = kendall_tau_matrix(
+        spark.createDataFrame([(1.0, 2.0, 3.0)], "a double, b double, c double"),
+        ["a", "b"],
+    ).collect()
+    assert one[0].n == 1 and one[0].corr is None
+
+    rows = [(1.0, 4.0, 7.0), (1.0, 3.0, 8.0), (1.0, 2.0, 9.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r.feature_a, r.feature_b): r.corr
+        for r in kendall_tau_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] is None and got[("a", "c")] is None  # a all-tied
+    assert got[("b", "c")] == -1.0  # strictly anticorrelated
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kendall_tau_matrix(df, ["a"])
