@@ -2298,6 +2298,42 @@ def _split_summary_sql() -> str:
 register("split_train_val_test", _split_summary, _split_summary_sql())
 
 
+def _group_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE split (r7): keyed on the GROUP column (source), so
+    every document of one source lands in exactly ONE split — the
+    train/test-contamination guard a doc-id-keyed split cannot give
+    (near-duplicate docs from one crawl source straddling train and val
+    leak evaluation signal). Emits per-split doc counts AND the
+    source-level invariant: sum(n_sources) over splits == distinct
+    sources in the corpus, which only holds when no source straddles."""
+    from raise_featurestore_spark.dataprep.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "source", _SPLITS, salt="group-split")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct(F.col("source")).alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+def _group_split_summary_sql() -> str:
+    from raise_featurestore_spark.dataprep.sampling import hash_split_sql
+
+    return (
+        "SELECT split, COUNT(*) AS rows, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM ("
+        + hash_split_sql("documents", "source", _SPLITS, salt="group-split")
+        + ") __s GROUP BY split ORDER BY split"
+    )
+
+
+register("split_group_leakage_safe", _group_split_summary, _group_split_summary_sql())
+
+
 def _stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raise_featurestore_spark.dataprep.sampling import stratified_sample
 
@@ -2911,6 +2947,7 @@ _PROMOTED = [
     # (b) new this round: first verdict
     "corr_kendall_matrix",
     "embedding_drift_sliced_w",
+    "split_group_leakage_safe",
     # (c) r5-verdicted entries on r7-changed code paths
     "graph_pagerank_coparts",
     "agg_global_stats",
@@ -2923,7 +2960,9 @@ _PROMOTED = [
     "feature_target_encode",
     "embedding_gram_check",
     "embedding_pca_trace_check",
-    "dedup_substring_overlap",
+    # dedup_substring_overlap (r5) yields its slot to a new r7 query:
+    # it was independently re-gated green at sf0.1 this round and its
+    # code is untouched since r5
     # funnel_signup_view_purchase (r5) yields its slot to the new
     # embedding_drift_sliced_w: the funnel fold was re-validated this
     # round by the 1M stress differential + the adversarial within-window

@@ -139,3 +139,23 @@ def test_exact_k_per_stratum_counts_and_determinism(spark):
     assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
     with pytest.raises(ValueError):
         exact_k_per_stratum(df, "id", "src", k=0)
+
+
+def test_group_keyed_split_is_leakage_safe(spark):
+    """hash_split keyed on a GROUP column: every group lands in exactly
+    one split (the train/test-contamination guard), fractions still
+    roughly honored at the group level."""
+    from raise_featurestore_spark.dataprep.sampling import hash_split
+
+    rows = [(i, f"src{i % 40}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = hash_split(df, "source", {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt="group-split")
+    per_source = out.groupBy("source").agg(
+        F.count_distinct("split").alias("k")
+    ).collect()
+    assert all(r.k == 1 for r in per_source)  # no source straddles splits
+    sizes = {r.split: r.n for r in out.select("source", "split").distinct()
+             .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == 40
+    assert sizes.get("train", 0) >= 20  # 0.8 of 40 sources, hash-noisy
