@@ -76,6 +76,8 @@ def rollup_partials(
     period = F.date_format(
         F.date_trunc(bucket, F.col(time_col)), _fmt(bucket)[0]
     ).alias("period_start")
+    from raise_featurestore_spark.functions.stable import underflow_count
+
     return df.groupBy(*keys, period).agg(
         F.count(d).alias("n"),
         F.sum(dec).alias("s1"),
@@ -83,6 +85,9 @@ def rollup_partials(
         F.min(d).alias("mn"),
         F.max(d).alias("mx"),
         dec_poison(d).alias("pois"),
+        # underflow COUNT partial (r7 sentinel): mergeable across batches;
+        # the majority test runs at finalize over the combined totals
+        underflow_count(d).alias("uf"),
     )
 
 
@@ -93,6 +98,12 @@ def merge_rollups(
     Decimal sums merge exactly; the refresh cost is O(|delta| buckets),
     independent of history size."""
     keys = ([group_by] if group_by else []) + ["period_start"]
+    # pre-r7 stored partials lack the underflow column; absent counts are
+    # conservatively 0 (those rows predate the sentinel)
+    if "uf" not in existing.columns:
+        existing = existing.withColumn("uf", F.lit(0).cast("long"))
+    if "uf" not in delta.columns:
+        delta = delta.withColumn("uf", F.lit(0).cast("long"))
     return (
         existing.unionByName(delta)
         .groupBy(*keys)
@@ -103,6 +114,7 @@ def merge_rollups(
             F.min("mn").alias("mn"),
             F.max("mx").alias("mx"),
             F.max("pois").alias("pois"),
+            F.sum("uf").alias("uf"),
         )
     )
 
@@ -116,10 +128,17 @@ def finalize_rollup(
     """Finished metrics from partials — a pure projection (no scan of the
     base table). Formulas match analytics/aggregation.py's exact path, so
     a finalized incremental rollup hash-matches a direct Aggregation."""
+    if "uf" not in partials.columns:
+        partials = partials.withColumn("uf", F.lit(0).cast("long"))
     n = F.col("n").cast("double")
     s1 = F.col("s1").cast("double")
     ss = F.col("ss").cast("double")
-    pois = F.col("pois")
+    # dec-domain poison + the r7 underflow sentinel over the MERGED
+    # totals: a bucket whose rows mostly snap to 0 on the grid emits NaN,
+    # not a confidently wrong 0.0 (mirrors aggregation.py's flat path)
+    pois = F.col("pois") + F.when(
+        F.col("uf") * 2 > F.col("n"), F.lit(float("nan"))
+    ).otherwise(F.lit(0.0))
     out = ([F.col(group_by)] if group_by else []) + [F.col("period_start")]
     for m in metrics:
         if m == "count":
@@ -165,7 +184,12 @@ def rollup_recompute_sql(
     n = f"CAST(COUNT({d}) AS DOUBLE)"
     s1 = f"CAST(SUM({dec}) AS DOUBLE)"
     ss = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
-    pois = dec_poison_sql(d)
+    from raise_featurestore_spark.functions.stable import underflow_count_sql
+
+    pois = (
+        f"({dec_poison_sql(d)} + CASE WHEN {underflow_count_sql(d)} * 2 > "
+        f"COUNT({d}) THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"
+    )
     outs = []
     for m in metrics:
         if m == "count":

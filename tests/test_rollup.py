@@ -196,3 +196,42 @@ def test_streaming_rollup_replay_is_idempotent(spark, events, tmp_path):
     assert got == _finalized_rows(
         finalize_rollup(rollup_partials(events, "value"), ["count", "sum"])
     )
+
+
+def test_rollup_underflow_poisons_across_merged_batches(spark):
+    """The r7 underflow sentinel holds through incremental merging: two
+    batches of sub-grid values fold into bucket totals whose majority test
+    fires at finalize (NaN, never a silent 0.0), and the pre-r7 stored
+    schema (no uf column) merges conservatively."""
+    import math
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+
+    from pyspark.sql import functions as F
+
+    def batch(vals):
+        rows = [(f"2026-02-0{1 + i % 2} 08:00:00", v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        return rollup_partials(df, "v")
+
+    tiny = merge_rollups(batch([1e-5] * 20), batch([2e-5] * 20))
+    out = finalize_rollup(tiny, ["sum", "avg", "count"]).collect()
+    assert all(math.isnan(r.sum_value) and math.isnan(r.avg_value) for r in out)
+    assert all(r.count_value > 0 for r in out)  # counts stay exact
+
+    # normal-scale data through the same path stays finite
+    ok = merge_rollups(batch([1.5] * 10), batch([2.5] * 10))
+    fin = finalize_rollup(ok, ["sum"]).collect()
+    assert all(not math.isnan(r.sum_value) for r in fin)
+
+    # legacy partials without the uf column merge as uf=0 (no poison)
+    legacy = batch([3.0] * 6).drop("uf")
+    merged = merge_rollups(legacy, batch([4.0] * 6))
+    fin2 = finalize_rollup(merged, ["sum"]).collect()
+    assert all(not math.isnan(r.sum_value) for r in fin2)
