@@ -79,7 +79,12 @@ def winsorized_stats(
     else:
         bounds = src.agg(*bounds_aggs)
         joined = src.crossJoin(F.broadcast(bounds))
-    from raise_featurestore_spark.functions.stable import dec_poison, dec_term, poisoned
+    from raise_featurestore_spark.functions.stable import (
+        dec_poison,
+        dec_term,
+        poisoned,
+        underflow_poison,
+    )
 
     clamped = F.least(F.greatest(F.col("__x"), F.col("lo")), F.col("hi"))
     # exact-decimal moments, NOT F.avg/F.stddev_samp: plain float
@@ -99,7 +104,9 @@ def winsorized_stats(
         F.sum((F.col("__x") > F.col("hi")).cast("long")).cast("long").alias("n_clipped_hi"),
         F.sum(dec).cast("double").alias("__s1"),
         F.sum(dec * dec).cast("double").alias("__s2"),
-        dec_poison(clamped).alias("__pp"),
+        # + the r7 underflow sentinel — the SQL twin's dec_sum_sql/
+        # dec_var_sql carry it, so these partials must poison identically
+        (dec_poison(clamped) + underflow_poison(clamped)).alias("__pp"),
     ]
     grouped = joined.groupBy(group_by).agg(*aggs) if group_by else joined.agg(*aggs)
     nn = F.col("n").cast("double")
@@ -179,6 +186,7 @@ def flag_outliers(
         dec_poison,
         dec_term,
         poisoned,
+        underflow_poison,
     )
 
     if method not in ("iqr", "zscore"):
@@ -202,7 +210,7 @@ def flag_outliers(
         dec = dec_term(d)
         s1 = F.sum(dec).cast("double")
         s2 = F.sum(dec * dec).cast("double")
-        pois = dec_poison(d)
+        pois = dec_poison(d) + underflow_poison(d)
         mean = poisoned(s1 / n, pois)
         std = poisoned(
             F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))),
@@ -253,11 +261,13 @@ def flag_outliers_sql(
         lo = sig_round_sql(f"{q1} - {float(k)} * ({q3} - {q1})")
         hi = sig_round_sql(f"{q3} + {float(k)} * ({q3} - {q1})")
     else:
+        from raise_featurestore_spark.functions.stable import underflow_poison_sql
+
         dec = dec_term_sql(d)
         n = f"CAST(COUNT({d}) AS DOUBLE)"
         s1 = f"CAST(SUM({dec}) AS DOUBLE)"
         s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
-        pois = dec_poison_sql(d)
+        pois = f"({dec_poison_sql(d)} + {underflow_poison_sql(d)})"
         mean = poisoned_sql(f"{s1} / {n}", pois)
         std = poisoned_sql(
             f"SQRT(GREATEST(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0), 0.0))", pois

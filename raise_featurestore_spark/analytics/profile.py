@@ -90,7 +90,12 @@ def profile(
 ) -> DataFrame:
     """(col_name, metric, value) — one row per computed statistic, one scan
     for the whole table."""
-    from raise_featurestore_spark.functions.stable import dec_poison, dec_term, poisoned
+    from raise_featurestore_spark.functions.stable import (
+        dec_poison,
+        dec_term,
+        poisoned,
+        underflow_poison,
+    )
 
     dtypes = dict(df.dtypes)
     cols = columns or [c for c in df.columns if dtypes[c].split("(")[0] in
@@ -126,7 +131,10 @@ def profile(
                 F.count(d).cast("double").alias(f"__n_{i}"),
                 F.sum(dec).cast("double").alias(f"__s1_{i}"),
                 F.sum(dec * dec).cast("double").alias(f"__s2_{i}"),
-                dec_poison(d).alias(f"__pp_{i}"),
+                # + the r7 underflow sentinel — the SQL twin's
+                # dec_sum_sql/dec_var_sql carry it, so the Spark partials
+                # must poison the same groups
+                (dec_poison(d) + underflow_poison(d)).alias(f"__pp_{i}"),
             ]
             nn, s1, s2 = F.col(f"__n_{i}"), F.col(f"__s1_{i}"), F.col(f"__s2_{i}")
             pois = F.col(f"__pp_{i}")

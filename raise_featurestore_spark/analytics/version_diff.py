@@ -63,23 +63,25 @@ def compile_version_diff(
             dec_term,
             poisoned,
             stable_round,
+            underflow_poison,
         )
 
         a, b = col_from.cast("double"), col_to.cast("double")
         # ONE set of decimal partials per side, stats derived over the
         # 1-row aggregate — inlining dec_sum/dec_var per emitted column
         # re-evaluates the per-row decimal chains ~5× (the r6 profiler
-        # finding; same cure)
+        # finding; same cure). The poison folds in the r7 underflow
+        # sentinel, matching the dec_sum_sql/dec_var_sql the oracle uses.
         deca, decb = dec_term(a), dec_term(b)
         partials = df.agg(
             F.count(a).cast("double").alias("__na"),
             F.sum(deca).cast("double").alias("__s1a"),
             F.sum(deca * deca).cast("double").alias("__s2a"),
-            dec_poison(a).alias("__pa"),
+            (dec_poison(a) + underflow_poison(a)).alias("__pa"),
             F.count(b).cast("double").alias("__nb"),
             F.sum(decb).cast("double").alias("__s1b"),
             F.sum(decb * decb).cast("double").alias("__s2b"),
-            dec_poison(b).alias("__pb"),
+            (dec_poison(b) + underflow_poison(b)).alias("__pb"),
         )
 
         def _derived(n, s1, s2, p):

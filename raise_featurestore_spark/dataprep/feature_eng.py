@@ -376,6 +376,7 @@ def standardize(
         dec_poison,
         dec_term,
         poisoned,
+        underflow_poison,
     )
 
     aggs = []
@@ -394,7 +395,9 @@ def standardize(
                 F.count(d).cast("double").alias(f"__n_{c}"),
                 F.sum(dec).cast("double").alias(f"__s1_{c}"),
                 F.sum(dec * dec).cast("double").alias(f"__s2_{c}"),
-                dec_poison(d).alias(f"__pp_{c}"),
+                # dec-domain poison + the r7 underflow sentinel (a fit
+                # over mostly-sub-grid data must scream, not center at 0)
+                (dec_poison(d) + underflow_poison(d)).alias(f"__pp_{c}"),
             ]
             n, s1 = F.col(f"__n_{c}"), F.col(f"__s1_{c}")
             s2, pois = F.col(f"__s2_{c}"), F.col(f"__pp_{c}")
@@ -441,6 +444,7 @@ def standardize_sql(
         dec_poison_sql,
         dec_term_sql,
         poisoned_sql,
+        underflow_poison_sql,
     )
 
     fit_cols, sel = [], [id_col]
@@ -451,7 +455,7 @@ def standardize_sql(
             n = f"CAST(COUNT({d}) AS DOUBLE)"
             s1 = f"CAST(SUM({dec}) AS DOUBLE)"
             s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
-            pois = dec_poison_sql(d)
+            pois = f"({dec_poison_sql(d)} + {underflow_poison_sql(d)})"
             fit_cols.append(f"{poisoned_sql(f'{s1} / {n}', pois)} AS __c_{c}")
             fit_cols.append(
                 poisoned_sql(
