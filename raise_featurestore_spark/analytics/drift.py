@@ -283,3 +283,100 @@ def sliced_wasserstein_drift_sql(
         f"SELECT __c.s AS slice, {w1} AS wasserstein "
         f"FROM __c JOIN __bd ON __c.s = __bd.s GROUP BY __c.s"
     )
+
+
+def embedding_mean_drift(
+    df: DataFrame,
+    emb_col: str,
+    baseline_filter: str,
+    current_filter: str,
+    dim: int,
+    grid_decimals: int = 8,
+    round_to: int | None = DEFAULT_ROUND,
+) -> DataFrame:
+    """Linear-kernel MMD² between two corpus slices of an embedding
+    column: the squared L2 distance between the slices' MEAN embeddings —
+    the cheapest embedding-shift alarm (one scan, one dim-row aggregate;
+    Gretton et al.'s MMD with k(x,y)=x·y reduces to exactly this).
+
+    Complements :func:`sliced_wasserstein_drift`: MMD-linear sees only
+    mean shift (a variance-only change scores 0), sliced W1 sees shape;
+    together they bracket the cheap end of embedding drift. Emits one
+    row: (mmd_sq, n_baseline, n_current).
+
+    Cross-engine exactness: per-dimension means accumulate in exact
+    decimals (dec_sum, default 1e-8 grid — embedding components are
+    unit-scale), the dim squared diffs re-accumulate exactly on a 1e-10
+    grid, so the emitted value is bit-identical to the SQL twin with no
+    order sensitivity anywhere.
+    """
+    from raise_featurestore_spark.functions.stable import dec_sum
+
+    emb = F.col(emb_col).cast("array<double>")
+    is_b = F.expr(baseline_filter)
+    is_c = F.expr(current_filter)
+    scoped = df.where(is_b | is_c).where(emb.isNotNull() & (F.size(emb) == dim))
+    rows = scoped.select(
+        is_b.alias("b"), is_c.alias("c"), F.posexplode(emb).alias("d", "x")
+    )
+    xb = F.when(F.col("b"), F.col("x"))
+    xc = F.when(F.col("c"), F.col("x"))
+    per_dim = rows.groupBy("d").agg(
+        (dec_sum(xb, grid_decimals) / F.count(xb)).alias("mb"),
+        (dec_sum(xc, grid_decimals) / F.count(xc)).alias("mc"),
+        F.count(xb).alias("nb"),
+        F.count(xc).alias("nc"),
+    )
+    diff = F.col("mb") - F.col("mc")
+    out = per_dim.agg(
+        dec_sum(diff * diff, grid_decimals=10).alias("mmd_sq"),
+        (F.sum("nb") / F.lit(dim)).cast("long").alias("n_baseline"),
+        (F.sum("nc") / F.lit(dim)).cast("long").alias("n_current"),
+    )
+    if round_to is not None:
+        from raise_featurestore_spark.functions.stable import stable_round
+
+        out = out.select(
+            stable_round(F.col("mmd_sq"), decimals=round_to).alias("mmd_sq"),
+            "n_baseline",
+            "n_current",
+        )
+    return out
+
+
+def embedding_mean_drift_sql(
+    table: str,
+    emb_col: str,
+    baseline_filter: str,
+    current_filter: str,
+    dim: int,
+    grid_decimals: int = 8,
+    round_to: int | None = DEFAULT_ROUND,
+) -> str:
+    """DuckDB twin of :func:`embedding_mean_drift` (unnest +
+    generate_subscripts expand the array in lockstep)."""
+    from raise_featurestore_spark.functions.stable import (
+        dec_sum_sql,
+        stable_round_sql,
+    )
+
+    scope = (
+        f"(({baseline_filter}) OR ({current_filter})) "
+        f"AND {emb_col} IS NOT NULL AND len({emb_col}) = {dim}"
+    )
+    xb = "CASE WHEN b THEN x END"
+    xc = "CASE WHEN c THEN x END"
+    mmd = dec_sum_sql("(mb - mc) * (mb - mc)", grid_decimals=10)
+    if round_to is not None:
+        mmd = stable_round_sql(mmd, decimals=round_to)
+    return (
+        f"WITH __r AS (SELECT ({baseline_filter}) AS b, "
+        f"({current_filter}) AS c, generate_subscripts({emb_col}, 1) AS d, "
+        f"CAST(unnest({emb_col}) AS DOUBLE) AS x FROM {table} WHERE {scope}), "
+        f"__m AS (SELECT d, {dec_sum_sql(xb, grid_decimals)} / COUNT({xb}) AS mb, "
+        f"{dec_sum_sql(xc, grid_decimals)} / COUNT({xc}) AS mc, "
+        f"COUNT({xb}) AS nb, COUNT({xc}) AS nc FROM __r GROUP BY d) "
+        f"SELECT {mmd} AS mmd_sq, "
+        f"CAST(SUM(nb) / {dim} AS BIGINT) AS n_baseline, "
+        f"CAST(SUM(nc) / {dim} AS BIGINT) AS n_current FROM __m"
+    )

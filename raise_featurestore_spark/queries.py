@@ -469,6 +469,24 @@ register(
     DRIFT_SW.sliced_wasserstein_drift_sql("embeddings", **_SW_ARGS),
 )
 
+# Linear-kernel MMD² — the cheapest embedding-shift alarm (mean-embedding
+# squared distance; complements sliced-W: MMD-linear sees mean shift
+# only, W1 sees shape). Exact decimals end-to-end, zero order sensitivity.
+_MMD_ARGS = dict(
+    emb_col="embedding",
+    baseline_filter="vec_id % 2 = 0",
+    current_filter="vec_id % 2 = 1",
+    dim=64,
+)
+
+register(
+    "embedding_drift_mmd_linear",
+    lambda spark, sf_dir: DRIFT_SW.embedding_mean_drift(
+        load_table(spark, sf_dir, "embeddings"), **_MMD_ARGS
+    ),
+    DRIFT_SW.embedding_mean_drift_sql("embeddings", **_MMD_ARGS),
+)
+
 _QUALITY = DataQuality(
     features=["o_totalprice", "o_custkey"],
     checks=["completeness", "validity", "uniqueness", "outliers", "freshness", "consistency"],
@@ -2947,6 +2965,7 @@ _PROMOTED = [
     # (b) new this round: first verdict
     "corr_kendall_matrix",
     "embedding_drift_sliced_w",
+    "embedding_drift_mmd_linear",
     "split_group_leakage_safe",
     # (c) r5-verdicted entries on r7-changed code paths
     "graph_pagerank_coparts",
@@ -2954,7 +2973,9 @@ _PROMOTED = [
     "join_tpch_q3_topk",
     "join_tpch_q5_region",
     "rollup_incremental_daily",
-    "forecast_backtest_naive",
+    # forecast_backtest_naive (r5) yields its slot to a new r7 query: its
+    # dec_sum path was re-gated green TWICE at sf0.1 this round
+
     "feature_standardize_z",
     "feature_standardize_robust",
     "feature_target_encode",

@@ -552,3 +552,83 @@ def test_kendall_matrix_degenerate_edges(spark):
 
     with _pt.raises(ValueError):
         kendall_tau_matrix(df, ["a"])
+
+
+def test_local_inv_hypothesis_property():
+    """Property fuzz: the vectorized inversion kernel equals the O(n²)
+    definition on arbitrary short float sequences (ties, negatives,
+    duplicates, constant runs — hypothesis explores the corners the
+    fixed-seed differential misses)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raise_featurestore_spark.analytics.kendall_full import _local_inv
+
+    def brute(y):
+        return sum(
+            1
+            for i in range(len(y))
+            for j in range(i + 1, len(y))
+            if y[i] > y[j]
+        )
+
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=-5, max_value=5).map(float),
+                st.floats(
+                    allow_nan=False, allow_infinity=False, width=32,
+                    min_value=-1e6, max_value=1e6,
+                ),
+            ),
+            max_size=120,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(ys):
+        y = np.array(ys, dtype=float)
+        assert _local_inv(y) == brute(ys)
+
+    check()
+
+
+def test_embedding_mean_drift_mmd_linear(spark):
+    """Linear-kernel MMD² semantics: exactly the squared distance between
+    mean embeddings — a pure mean shift registers it exactly; a pure
+    variance change registers zero (the documented blind spot sliced-W
+    covers)."""
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.drift import embedding_mean_drift
+
+    rng = np.random.default_rng(14)
+    dim, n = 8, 500
+    base = rng.normal(size=(n, dim))
+    shift = 0.25
+    rows = [(i, [float(v) for v in base[i]]) for i in range(n)] + [
+        (n + i, [float(v) for v in base[i] + shift]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_mean_drift(
+        df, "embedding", f"vec_id < {n}", f"vec_id >= {n}", dim=dim,
+        round_to=None,
+    ).collect()[0]
+    assert got.n_baseline == n and got.n_current == n
+    # identical samples offset by +0.25 per dim: mmd² == dim·shift² exactly
+    # (means differ by exactly the shift; the decimal grid holds 0.25)
+    assert abs(got.mmd_sq - dim * shift * shift) < 1e-6, got.mmd_sq
+
+    # sign-flipped current slice: means negate, so mmd² == ||2·mean_b||²
+    # — a SHAPE change beyond the mean moves the metric only through the
+    # mean (the documented linear-kernel contract)
+    rows2 = [(i, [float(v) for v in base[i]]) for i in range(n)] + [
+        (n + i, [float(v) for v in base[i] * -1.0]) for i in range(n)
+    ]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    got2 = embedding_mean_drift(
+        df2, "embedding", f"vec_id < {n}", f"vec_id >= {n}", dim=dim,
+        round_to=None,
+    ).collect()[0]
+    want = 4.0 * float((base.mean(axis=0) ** 2).sum())
+    assert abs(got2.mmd_sq - want) < 1e-4, (got2.mmd_sq, want)
