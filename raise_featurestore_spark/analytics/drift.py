@@ -328,8 +328,16 @@ def embedding_mean_drift(
         F.count(xc).alias("nc"),
     )
     diff = F.col("mb") - F.col("mc")
+    # underflow_guard=False: in the near-zero-drift regime MOST per-dim
+    # squared diffs legitimately sit below the 1e-10 grid's half step
+    # (diff ~ sigma*sqrt(2/n) -> diff^2 ~ 2 sigma^2/n), which is the
+    # expected ~0 reading, not a mis-sized grid; the sentinel would
+    # poison exactly the "no drift" answer to NaN (ADVICE r7 medium).
+    # Quantization error is bounded by dim * 5e-11.
     out = per_dim.agg(
-        dec_sum(diff * diff, grid_decimals=10).alias("mmd_sq"),
+        dec_sum(diff * diff, grid_decimals=10, underflow_guard=False).alias(
+            "mmd_sq"
+        ),
         (F.sum("nb") / F.lit(dim)).cast("long").alias("n_baseline"),
         (F.sum("nc") / F.lit(dim)).cast("long").alias("n_current"),
     )
@@ -366,7 +374,9 @@ def embedding_mean_drift_sql(
     )
     xb = "CASE WHEN b THEN x END"
     xc = "CASE WHEN c THEN x END"
-    mmd = dec_sum_sql("(mb - mc) * (mb - mc)", grid_decimals=10)
+    mmd = dec_sum_sql(
+        "(mb - mc) * (mb - mc)", grid_decimals=10, underflow_guard=False
+    )
     if round_to is not None:
         mmd = stable_round_sql(mmd, decimals=round_to)
     return (

@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from raise_featurestore_spark.functions.conf_scope import (
+    scoped_conf,
+    shuffle_partitions,
+)
 from raise_featurestore_spark.functions.stable import (
     dec_sum,
     dec_sum_sql,
@@ -115,19 +119,20 @@ def pagerank(
     # outputPartitioning reports unknown, so the LogicalRDD forgets the
     # layout and every iteration re-shuffles anyway (measured: the
     # repartition alone changed nothing). AQE has no decision to make in
-    # this one known user-specified shuffle, and consumers re-enable it.
+    # this one known user-specified shuffle. The flip is session-global,
+    # so it runs under the process-wide scoped_conf lock (exact restore,
+    # no interleaving with other conf windows); a job another thread
+    # plans on the same session during this short window gets a
+    # non-adaptive but CORRECT plan — documented perf-only residual
+    # (conf_scope.py module docstring, ADVICE r7).
     spark_s = df.sparkSession
-    shuffle_p = int(spark_s.conf.get("spark.sql.shuffle.partitions"))
-    aqe_was = spark_s.conf.get("spark.sql.adaptive.enabled")
-    spark_s.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    shuffle_p = shuffle_partitions(spark_s)
+    with scoped_conf(spark_s, spark__sql__adaptive__enabled="false"):
         edges = (
             edges.join(deg, "src")
             .repartition(shuffle_p, "dst")
             .localCheckpoint(eager=True)
         )
-    finally:
-        spark_s.conf.set("spark.sql.adaptive.enabled", aqe_was)
     n = edges.agg(F.count_distinct("src")).collect()[0][0]
     if n == 0:
         return edges.select(F.col("src").alias("node"), F.lit(0.0).alias("pr"))

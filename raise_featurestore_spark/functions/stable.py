@@ -292,7 +292,9 @@ def poisoned_sql(core: str, poison: str) -> str:
     return f"CASE WHEN ISNAN({poison}) THEN ({poison}) ELSE ({core}) + ({poison}) END"
 
 
-def dec_sum(c: Column, grid_decimals: int = 4) -> Column:
+def dec_sum(
+    c: Column, grid_decimals: int = 4, underflow_guard: bool = True
+) -> Column:
     """Order-independent SUM of a double column, as a double.
 
     Rows are snapped to the ``grid_decimals`` grid (IEEE floor form,
@@ -307,19 +309,31 @@ def dec_sum(c: Column, grid_decimals: int = 4) -> Column:
     (nonzero yet |x| < half a grid step — the small-magnitude footgun)
     poison too (:func:`underflow_poison`): raise ``grid_decimals`` for
     such data. All-NULL groups stay NULL.
+
+    ``underflow_guard=False`` drops the underflow sentinel ONLY — for
+    sums whose terms are LEGITIMATELY near zero by construction (e.g.
+    squared differences of nearly-equal means in embedding drift, where
+    "mostly sub-grid" is the expected no-drift reading, not a
+    mis-sized grid). The quantization error is then bounded by
+    n/2 grid half-steps; callers own documenting that bound. The
+    domain/NaN poison always applies.
     """
     core = F.sum(dec_term(c, grid_decimals)).cast("double")
-    flag = dec_poison(c, grid_decimals) + underflow_poison(c, grid_decimals)
+    flag = dec_poison(c, grid_decimals)
+    if underflow_guard:
+        flag = flag + underflow_poison(c, grid_decimals)
     return poisoned(core, flag)
 
 
-def dec_sum_sql(expr: str, grid_decimals: int = 4) -> str:
-    """DuckDB twin of :func:`dec_sum`."""
+def dec_sum_sql(
+    expr: str, grid_decimals: int = 4, underflow_guard: bool = True
+) -> str:
+    """DuckDB twin of :func:`dec_sum` (incl. the ``underflow_guard``
+    opt-out)."""
     core = f"CAST(SUM({dec_term_sql(expr, grid_decimals)}) AS DOUBLE)"
-    flag = (
-        f"({dec_poison_sql(expr, grid_decimals)}) + "
-        f"({underflow_poison_sql(expr, grid_decimals)})"
-    )
+    flag = f"({dec_poison_sql(expr, grid_decimals)})"
+    if underflow_guard:
+        flag += f" + ({underflow_poison_sql(expr, grid_decimals)})"
     return f"({poisoned_sql(core, flag)})"
 
 

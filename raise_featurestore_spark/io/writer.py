@@ -35,6 +35,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Window
@@ -103,11 +104,22 @@ def _commit_swap(path: str, gen: str) -> None:
         if os.path.realpath(g) not in keep:
             shutil.rmtree(g, ignore_errors=True)
     for ln in glob.glob(f"{path}__ln_*"):
-        # orphan temp links from a crash between symlink() and replace()
+        # orphan temp links from a crash between symlink() and replace().
+        # Grace-period guard (ADVICE r7): a CONCURRENT writer's link is
+        # microseconds old between its symlink() and os.replace(); only
+        # links plausibly left by a dead process (minutes old) are debris
+        # here. Fresh debris is still cleared by the next
+        # _recover_interrupted_swap, whose contract is single-writer.
         try:
-            os.unlink(ln)
+            if time.time() - os.lstat(ln).st_mtime > _LN_SWEEP_GRACE_S:
+                os.unlink(ln)
         except OSError:
             pass
+
+
+# A temp link older than this inside _commit_swap is crash debris, not a
+# concurrent writer mid-commit (symlink->replace is two syscalls apart).
+_LN_SWEEP_GRACE_S = 300.0
 
 
 def write_feature_group(

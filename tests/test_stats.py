@@ -632,3 +632,45 @@ def test_embedding_mean_drift_mmd_linear(spark):
     ).collect()[0]
     want = 4.0 * float((base.mean(axis=0) ** 2).sum())
     assert abs(got2.mmd_sq - want) < 1e-4, (got2.mmd_sq, want)
+
+
+def test_embedding_mean_drift_near_zero_regime(spark):
+    """ADVICE r7 (medium): near-identical slices must read ~0, not NaN.
+    Large-n no-drift means differ by ~sigma*sqrt(2/n), so MOST per-dim
+    squared diffs sit below the 1e-10 grid's half step — legitimately ~0,
+    and the underflow sentinel must NOT fire on the final diff² sum
+    (it still guards the raw mean accumulation)."""
+    import math
+
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.drift import embedding_mean_drift
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 2000
+    base = rng.normal(size=(n, dim))
+    # current slice = baseline + per-element noise of ~1e-6: per-dim mean
+    # diffs ~1e-6/sqrt(n), squares ~5e-16 — all far below the 5e-11 half
+    # step, the exact regime the r7 sentinel mis-poisoned.
+    cur = base + rng.normal(scale=1e-6, size=(n, dim))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(n)] + [
+        (n + i, [float(v) for v in cur[i]]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_mean_drift(
+        df, "embedding", f"vec_id < {n}", f"vec_id >= {n}", dim=dim,
+        round_to=None,
+    ).collect()[0]
+    assert not math.isnan(got.mmd_sq), "no-drift regime must not poison"
+    assert 0.0 <= got.mmd_sq < 1e-8, got.mmd_sq
+
+    # byte-identical slices: exactly 0.0
+    df0 = spark.createDataFrame(
+        rows[:n] + [(n + i, r) for i, (_, r) in enumerate(rows[:n])],
+        "vec_id long, embedding array<float>",
+    )
+    got0 = embedding_mean_drift(
+        df0, "embedding", f"vec_id < {n}", f"vec_id >= {n}", dim=dim,
+        round_to=None,
+    ).collect()[0]
+    assert got0.mmd_sq == 0.0, got0.mmd_sq

@@ -1054,3 +1054,31 @@ def test_commit_swap_cleans_orphan_ln_links(spark, tmp_path):
         mode="upsert", key_columns=["k"],
     )
     assert _glob.glob(path + "__ln_*") == []
+
+
+def test_commit_swap_spares_fresh_concurrent_ln_links(spark, tmp_path):
+    """ADVICE r7: _commit_swap's orphan sweep must NOT unlink a temp link
+    a concurrent writer created moments ago between its symlink() and
+    os.replace() — only stale (grace-period-old) debris. Old links still
+    go."""
+    import glob as _glob
+    import os
+
+    from raise_featurestore_spark.io import writer as W
+
+    path = str(tmp_path / "fg")
+    W.write_feature_group(
+        spark.range(10).selectExpr("id AS k", "id AS v"), path, mode="overwrite"
+    )
+    gen = os.path.realpath(path)
+    fresh = path + "__ln_concurrent"
+    os.symlink(gen, fresh)  # mtime = now: a writer mid-commit
+    stale = path + "__ln_stale"
+    os.symlink(gen, stale)
+    old = os.lstat(stale).st_mtime - W._LN_SWEEP_GRACE_S - 60
+    os.utime(stale, (old, old), follow_symlinks=False)
+    W._commit_swap(path, gen)
+    assert os.path.lexists(fresh), "fresh concurrent link must survive"
+    assert not os.path.lexists(stale), "stale crash debris must be swept"
+    os.unlink(fresh)
+    assert _glob.glob(path + "__ln_*") == []
