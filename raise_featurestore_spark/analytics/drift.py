@@ -390,3 +390,186 @@ def embedding_mean_drift_sql(
         f"CAST(SUM(nb) / {dim} AS BIGINT) AS n_baseline, "
         f"CAST(SUM(nc) / {dim} AS BIGINT) AS n_current FROM __m"
     )
+
+
+def _rff_features(
+    dim: int, n_features: int, bandwidth: float, seed: int
+) -> tuple[list[list[float]], list[float]]:
+    """Deterministic random-Fourier-feature parameters, shared verbatim
+    between the Spark plan and the SQL twin (both embed them as double
+    literals): W rows ~ N(0, 1/bandwidth²) via ``random.Random.gauss``
+    (stable across Python versions), offsets b ~ U[0, 2π)."""
+    import random
+
+    from raise_featurestore_spark.functions.stable import _TWO_PI
+
+    rng = random.Random(seed)
+    w = [
+        [rng.gauss(0.0, 1.0) / bandwidth for _ in range(dim)]
+        for _ in range(n_features)
+    ]
+    b = [rng.random() * _TWO_PI for _ in range(n_features)]
+    return w, b
+
+
+def embedding_rff_mmd_drift(
+    df: DataFrame,
+    emb_col: str,
+    baseline_filter: str,
+    current_filter: str,
+    dim: int,
+    n_features: int = 16,
+    bandwidth: float = 1.0,
+    seed: int = 29,
+    grid_decimals: int = 8,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """RBF-kernel MMD² between two corpus slices of an embedding column,
+    estimated with random Fourier features [Rahimi & Recht, NeurIPS 2007]:
+    z_i(x) = cos(w_i·x + b_i), MMD² ≈ (2/D)·Σ_i (E_b[z_i] − E_c[z_i])².
+
+    Closes the documented blind spot of :func:`embedding_mean_drift`
+    (linear-kernel MMD sees ONLY mean shift — a variance-only change
+    scores 0, r7 VERDICT "what's missing" item 3): E[cos(w·x+b)] is the
+    real part of the characteristic function, which a spread change moves
+    (for x ~ N(μ, σ²I) it scales by exp(−σ²‖w‖²/2)), so variance-only
+    drift registers. Pinned in tests: same-mean 2×-spread drifts score
+    ≫ 0 here while the linear MMD reads ~0.
+
+    Scale: ONE corpus scan → posexplode to D·n lightweight (i, t) rows →
+    hash-aggregate into D groups (map-side combine collapses each
+    partition to D partials) → D-row driver-bounded tail. No joins, no
+    windows, no Python in the row path.
+
+    Cross-engine exactness: the projections t_i fold in a fixed order
+    over shared double literals; the cosine is the shared range-reduced
+    polynomial (:func:`poly_cos` — engine cos() differs by ulps between
+    JVM and libm, so the metric is DEFINED by the polynomial); feature
+    means accumulate in exact decimals; the final squared-diff sum drops
+    the underflow sentinel exactly like the linear MMD (near-zero drift
+    legitimately underflows the 1e-10 grid; quantization error bounded by
+    D·5e-11·(2/D) = 1e-10). Emits one row:
+    (mmd_sq, n_baseline, n_current).
+    """
+    import json as _json
+
+    from raise_featurestore_spark.functions.stable import (
+        dec_sum,
+        poly_cos,
+        stable_round,
+    )
+
+    w, b = _rff_features(dim, n_features, bandwidth, seed)
+    parr = F.from_json(
+        F.lit(
+            _json.dumps(
+                [{"w": wi, "b": bi} for wi, bi in zip(w, b)],
+            )
+        ),
+        "array<struct<w:array<double>,b:double>>",
+    )
+    emb = F.col(emb_col).cast("array<double>")
+    is_b = F.expr(baseline_filter)
+    is_c = F.expr(current_filter)
+    scoped = df.where(is_b | is_c).where(emb.isNotNull() & (F.size(emb) == dim))
+    # t_i = ((b_i + x_1·w_1) + x_2·w_2) + …: init = the offset, then a
+    # left fold in element order — the SQL twin writes the same chain.
+    projs = F.transform(
+        parr,
+        lambda s: F.aggregate(
+            F.zip_with(emb, s["w"], lambda x, wt: x * wt),
+            s["b"],
+            lambda a, x: a + x,
+        ),
+    )
+    rows = scoped.select(
+        is_b.alias("b"), is_c.alias("c"), F.posexplode(projs).alias("i", "t")
+    )
+    # t is a materialized generator-output column, so poly_cos's ~20×
+    # input duplication stays a cheap column reference
+    feats = rows.select("b", "c", "i", poly_cos(F.col("t")).alias("z"))
+    zb = F.when(F.col("b"), F.col("z"))
+    zc = F.when(F.col("c"), F.col("z"))
+    per_f = feats.groupBy("i").agg(
+        (dec_sum(zb, grid_decimals) / F.count(zb)).alias("mb"),
+        (dec_sum(zc, grid_decimals) / F.count(zc)).alias("mc"),
+        F.count(zb).alias("nb"),
+        F.count(zc).alias("nc"),
+    )
+    diff = F.col("mb") - F.col("mc")
+    out = per_f.agg(
+        (
+            F.lit(2.0 / n_features)
+            * dec_sum(diff * diff, grid_decimals=10, underflow_guard=False)
+        ).alias("mmd_sq"),
+        (F.sum("nb") / F.lit(n_features)).cast("long").alias("n_baseline"),
+        (F.sum("nc") / F.lit(n_features)).cast("long").alias("n_current"),
+    )
+    if round_to is not None:
+        out = out.select(
+            stable_round(F.col("mmd_sq"), decimals=round_to).alias("mmd_sq"),
+            "n_baseline",
+            "n_current",
+        )
+    return out
+
+
+def embedding_rff_mmd_drift_sql(
+    table: str,
+    emb_col: str,
+    baseline_filter: str,
+    current_filter: str,
+    dim: int,
+    n_features: int = 16,
+    bandwidth: float = 1.0,
+    seed: int = 29,
+    grid_decimals: int = 8,
+    round_to: int | None = 6,
+) -> str:
+    """DuckDB twin of :func:`embedding_rff_mmd_drift`: per-feature
+    left-assoc projection chains over 1-based list elements (init = the
+    offset literal, matching the Spark fold), the shared polynomial
+    cosine, then the same exact-decimal mean/diff² pipeline."""
+    from raise_featurestore_spark.functions.stable import (
+        dec_sum_sql,
+        dlit,
+        poly_cos_sql,
+        stable_round_sql,
+    )
+
+    w, b = _rff_features(dim, n_features, bandwidth, seed)
+    scope = (
+        f"(({baseline_filter}) OR ({current_filter})) "
+        f"AND {emb_col} IS NOT NULL AND len({emb_col}) = {dim}"
+    )
+
+    def proj(wi: list[float], bi: float) -> str:
+        terms = "".join(
+            f" + CAST({emb_col}[{j + 1}] AS DOUBLE) * {dlit(wj)}"
+            for j, wj in enumerate(wi)
+        )
+        return f"({dlit(bi)}{terms})"
+
+    feats = " UNION ALL ".join(
+        f"SELECT {i} AS i, {proj(wi, bi)} AS t, ({baseline_filter}) AS b, "
+        f"({current_filter}) AS c FROM {table} WHERE {scope}"
+        for i, (wi, bi) in enumerate(zip(w, b))
+    )
+    zb = "CASE WHEN b THEN z END"
+    zc = "CASE WHEN c THEN z END"
+    mmd = (
+        f"{dlit(2.0 / n_features)} * "
+        f"{dec_sum_sql('(mb - mc) * (mb - mc)', grid_decimals=10, underflow_guard=False)}"
+    )
+    if round_to is not None:
+        mmd = stable_round_sql(mmd, decimals=round_to)
+    return (
+        f"WITH __t AS ({feats}), "
+        f"__z AS (SELECT i, b, c, {poly_cos_sql('t')} AS z FROM __t), "
+        f"__m AS (SELECT i, {dec_sum_sql(zb, grid_decimals)} / COUNT({zb}) AS mb, "
+        f"{dec_sum_sql(zc, grid_decimals)} / COUNT({zc}) AS mc, "
+        f"COUNT({zb}) AS nb, COUNT({zc}) AS nc FROM __z GROUP BY i) "
+        f"SELECT {mmd} AS mmd_sq, "
+        f"CAST(SUM(nb) / {n_features} AS BIGINT) AS n_baseline, "
+        f"CAST(SUM(nc) / {n_features} AS BIGINT) AS n_current FROM __m"
+    )

@@ -372,3 +372,78 @@ def dec_var_sql(expr: str, grid_decimals: int = 4) -> str:
         f"({underflow_poison_sql(expr, grid_decimals)})"
     )
     return f"({poisoned_sql(core, flag)})"
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine cosine: engine cos() differs between JVM Math.cos (allowed
+# 1 ulp) and libm (typically correctly rounded) — the same class of
+# divergence that banned pow (see _exp10). Metrics that need a cosine
+# (random-Fourier-feature MMD) therefore DEFINE it as this fixed
+# range-reduced even Taylor polynomial: identical double literals +
+# identical IEEE add/mul/floor sequences ⇒ bit-identical on Spark and
+# DuckDB. |poly_cos − cos| < 1e-10 on the reduced range (next Taylor term
+# π²²/22! ≈ 8e-11) — irrelevant for a drift statistic, which this
+# polynomial *is*.
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 6.283185307179586  # repr(2*math.pi): shortest round-trip double
+
+# (-1)^k / (2k)! for k = 0..10 — cos(r) = Σ c_k (r²)^k, |r| ≤ π
+_COS_COEFFS = [
+    1.0,
+    -0.5,
+    0.041666666666666664,
+    -0.001388888888888889,
+    2.48015873015873e-05,
+    -2.755731922398589e-07,
+    2.08767569878681e-09,
+    -1.1470745597729725e-11,
+    4.779477332387385e-14,
+    -1.5619206968586225e-16,
+    4.110317623312165e-19,
+]
+
+
+def poly_cos(c: Column) -> Column:
+    """Shared-polynomial cosine of a double column (see module note).
+    Range-reduce to [-π, π] via r = c − 2π·floor(c/2π + 0.5) (Spark's
+    BIGINT floor cast back to double — exact below 2⁵³), then Horner in
+    r². Pass a PLAIN column reference: the expression tree duplicates its
+    input ~20× (no CSE inside one projection) — cheap for a column ref,
+    pathological for a nested aggregate."""
+    two_pi = F.lit(_TWO_PI)
+    k = F.floor(c / two_pi + F.lit(0.5)).cast("double")
+    r = c - two_pi * k
+    r2 = r * r
+    acc = F.lit(_COS_COEFFS[-1])
+    for co in reversed(_COS_COEFFS[:-1]):
+        acc = acc * r2 + F.lit(co)
+    return acc
+
+
+def dlit(x: float) -> str:
+    """A double literal DuckDB actually types as DOUBLE: a bare
+    ``6.283185307179586`` parses as DECIMAL(16,15) there, and decimal
+    arithmetic then rounds DIFFERENTLY from the double ops Spark runs
+    (caught live in poly_cos range reduction: 8-ulp divergence through
+    cancellation). String→double conversion is correctly rounded by spec
+    on both engines (the _exp10 lesson), so every inexact literal goes
+    through it. Exact-in-decimal literals (0.5, powers of ten) don't need
+    this."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def poly_cos_sql(expr: str) -> str:
+    """DuckDB twin of :func:`poly_cos` — the identical literal/op
+    sequence (DuckDB FLOOR(double) is already an integral double, which
+    equals Spark's long-floor-cast bit-for-bit; all inexact literals are
+    string-parsed doubles, see :func:`dlit`). Pass a plain column
+    name: the string embeds ``expr`` ~20×."""
+    two_pi = dlit(_TWO_PI)
+    k = f"FLOOR(({expr}) / {two_pi} + 0.5)"
+    r = f"(({expr}) - {two_pi} * {k})"
+    r2 = f"({r} * {r})"
+    acc = dlit(_COS_COEFFS[-1])
+    for co in reversed(_COS_COEFFS[:-1]):
+        acc = f"(({acc}) * {r2} + {dlit(co)})"
+    return acc

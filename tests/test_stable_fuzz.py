@@ -207,3 +207,43 @@ def test_round_to_contract_not_silently_widened(spark):
     spec8 = Aggregation(features=["x"], metrics=["avg"], moment_grid_decimals=8)
     got8 = compile_aggregation(df, spec8, round_to=2).collect()[0].avg_x
     assert got8 == 1.2345
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_poly_cos_cross_engine_identical_and_accurate(spark, seed):
+    """poly_cos is the METRIC-DEFINING cosine (engine cos() may differ by
+    1 ulp between JVM Math.cos and libm): Spark and DuckDB must agree
+    BIT-FOR-BIT on adversarial inputs, and the polynomial must track true
+    cos to ~1e-9 over the drift-relevant projection range."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.functions.stable import poly_cos, poly_cos_sql
+
+    rng = random.Random(seed)
+    vals = [rng.uniform(-40.0, 40.0) for _ in range(400)] + [
+        0.0, -0.0, math.pi, -math.pi, math.pi / 2, 2 * math.pi,
+        6.283185307179586 / 2,  # exactly at the range-reduction boundary
+        1e-12, -1e-12, 37.5, -41.123456789,
+    ]
+    sdf = spark.createDataFrame(list(enumerate(vals)), "i long, t double")
+    got_spark = [
+        r.z for r in sdf.select("i", poly_cos(F.col("t")).alias("z"))
+        .orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    # CAST('…' AS DOUBLE): a bare decimal literal is DECIMAL in DuckDB —
+    # the input column must carry the same doubles Spark holds (real
+    # queries read typed parquet columns; only VALUES needs this)
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, CAST('{v!r}' AS DOUBLE))" for i, v in enumerate(vals))
+        + ") AS v(i, t)"
+    )
+    got_duck = [r[0] for r in con.sql(
+        f"SELECT {poly_cos_sql('t')} FROM t ORDER BY i").fetchall()]
+    for v, s in zip(vals, got_spark):
+        assert abs(s - math.cos(v)) < 1e-9, (v, s, math.cos(v))
+    # bit-identity: compare raw IEEE bits, not approximate equality
+    sb = [struct.pack("<d", x) for x in got_spark]
+    db = [struct.pack("<d", x) for x in got_duck]
+    assert sb == db

@@ -674,3 +674,48 @@ def test_embedding_mean_drift_near_zero_regime(spark):
         round_to=None,
     ).collect()[0]
     assert got0.mmd_sq == 0.0, got0.mmd_sq
+
+
+def test_embedding_rff_mmd_detects_variance_only_shift(spark):
+    """r7 VERDICT item 5 done-criterion: a variance-only shift (same
+    mean, 2x spread) must register on the RFF RBF-MMD while the
+    linear-kernel MMD reads ~0 (its documented blind spot)."""
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.drift import (
+        embedding_mean_drift,
+        embedding_rff_mmd_drift,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, n = 8, 1500
+    base = rng.normal(scale=0.5, size=(n, dim))
+    cur = rng.normal(scale=1.0, size=(n, dim))  # same mean 0, 2x spread
+    rows = [(i, [float(v) for v in base[i]]) for i in range(n)] + [
+        (n + i, [float(v) for v in cur[i]]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    args = dict(
+        emb_col="embedding",
+        baseline_filter=f"vec_id < {n}",
+        current_filter=f"vec_id >= {n}",
+        dim=dim,
+    )
+    lin = embedding_mean_drift(df, **args, round_to=None).collect()[0].mmd_sq
+    rff = embedding_rff_mmd_drift(df, **args, round_to=None).collect()[0].mmd_sq
+    # linear MMD: sample means differ by ~sigma*sqrt(2/n) per dim -> tiny
+    assert lin < 5e-3, lin
+    # RFF MMD: E[cos(w.x+b)] scales by exp(-sigma^2 |w|^2 / 2) -> large
+    assert rff > 0.01, rff
+    assert rff > 20 * lin, (rff, lin)
+
+    # and NO-drift still reads ~0 on the RFF path (underflow-guard-free
+    # final sum, same contract as the linear MMD)
+    import math
+
+    same = [(i, [float(v) for v in base[i]]) for i in range(n)] + [
+        (n + i, [float(v) for v in base[i]]) for i in range(n)
+    ]
+    df0 = spark.createDataFrame(same, "vec_id long, embedding array<float>")
+    z = embedding_rff_mmd_drift(df0, **args, round_to=None).collect()[0].mmd_sq
+    assert not math.isnan(z) and z == 0.0, z
