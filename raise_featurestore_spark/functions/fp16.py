@@ -36,24 +36,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("binary")
-def _pack_fp16_udf(v: pd.Series) -> pd.Series:
-    def one(arr):
-        if arr is None:
-            return None
-        return np.asarray(arr, dtype=np.float64).astype("<f2").tobytes()
-
-    return v.map(one)
+# UDF construction is LAZY (cached on first use): @pandas_udf parses its
+# DDL return type against the active session, so decorating at import
+# time makes the module un-importable session-free — and the SQL-twin
+# builders below must run during oracle registration, before any session
+# exists.
+_UDF_CACHE: dict[str, object] = {}
 
 
-@pandas_udf("array<float>")
-def _unpack_fp16_udf(b: pd.Series) -> pd.Series:
-    def one(raw):
-        if raw is None:
-            return None
-        return np.frombuffer(raw, dtype="<f2").astype(np.float32)
+def _pack_fp16_udf():
+    if "pack" not in _UDF_CACHE:
 
-    return b.map(one)
+        @pandas_udf("binary")
+        def _pack(v: pd.Series) -> pd.Series:
+            def one(arr):
+                if arr is None:
+                    return None
+                return np.asarray(arr, dtype=np.float64).astype("<f2").tobytes()
+
+            return v.map(one)
+
+        _UDF_CACHE["pack"] = _pack
+    return _UDF_CACHE["pack"]
+
+
+def _unpack_fp16_udf():
+    if "unpack" not in _UDF_CACHE:
+
+        @pandas_udf("array<float>")
+        def _unpack(b: pd.Series) -> pd.Series:
+            def one(raw):
+                if raw is None:
+                    return None
+                return np.frombuffer(raw, dtype="<f2").astype(np.float32)
+
+            return b.map(one)
+
+        _UDF_CACHE["unpack"] = _unpack
+    return _UDF_CACHE["unpack"]
 
 
 def pack_fp16(col: Column | str) -> Column:
@@ -61,14 +81,14 @@ def pack_fp16(col: Column | str) -> Column:
     bytes). Values are quantized to the nearest half float (ties to even,
     the IEEE default); NULL rows stay NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    return _pack_fp16_udf(c)
+    return _pack_fp16_udf()(c)
 
 
 def unpack_fp16(col: Column | str) -> Column:
     """Packed fp16 ``binary`` → ``array<float>`` (exact upcast: every
     half float is representable in float32). NULL rows stay NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    return _unpack_fp16_udf(c)
+    return _unpack_fp16_udf()(c)
 
 
 def fp16_dim(col: Column | str) -> Column:
@@ -76,3 +96,142 @@ def fp16_dim(col: Column | str) -> Column:
     decode (the blob is N·2 bytes by construction)."""
     c = F.col(col) if isinstance(col, str) else col
     return (F.length(c) / 2).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-gated round-trip (r7 VERDICT item 3): the codec's quantization
+# semantics verified END-TO-END against an independent SQL fp16 quantizer.
+# ---------------------------------------------------------------------------
+
+
+def fp16_cosine_topk(
+    df,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+    k: int = 10,
+):
+    """Pack the embedding column to fp16 binary, round-trip through the
+    codec, and emit cosine top-k against the ``query_id`` row — the
+    driver-gated proof that pack→store→unpack preserves exactly the fp16
+    grid (reference dtype: raise_/models/types.py:124-148).
+
+    Exactness strategy: every unpacked value is an integer multiple of
+    2⁻²⁴ (half-float grid), so x·2²⁴ is an exact integral double; dot and
+    norms accumulate those integers in DECIMAL(18,0) products — exact and
+    ORDER-INDEPENDENT, so no fold-order coordination with the oracle is
+    needed, and the 2⁻⁴⁸ scale cancels inside cos = dot/√(nv·nq). The
+    DuckDB twin quantizes with an independent pure-SQL IEEE
+    round-to-nearest-even ladder (:func:`fp16_quantize_sql`) — agreement
+    on the value hash checks numpy's astype('<f2') against the IEEE
+    definition, not against itself. Emits (vec_id, dim, cos_sim) where
+    dim comes from the PACKED byte length (the binary column is on the
+    emitted path, not just an intermediate).
+    """
+    from raise_featurestore_spark.functions.stable import grid_snap
+
+    unp = df.select(
+        F.col(id_col).alias("vec_id"), pack_fp16(emb_col).alias("pb")
+    ).select("vec_id", fp16_dim("pb").alias("dim"), unpack_fp16("pb").alias("qe"))
+    el = unp.select(
+        "vec_id",
+        "dim",
+        F.posexplode(F.col("qe").cast("array<double>")).alias("j", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        "j",
+        (F.col("x") * F.lit(16777216.0)).cast("decimal(18,0)").alias("a"),
+    )
+    qel = el.where(F.col("vec_id") == query_id).select(
+        F.col("j").alias("qj"), F.col("a").alias("qa")
+    )
+    sums = (
+        el.join(F.broadcast(qel), F.col("j") == F.col("qj"))
+        .groupBy("vec_id", "dim")
+        .agg(
+            F.sum(F.col("a") * F.col("qa")).alias("dot_s"),
+            F.sum(F.col("a") * F.col("a")).alias("nv_s"),
+            F.sum(F.col("qa") * F.col("qa")).alias("nq_s"),
+        )
+    )
+    cos = F.col("dot_s").cast("double") / F.sqrt(
+        F.col("nv_s").cast("double") * F.col("nq_s").cast("double")
+    )
+    return (
+        sums.select("vec_id", "dim", grid_snap(cos, 8).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def fp16_quantize_stages_sql(x: str = "x") -> list[tuple[str, str]]:
+    """The pure-SQL IEEE-754 half-float quantizer as staged (alias, expr)
+    pairs over a double column ``x`` — round-to-nearest-even, normals
+    AND subnormals, exact for |x| ≤ 65504 (the fp16 max; embeddings are
+    unit-scale). Every step is IEEE-exact: the per-binade scale is a
+    power of two (multiply/divide exact), so the ONLY rounding is the
+    integer round, done explicitly with the even rule — matching what
+    numpy's astype(float16) does bit-for-bit on this domain."""
+    from raise_featurestore_spark.functions.stable import dlit
+
+    whens = " ".join(
+        f"WHEN __aq >= {dlit(2.0 ** e)} THEN {dlit(2.0 ** (e - 10))}"
+        for e in range(15, -15, -1)
+    )
+    return [
+        ("__aq", f"ABS({x})"),
+        ("__step", f"(CASE {whens} ELSE {dlit(2.0 ** -24)} END)"),
+        ("__tq", "__aq / __step"),
+        ("__fq", "FLOOR(__aq / __step)"),
+        (
+            "__rq",
+            "(CASE WHEN (__tq - __fq) > 0.5 THEN __fq + 1.0 "
+            "WHEN (__tq - __fq) < 0.5 THEN __fq "
+            "WHEN CAST(__fq AS BIGINT) % 2 = 0 THEN __fq ELSE __fq + 1.0 END)",
+        ),
+        (
+            "__qx",
+            f"(CASE WHEN ({x}) = 0 THEN 0.0 "
+            f"WHEN ({x}) < 0 THEN -(__rq * __step) ELSE __rq * __step END)",
+        ),
+    ]
+
+
+def fp16_cosine_topk_sql(
+    table: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`fp16_cosine_topk` — independent SQL fp16
+    quantization, then the identical exact-decimal cosine pipeline."""
+    from raise_featurestore_spark.functions.stable import dlit, grid_snap_sql
+
+    stages = fp16_quantize_stages_sql("x")
+    quant = ""
+    prev = "__e"
+    for i, (alias, expr) in enumerate(stages):
+        nxt = f"__s{i}"
+        quant += f"{nxt} AS (SELECT *, {expr} AS {alias} FROM {prev}), "
+        prev = nxt
+    cos = (
+        "CAST(dot_s AS DOUBLE) / "
+        "SQRT(CAST(nv_s AS DOUBLE) * CAST(nq_s AS DOUBLE))"
+    )
+    return (
+        f"WITH __e AS (SELECT {id_col} AS vec_id, "
+        f"generate_subscripts({emb_col}, 1) AS j, "
+        f"CAST(unnest({emb_col}) AS DOUBLE) AS x FROM {table} "
+        f"WHERE {emb_col} IS NOT NULL), "
+        f"{quant}"
+        f"__a AS (SELECT vec_id, j, "
+        f"CAST(__qx * {dlit(16777216.0)} AS DECIMAL(18,0)) AS a FROM {prev}), "
+        f"__qv AS (SELECT j AS qj, a AS qa FROM __a WHERE vec_id = {query_id}), "
+        f"__s AS (SELECT vec_id, CAST(COUNT(*) AS INT) AS dim, "
+        f"SUM(a * qa) AS dot_s, SUM(a * a) AS nv_s, SUM(qa * qa) AS nq_s "
+        f"FROM __a JOIN __qv ON j = qj GROUP BY vec_id) "
+        f"SELECT vec_id, dim, {grid_snap_sql(cos, 8)} AS cos_sim FROM __s "
+        f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+    )

@@ -82,3 +82,41 @@ def test_fp16_composes_with_cosine_topk(spark):
     b = [tuple(r) for r in brute_force_topk(
         decoded, q, k=5, id_col="id", emb_col="emb").collect()]
     assert a == b and a[0][0] == 0  # the query vector itself ranks first
+
+
+def test_sql_fp16_quantizer_matches_numpy_rne():
+    """The oracle-side pure-SQL quantizer must reproduce numpy's
+    astype(float16) (IEEE round-to-nearest-even) bit-for-bit: normals,
+    subnormals, exact midpoint ties, and the 2^-14 / 2^-24 / 2^-25
+    boundaries."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from raise_featurestore_spark.functions.fp16 import fp16_quantize_stages_sql
+
+    rng = random.Random(3)
+    vals = [rng.uniform(-8, 8) for _ in range(1500)] + [
+        rng.uniform(-6e-5, 6e-5) for _ in range(1000)
+    ]
+    h = np.arange(-2048, 2048, dtype=np.float64) * 2.0**-13
+    vals += (((h[:-1] + h[1:]) / 2)).tolist()  # exact fp16 midpoints
+    vals += [0.0, -0.0, 65504.0, 2.0**-14, 2.0**-24, -(2.0**-25), 2.0**-25]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, CAST('{v!r}' AS DOUBLE))" for i, v in enumerate(vals))
+        + ") AS v(i, x)"
+    )
+    q, prev = "WITH __e AS (SELECT i, x FROM t), ", "__e"
+    for n, (alias, expr) in enumerate(fp16_quantize_stages_sql("x")):
+        q += f"__s{n} AS (SELECT *, {expr} AS {alias} FROM {prev}), "
+        prev = f"__s{n}"
+    q = q.rstrip(", ") + f" SELECT __qx FROM {prev} ORDER BY i"
+    got = [r[0] for r in con.sql(q).fetchall()]
+    want = np.array(vals, dtype=np.float64).astype("<f2").astype(np.float64)
+    for v, g, w in zip(vals, got, want):
+        if g == 0 and w == 0:
+            continue  # signed zero washes out in the decimal pipeline
+        assert g == w, (v, g, w)
