@@ -42,8 +42,8 @@ from raise_featurestore_spark.analytics.analysis import Aggregation, parse_durat
 from raise_featurestore_spark.functions.stable import (
     dec_poison,
     dec_poison_sql,
-    dec_term,
-    dec_term_sql,
+    dec_scaled,
+    dec_scaled_sql,
     grid_snap,
     grid_snap_sql,
     poisoned,
@@ -97,9 +97,14 @@ def metric_alias(metric: str, feature: str) -> str:
 # silently dropped rows; the poison application survives all-bad groups
 # (stable.poisoned). The row/poison terms are single-sourced in
 # functions/stable.py — this module only aliases them locally.
-_exact_dec = dec_term
+# r8: the exact terms are dec_scaled — value·10^g as long-backed
+# DECIMAL(18,0) (the int64 grid fast path, same grid/capacity, measured
+# ~2× on the fused stats aggregate; see stable.dec_scaled for the
+# two-step conversion contract both engines share). The /10^g and
+# /10^(2g) rescales below are the contract's second step.
+_exact_dec = dec_scaled
 _exact_poison = dec_poison
-_exact_dec_sql = dec_term_sql
+_exact_dec_sql = dec_scaled_sql
 _exact_poison_sql = dec_poison_sql
 
 
@@ -133,7 +138,7 @@ def _metric_column(
         from raise_featurestore_spark.functions.stable import underflow_poison
 
         dec = _exact_dec(d, grid)
-        s1 = F.sum(dec).cast("double")
+        s1 = F.sum(dec).cast("double") / F.lit(float(10**grid))
         nn = F.count(d).cast("double")
         # dec-domain poison + the small-magnitude underflow sentinel: a
         # group whose rows MOSTLY snap to 0 on the 1e-g grid would emit a
@@ -145,7 +150,7 @@ def _metric_column(
         elif metric in ("avg", "mean"):
             core = s1 / nn
         else:
-            s2 = F.sum(dec * dec).cast("double")
+            s2 = F.sum(dec * dec).cast("double") / F.lit(float(10 ** (2 * grid)))
             var = (s2 - s1 * s1 / nn) / (nn - F.lit(1.0))
             if metric == "stddev":
                 # greatest clamps cancellation-negative variance; the n>1
@@ -202,7 +207,7 @@ def _metric_sql(
         from raise_featurestore_spark.functions.stable import underflow_poison_sql
 
         dec = _exact_dec_sql(d, grid)
-        s1 = f"CAST(SUM({dec}) AS DOUBLE)"
+        s1 = f"(CAST(SUM({dec}) AS DOUBLE) / CAST('1e{grid}' AS DOUBLE))"
         nn = f"CAST(COUNT({d}) AS DOUBLE)"
         poison = f"({_exact_poison_sql(d, grid)}) + ({underflow_poison_sql(d, grid)})"
         if metric == "sum":
@@ -210,7 +215,7 @@ def _metric_sql(
         elif metric in ("avg", "mean"):
             core = f"{s1} / {nn}"
         else:
-            s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+            s2 = f"(CAST(SUM(({dec}) * ({dec})) AS DOUBLE) / CAST('1e{2 * grid}' AS DOUBLE))"
             var = f"({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0)"
             if metric == "stddev":
                 var = f"SQRT(GREATEST({var}, 0.0))"
@@ -494,10 +499,17 @@ def _compile_rolling(df: DataFrame, spec: Aggregation, round_to: int | None) -> 
     for ft in spec.features:
         s = "".join(ch if ch.isalnum() else "_" for ch in ft)
         n = F.sum(F.col(f"__n_{s}")).over(w)
-        # exact mode: the window sums run over DECIMAL partials (still
-        # exact integer math); only this cast-to-double rounds, once.
+        # exact mode: the window sums run over SCALED-INTEGER decimal
+        # partials (exact integer math across the bucket aggregate AND
+        # the window recombination); the cast-to-double rounds once and
+        # the /10^g rescale is the dec_scaled conversion contract's
+        # second step, mirrored in the SQL twin.
         tot = F.sum(F.col(f"__s_{s}")).over(w).cast("double")
         ss = F.sum(F.col(f"__ss_{s}")).over(w).cast("double")
+        if spec.exact_moments:
+            g = spec.moment_grid_decimals
+            tot = tot / F.lit(float(10**g))
+            ss = ss / F.lit(float(10 ** (2 * g)))
         uf = F.sum(F.col(f"__uf_{s}")).over(w)
         pois = F.max(F.col(f"__p_{s}")).over(w) + F.when(
             uf * 2 > n, F.lit(float("nan"))
@@ -577,6 +589,10 @@ def _rolling_sql(spec: Aggregation, table: str, where_sql: str, round_to: int | 
         n = f"SUM(__n_{s}) {frame}"
         tot = f"CAST(SUM(__s_{s}) {frame} AS DOUBLE)"
         ss = f"CAST(SUM(__ss_{s}) {frame} AS DOUBLE)"
+        if spec.exact_moments:
+            g = spec.moment_grid_decimals
+            tot = f"({tot} / CAST('1e{g}' AS DOUBLE))"
+            ss = f"({ss} / CAST('1e{2 * g}' AS DOUBLE))"
         pois = (
             f"(MAX(__p_{s}) {frame} + CASE WHEN SUM(__uf_{s}) {frame} * 2 > {n} "
             f"THEN CAST('NaN' AS DOUBLE) ELSE 0.0 END)"

@@ -81,7 +81,7 @@ def winsorized_stats(
         joined = src.crossJoin(F.broadcast(bounds))
     from raise_featurestore_spark.functions.stable import (
         dec_poison,
-        dec_term,
+        dec_scaled,
         poisoned,
         underflow_poison,
     )
@@ -95,15 +95,15 @@ def winsorized_stats(
     # decimal partials, mean/stddev derived over the grouped result
     # (inlining dec_sum + dec_var re-evaluates the per-row decimal chain
     # ~6× — the r6 profiler finding).
-    dec = dec_term(clamped)
+    dec = dec_scaled(clamped)
     aggs = [
         F.count("__x").alias("n"),
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
         F.sum((F.col("__x") < F.col("lo")).cast("long")).cast("long").alias("n_clipped_lo"),
         F.sum((F.col("__x") > F.col("hi")).cast("long")).cast("long").alias("n_clipped_hi"),
-        F.sum(dec).cast("double").alias("__s1"),
-        F.sum(dec * dec).cast("double").alias("__s2"),
+        (F.sum(dec).cast("double") / F.lit(1e4)).alias("__s1"),
+        (F.sum(dec * dec).cast("double") / F.lit(1e8)).alias("__s2"),
         # + the r7 underflow sentinel — the SQL twin's dec_sum_sql/
         # dec_var_sql carry it, so these partials must poison identically
         (dec_poison(clamped) + underflow_poison(clamped)).alias("__pp"),
@@ -184,7 +184,7 @@ def flag_outliers(
     """
     from raise_featurestore_spark.functions.stable import (
         dec_poison,
-        dec_term,
+        dec_scaled,
         poisoned,
         underflow_poison,
     )
@@ -207,9 +207,9 @@ def flag_outliers(
         )
     else:
         n = F.count(d).cast("double")
-        dec = dec_term(d)
-        s1 = F.sum(dec).cast("double")
-        s2 = F.sum(dec * dec).cast("double")
+        dec = dec_scaled(d)
+        s1 = F.sum(dec).cast("double") / F.lit(1e4)
+        s2 = F.sum(dec * dec).cast("double") / F.lit(1e8)
         pois = dec_poison(d) + underflow_poison(d)
         mean = poisoned(s1 / n, pois)
         std = poisoned(
@@ -249,7 +249,7 @@ def flag_outliers_sql(
     """DuckDB twin of :func:`flag_outliers`."""
     from raise_featurestore_spark.functions.stable import (
         dec_poison_sql,
-        dec_term_sql,
+        dec_scaled_sql,
         poisoned_sql,
     )
 
@@ -263,10 +263,10 @@ def flag_outliers_sql(
     else:
         from raise_featurestore_spark.functions.stable import underflow_poison_sql
 
-        dec = dec_term_sql(d)
+        dec = dec_scaled_sql(d)
         n = f"CAST(COUNT({d}) AS DOUBLE)"
-        s1 = f"CAST(SUM({dec}) AS DOUBLE)"
-        s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+        s1 = f"(CAST(SUM({dec}) AS DOUBLE) / CAST('1e4' AS DOUBLE))"
+        s2 = f"(CAST(SUM(({dec}) * ({dec})) AS DOUBLE) / CAST('1e8' AS DOUBLE))"
         pois = f"({dec_poison_sql(d)} + {underflow_poison_sql(d)})"
         mean = poisoned_sql(f"{s1} / {n}", pois)
         std = poisoned_sql(

@@ -92,7 +92,7 @@ def profile(
     for the whole table."""
     from raise_featurestore_spark.functions.stable import (
         dec_poison,
-        dec_term,
+        dec_scaled,
         poisoned,
         underflow_poison,
     )
@@ -126,11 +126,11 @@ def profile(
             # stddev derive from them over the 1-row aggregate (identical
             # op sequence to dec_sum / sqrt(dec_var), shared children)
             d = F.col(col).cast("double")
-            dec = dec_term(d)
+            dec = dec_scaled(d)
             aggs += [
                 F.count(d).cast("double").alias(f"__n_{i}"),
-                F.sum(dec).cast("double").alias(f"__s1_{i}"),
-                F.sum(dec * dec).cast("double").alias(f"__s2_{i}"),
+                (F.sum(dec).cast("double") / F.lit(1e4)).alias(f"__s1_{i}"),
+                (F.sum(dec * dec).cast("double") / F.lit(1e8)).alias(f"__s2_{i}"),
                 # + the r7 underflow sentinel — the SQL twin's
                 # dec_sum_sql/dec_var_sql carry it, so the Spark partials
                 # must poison the same groups

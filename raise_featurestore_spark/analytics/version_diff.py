@@ -60,7 +60,7 @@ def compile_version_diff(
         # diverges on repr-ties — the round-4 flake class (emission rules)
         from raise_featurestore_spark.functions.stable import (
             dec_poison,
-            dec_term,
+            dec_scaled,
             poisoned,
             stable_round,
             underflow_poison,
@@ -72,15 +72,16 @@ def compile_version_diff(
         # re-evaluates the per-row decimal chains ~5× (the r6 profiler
         # finding; same cure). The poison folds in the r7 underflow
         # sentinel, matching the dec_sum_sql/dec_var_sql the oracle uses.
-        deca, decb = dec_term(a), dec_term(b)
+        deca, decb = dec_scaled(a), dec_scaled(b)
+        g1, g2 = F.lit(1e4), F.lit(1e8)  # dec_scaled conversion contract
         partials = df.agg(
             F.count(a).cast("double").alias("__na"),
-            F.sum(deca).cast("double").alias("__s1a"),
-            F.sum(deca * deca).cast("double").alias("__s2a"),
+            (F.sum(deca).cast("double") / g1).alias("__s1a"),
+            (F.sum(deca * deca).cast("double") / g2).alias("__s2a"),
             (dec_poison(a) + underflow_poison(a)).alias("__pa"),
             F.count(b).cast("double").alias("__nb"),
-            F.sum(decb).cast("double").alias("__s1b"),
-            F.sum(decb * decb).cast("double").alias("__s2b"),
+            (F.sum(decb).cast("double") / g1).alias("__s1b"),
+            (F.sum(decb * decb).cast("double") / g2).alias("__s2b"),
             (dec_poison(b) + underflow_poison(b)).alias("__pb"),
         )
 

@@ -374,7 +374,7 @@ def standardize(
         raise ValueError(f"method must be zscore|robust, got {method!r}")
     from raise_featurestore_spark.functions.stable import (
         dec_poison,
-        dec_term,
+        dec_scaled,
         poisoned,
         underflow_poison,
     )
@@ -390,11 +390,11 @@ def standardize(
             # of decimal partials per column; center/spread derive over
             # the 1-row fit frame (inlining re-evaluates the per-row
             # decimal chain ~5× — the r6 profiler finding)
-            dec = dec_term(d)
+            dec = dec_scaled(d)
             aggs += [
                 F.count(d).cast("double").alias(f"__n_{c}"),
-                F.sum(dec).cast("double").alias(f"__s1_{c}"),
-                F.sum(dec * dec).cast("double").alias(f"__s2_{c}"),
+                (F.sum(dec).cast("double") / F.lit(1e4)).alias(f"__s1_{c}"),
+                (F.sum(dec * dec).cast("double") / F.lit(1e8)).alias(f"__s2_{c}"),
                 # dec-domain poison + the r7 underflow sentinel (a fit
                 # over mostly-sub-grid data must scream, not center at 0)
                 (dec_poison(d) + underflow_poison(d)).alias(f"__pp_{c}"),
@@ -442,7 +442,7 @@ def standardize_sql(
         raise ValueError(f"method must be zscore|robust, got {method!r}")
     from raise_featurestore_spark.functions.stable import (
         dec_poison_sql,
-        dec_term_sql,
+        dec_scaled_sql,
         poisoned_sql,
         underflow_poison_sql,
     )
@@ -450,11 +450,11 @@ def standardize_sql(
     fit_cols, sel = [], [id_col]
     for c in cols:
         d = f"CAST({c} AS DOUBLE)"
-        dec = dec_term_sql(d)
+        dec = dec_scaled_sql(d)
         if method == "zscore":
             n = f"CAST(COUNT({d}) AS DOUBLE)"
-            s1 = f"CAST(SUM({dec}) AS DOUBLE)"
-            s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+            s1 = f"(CAST(SUM({dec}) AS DOUBLE) / CAST('1e4' AS DOUBLE))"
+            s2 = f"(CAST(SUM(({dec}) * ({dec})) AS DOUBLE) / CAST('1e8' AS DOUBLE))"
             pois = f"({dec_poison_sql(d)} + {underflow_poison_sql(d)})"
             fit_cols.append(f"{poisoned_sql(f'{s1} / {n}', pois)} AS __c_{c}")
             fit_cols.append(

@@ -185,9 +185,56 @@ def dec_term(c: Column, grid_decimals: int = 4) -> Column:
     """Per-row exact-decimal term: snap to the grid (IEEE floor form),
     NULL out rows the decimal cannot hold, cast to DECIMAL(18, g).
     THE single source for every exact-moment accumulator (aggregation,
-    rolling, scalers, Gram) — grid/precision fixes belong here only."""
+    rolling, scalers, Gram) — grid/precision fixes belong here only.
+
+    Prefer :func:`dec_scaled` for new accumulators: same grid, same
+    answers, but the per-row term is a LONG-backed integer decimal —
+    the double→DECIMAL(18,g) cast here is the measured hot cost of the
+    exact path (r7 VERDICT item 1), ~4-6× slower per row."""
     return F.when(~_dec_bad(c, grid_decimals), grid_snap(c, grid_decimals)).cast(
         f"decimal(18,{grid_decimals})"
+    )
+
+
+def dec_scaled(c: Column, grid_decimals: int = 4) -> Column:
+    """Per-row exact term on the SAME 10^-g grid as :func:`dec_term`,
+    held as the SCALED INTEGER value·10^g in DECIMAL(18,0) — the int64
+    grid fast path (r7 VERDICT item 1). ``floor(x·10^g + 0.5)`` is
+    Spark's BIGINT-typed floor, and the long→decimal(18,0) cast is a
+    compact-representation no-op, so the whole term stays in
+    Tungsten-native long arithmetic (measured 4-6× the double→decimal
+    cast chain of dec_term). Sums of these terms are exact integers —
+    associative, mergeable, order-free like the dec_term path, with the
+    IDENTICAL capacity bounds (sum buffer DECIMAL(28,0) holds the same
+    value·10^g mass as dec_term's DECIMAL(28,g); squares peak at the
+    same 10^34 per row under the 10^(17-g) domain limit).
+
+    Conversion contract (mirrored EXACTLY in the SQL twins): the emitted
+    double is ``CAST(sum AS DOUBLE) / 10^g`` — decimal→double once
+    (correctly rounded), then one IEEE division by the exact power-of-ten
+    double (exact for g ≤ 22). Both engines run this same two-step
+    sequence, so the bits agree; values can sit 1 ulp from the old
+    single-cast dec_term emission, which is why dec_sum/dec_var and
+    every *_sql twin switched in LOCKSTEP.
+
+    Out-of-domain rows NULL out exactly as in dec_term (the when-guard
+    also keeps ANSI's long-typed floor from ever seeing |x·10^g| ≥ 2^63:
+    the domain limit caps it at 10^17)."""
+    snapped = _floor_half_up(c * F.lit(float(10**grid_decimals)))
+    return F.when(~_dec_bad(c, grid_decimals), snapped).cast("decimal(18,0)")
+
+
+def dec_scaled_sql(expr: str, grid_decimals: int = 4) -> str:
+    """DuckDB twin of :func:`dec_scaled`: the same IEEE snap, cast to
+    DECIMAL(19,0) (the engine-widest exact integer form whose pairwise
+    products stay inside DuckDB's 38-digit cap — BIGINT×BIGINT would
+    hard-error on squares). DuckDB's FLOOR(double) is an integral double;
+    the decimal cast takes it exactly."""
+    bad = _dec_bad_sql(expr, grid_decimals)
+    scale = f"CAST('1e{grid_decimals}' AS DOUBLE)"
+    return (
+        f"CASE WHEN NOT ({bad}) "
+        f"THEN CAST(FLOOR(({expr}) * {scale} + 0.5) AS DECIMAL(19,0)) END"
     )
 
 
@@ -317,8 +364,14 @@ def dec_sum(
     mis-sized grid). The quantization error is then bounded by
     n/2 grid half-steps; callers own documenting that bound. The
     domain/NaN poison always applies.
+
+    r8: the core runs on the int64 grid fast path (:func:`dec_scaled` —
+    same grid, Tungsten-long per-row terms, measured 4-6× the old
+    double→decimal chain); the SQL twin switched in lockstep.
     """
-    core = F.sum(dec_term(c, grid_decimals)).cast("double")
+    core = F.sum(dec_scaled(c, grid_decimals)).cast("double") / F.lit(
+        float(10**grid_decimals)
+    )
     flag = dec_poison(c, grid_decimals)
     if underflow_guard:
         flag = flag + underflow_poison(c, grid_decimals)
@@ -330,7 +383,10 @@ def dec_sum_sql(
 ) -> str:
     """DuckDB twin of :func:`dec_sum` (incl. the ``underflow_guard``
     opt-out)."""
-    core = f"CAST(SUM({dec_term_sql(expr, grid_decimals)}) AS DOUBLE)"
+    core = (
+        f"CAST(SUM({dec_scaled_sql(expr, grid_decimals)}) AS DOUBLE) / "
+        f"CAST('1e{grid_decimals}' AS DOUBLE)"
+    )
     flag = f"({dec_poison_sql(expr, grid_decimals)})"
     if underflow_guard:
         flag += f" + ({underflow_poison_sql(expr, grid_decimals)})"
@@ -347,10 +403,12 @@ def dec_var(c: Column, grid_decimals: int = 4) -> Column:
     inlines (aggregation.py shares its s1/s2/poison terms across several
     metrics in one agg, so it keeps its own wiring; every OTHER call site
     should use this)."""
-    dec = dec_term(c, grid_decimals)
+    dec = dec_scaled(c, grid_decimals)
+    g1 = F.lit(float(10**grid_decimals))
+    g2 = F.lit(float(10 ** (2 * grid_decimals)))
     nn = F.count(c).cast("double")
-    s1 = F.sum(dec).cast("double")
-    s2 = F.sum(dec * dec).cast("double")
+    s1 = F.sum(dec).cast("double") / g1
+    s2 = F.sum(dec * dec).cast("double") / g2
     var = F.greatest(
         (s2 - s1 * s1 / nn) / (nn - F.lit(1.0)), F.lit(0.0)
     )
@@ -361,10 +419,12 @@ def dec_var(c: Column, grid_decimals: int = 4) -> Column:
 
 def dec_var_sql(expr: str, grid_decimals: int = 4) -> str:
     """DuckDB twin of :func:`dec_var`."""
-    dec = dec_term_sql(expr, grid_decimals)
+    dec = dec_scaled_sql(expr, grid_decimals)
+    g1 = f"CAST('1e{grid_decimals}' AS DOUBLE)"
+    g2 = f"CAST('1e{2 * grid_decimals}' AS DOUBLE)"
     nn = f"CAST(COUNT({expr}) AS DOUBLE)"
-    s1 = f"CAST(SUM({dec}) AS DOUBLE)"
-    s2 = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+    s1 = f"(CAST(SUM({dec}) AS DOUBLE) / {g1})"
+    s2 = f"(CAST(SUM(({dec}) * ({dec})) AS DOUBLE) / {g2})"
     var = f"GREATEST(({s2} - {s1} * {s1} / {nn}) / ({nn} - 1.0), 0.0)"
     core = f"CASE WHEN COUNT({expr}) > 1 THEN {var} END"
     flag = (

@@ -2968,69 +2968,66 @@ register(
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
-    # (a) the 36 r4-stale entries
-    "agg_global_stats_approx",
-    "agg_pricing_summary",
-    "agg_rolling_by_type",
-    "agg_rolling_daily",
-    "agg_window_7d",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucket_topk",
-    "boilerplate_ngram_mine",
-    "chunk_sliding_window",
-    "corpus_health_by_source",
-    "corr_cross_group",
-    "dedup_exact_keepers",
-    "dist_density",
-    "dist_moments",
-    "expr_case_when",
-    "expr_zscore_hoisted",
-    "lookup_topk_orders",
-    "mix_temperature_sample",
-    "multimodal_blob_refs",
-    "multimodal_byte_features",
-    "multimodal_frame_sample",
-    "multimodal_integrity",
-    "point_lookup_customer",
-    "sample_exact_k_per_source",
-    "select_token_budget",
-    "semantic_dedup_clusters",
-    "shard_manifest",
-    "source_jdbc_query",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_counts",
-    "transform_pandas_batch",
-    "vector_norm_dot",
-    "vector_similarity_pairs",
-    # (b) new this round: first verdict
-    "corr_kendall_matrix",
-    "embedding_drift_sliced_w",
+    # (a) the 36 entries whose latest verdict is r5 — at the two-round
+    # staleness boundary (r7 VERDICT item 2 holds us to this); several
+    # (outlier_*, agg_cube/pivot/rollup, funnel/cohort, text lm/tfidf/ppl)
+    # also sit directly on the r8 int64-grid fast path (dec_scaled)
+    "agg_cube_status_priority",
+    "agg_pivot_status_by_priority",
+    "agg_rollup_flag_status",
+    "ann_ivf_batch_topk",
+    "asof_salted_spine",
+    "cluster_balanced_sample",
+    "cluster_kmeans_report",
+    "cohort_retention_weekly",
+    "dedup_substring_overlap",
+    "drift_order_status",
+    "feature_decay_ewma",
+    "feature_quantile_bins",
+    "feature_sequence_history",
+    "forecast_backtest_naive",
+    "funnel_signup_view_purchase",
+    "join_anti_inactive_customers",
+    "join_cardinality_events",
+    "join_semi_high_value_customers",
+    "linkage_fuzzy_part_names",
+    "lookup_filter_project",
+    "lookup_sample_events",
+    "mix_recipe_budget",
+    "outlier_flags_iqr",
+    "outlier_flags_zscore",
+    "quality_orders",
+    "sample_weighted_aes",
+    "set_except_churned_buyers",
+    "set_intersect_retained_buyers",
+    "skew_report_orders",
+    "stattest_ks",
+    "stattest_mannwhitney",
+    "text_encoding_report",
+    "text_lm_perplexity",
+    "text_ppl_buckets",
+    "text_tfidf_keywords",
+    "zorder_morton_orders",
+    # (b) registered this round: first verdict
+    "embedding_drift_rff_mmd",
+    "fp16_roundtrip_topk",
+    # (c) r6/r7-verdicted entries sitting on code r8 changed: the
+    # dec_scaled fast path (scalers, winsorized, flat/rolling aggregates,
+    # profile, version diff, rollup partial format, PCA grid sums), the
+    # kendall one-action batch + dense pids, the pagerank conf scoping,
+    # and the MMD underflow-guard opt-out
     "embedding_drift_mmd_linear",
-    "split_group_leakage_safe",
-    # (c) r5-verdicted entries on r7-changed code paths
+    "corr_kendall_matrix",
     "graph_pagerank_coparts",
-    "agg_global_stats",
-    "join_tpch_q3_topk",
-    "join_tpch_q5_region",
-    "rollup_incremental_daily",
-    # forecast_backtest_naive (r5) yields its slot to a new r7 query: its
-    # dec_sum path was re-gated green TWICE at sf0.1 this round
-
     "feature_standardize_z",
     "feature_standardize_robust",
-    "feature_target_encode",
+    "agg_global_stats",
+    "agg_winsorized_price",
+    "rollup_incremental_daily",
+    "version_diff_value",
+    "profile_table_events",
+    "window_session_user",
     "embedding_gram_check",
-    "embedding_pca_trace_check",
-    # dedup_substring_overlap (r5) yields its slot to a new r7 query:
-    # it was independently re-gated green at sf0.1 this round and its
-    # code is untouched since r5
-    # funnel_signup_view_purchase (r5) yields its slot to the new
-    # embedding_drift_sliced_w: the funnel fold was re-validated this
-    # round by the 1M stress differential + the adversarial within-window
-    # pytest, both green
 ]
 
 

@@ -10,7 +10,7 @@ metric in the sum/avg/stddev/variance/min/max/count family finalizes from
 the partials on read.
 
 Because the moment partials accumulate in exact decimals
-(functions/stable.dec_term), merging is INTEGER math — associative and
+(functions/stable.dec_scaled), merging is INTEGER math — associative and
 commutative — so an incrementally-maintained rollup is BIT-IDENTICAL to a
 from-scratch recompute, regardless of how the arrivals were batched. That
 is the invariant the registered query verdicts cross-engine: Spark runs
@@ -30,13 +30,21 @@ from pyspark.sql import functions as F
 from raise_featurestore_spark.functions.stable import (
     dec_poison,
     dec_poison_sql,
-    dec_term,
-    dec_term_sql,
+    dec_scaled,
+    dec_scaled_sql,
     poisoned,
     poisoned_sql,
     stable_round,
     stable_round_sql,
 )
+
+# dec_scaled conversion contract (r8): stored s1/ss partials hold the
+# SCALED integers value*10^4 / value^2*10^8 (DECIMAL(28/38,0)); finalize
+# divides once after the double cast. Partials written by the pre-r8
+# dec_term format carry scale-4/8 decimal types -- schema-incompatible
+# with this version's merge, by design loud (type mismatch on union).
+_G1 = 1e4
+_G2 = 1e8
 
 _PARTIAL_COLS = ["n", "s1", "ss", "mn", "mx", "pois"]
 
@@ -71,7 +79,7 @@ def rollup_partials(
     """Per-bucket mergeable partials of ``value_col`` — the STORED form of
     the rollup. One grouped aggregate (map-side combinable)."""
     d = F.col(value_col).cast("double")
-    dec = dec_term(d)
+    dec = dec_scaled(d)
     keys = [F.col(group_by)] if group_by else []
     period = F.date_format(
         F.date_trunc(bucket, F.col(time_col)), _fmt(bucket)[0]
@@ -131,8 +139,8 @@ def finalize_rollup(
     if "uf" not in partials.columns:
         partials = partials.withColumn("uf", F.lit(0).cast("long"))
     n = F.col("n").cast("double")
-    s1 = F.col("s1").cast("double")
-    ss = F.col("ss").cast("double")
+    s1 = F.col("s1").cast("double") / F.lit(_G1)
+    ss = F.col("ss").cast("double") / F.lit(_G2)
     # dec-domain poison + the r7 underflow sentinel over the MERGED
     # totals: a bucket whose rows mostly snap to 0 on the grid emits NaN,
     # not a confidently wrong 0.0 (mirrors aggregation.py's flat path)
@@ -180,10 +188,10 @@ def rollup_recompute_sql(
     """From-scratch DuckDB recompute — the oracle the incremental path
     must hash-match (same exact-decimal formulas)."""
     d = f"CAST({value_col} AS DOUBLE)"
-    dec = dec_term_sql(d)
+    dec = dec_scaled_sql(d)
     n = f"CAST(COUNT({d}) AS DOUBLE)"
-    s1 = f"CAST(SUM({dec}) AS DOUBLE)"
-    ss = f"CAST(SUM(({dec}) * ({dec})) AS DOUBLE)"
+    s1 = f"(CAST(SUM({dec}) AS DOUBLE) / CAST('1e4' AS DOUBLE))"
+    ss = f"(CAST(SUM(({dec}) * ({dec})) AS DOUBLE) / CAST('1e8' AS DOUBLE))"
     from raise_featurestore_spark.functions.stable import underflow_count_sql
 
     pois = (
