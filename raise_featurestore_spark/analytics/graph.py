@@ -94,14 +94,21 @@ def pagerank(
     co-occurrence graph. Emitted pr is stable-rounded (masses are ~1/N,
     so ``round_to`` defaults fine-grained)."""
     edges = cooccurrence_edges(df, basket_col, item_col)
-    deg = edges.groupBy("src").agg(F.sum("w").alias("__wd"))
-    # localCheckpoint (eager): materializes the (edges ⋈ deg) list ONCE
-    # and truncates its lineage, so the k iterations reuse stored blocks
+    # localCheckpoint (eager): materializes the edge list ONCE and
+    # truncates its lineage, so the k iterations reuse stored blocks
     # instead of re-running the basket build per reference. The node
-    # count reads the CHECKPOINTED frame — a deg.count() before the
+    # count reads CHECKPOINTED frames — a deg.count() before the
     # checkpoint was a second full execution of the edge plan (r6 bench
     # profiling; a persist() released before the caller's action was the
     # r5 version of the same mistake).
+    #
+    # r8 (VERDICT item 7 attribution): the build previously also JOINED
+    # node-scale degrees onto the edge frame before checkpointing — an
+    # extra edge-scale hash(src) Exchange plus a 4th stored column per
+    # edge. Degrees now stay a separate node-scale frame (aggregated
+    # from the checkpointed edges — map-side partials, no edge-scale
+    # exchange) and ride the BROADCAST side of each iteration, keeping
+    # the per-edge arithmetic pr·w/wd bit-identical to the oracle.
     #
     # repartition(dst) BEFORE the checkpoint (r6 VERDICT item 5, the one
     # perf-weak query): each iteration aggregates contributions BY dst,
@@ -128,16 +135,17 @@ def pagerank(
     spark_s = df.sparkSession
     shuffle_p = shuffle_partitions(spark_s)
     with scoped_conf(spark_s, spark__sql__adaptive__enabled="false"):
-        edges = (
-            edges.join(deg, "src")
-            .repartition(shuffle_p, "dst")
-            .localCheckpoint(eager=True)
-        )
-    n = edges.agg(F.count_distinct("src")).collect()[0][0]
+        edges = edges.repartition(shuffle_p, "dst").localCheckpoint(eager=True)
+    # node-scale: one aggregate over the cached edge blocks (~|nodes|
+    # rows), checkpointed so the per-iteration broadcast builds and the
+    # node count read tiny stored blocks instead of re-scanning edges
+    deg = (
+        edges.groupBy("src").agg(F.sum("w").alias("__wd")).localCheckpoint(eager=True)
+    )
+    n = deg.count()
     if n == 0:
         return edges.select(F.col("src").alias("node"), F.lit(0.0).alias("pr"))
     base = (1.0 - damping) / n
-    deg = edges.select("src", "__wd").distinct()  # from the checkpoint
     # pr as a frame (node, pr); iteration joins on src and re-aggregates.
     # n is already known driver-side, so the join
     # strategy is chosen HERE, not left to stats AQE can't see through a
@@ -147,7 +155,13 @@ def pagerank(
     _BROADCAST_NODES = 2_000_000  # ~2M (node, pr) rows ≈ tens of MB
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
-        pr_side = F.broadcast(pr) if n <= _BROADCAST_NODES else pr
+        # the broadcast side carries (node, pr, __wd): the degree join is
+        # node-scale, and the per-edge expression stays pr·w/__wd — the
+        # exact op sequence the oracle regenerates
+        pr_w = pr.join(deg, pr["node"] == deg["src"]).select(
+            "node", "pr", "__wd"
+        )
+        pr_side = F.broadcast(pr_w) if n <= _BROADCAST_NODES else pr_w
         contrib = (
             edges.join(pr_side, edges["src"] == pr_side["node"])
             .select(

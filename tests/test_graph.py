@@ -48,7 +48,11 @@ def test_pagerank_iterations_are_exchange_free(spark):
         plan = pr._jdf.queryExecution().executedPlan().toString()
         hashes = len(re.findall(r"Exchange hashpartitioning", plan))
         bcasts = len(re.findall(r"Exchange HashedRelationBroadcastMode", plan))
-        assert hashes == 1, f"iters={iters}: {hashes} hash exchanges\n{plan}"
-        assert bcasts == iters
+        # r8: ZERO hash exchanges — degrees are node-scale and
+        # checkpointed (no more pr0/degree-distinct exchange either);
+        # each iteration broadcasts twice (the deg join + the pr-side
+        # edge join), both node-scale
+        assert hashes == 0, f"iters={iters}: {hashes} hash exchanges\n{plan}"
+        assert bcasts == 2 * iters, f"iters={iters}: {bcasts} broadcasts"
     # AQE conf restored after the scoped creation window
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
