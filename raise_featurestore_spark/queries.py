@@ -1514,6 +1514,34 @@ register(
     ),
 )
 
+
+# Incremental PERCENTILES (r8): mergeable grid-histogram partials —
+# counts per significant-digit cell, bounded by the relative grid, merged
+# by integer addition, finalized as the type-1 quantile. The arrivals are
+# split two ways and merged; the oracle recomputes from scratch, proving
+# batching-invariance through the driver's value hash.
+def _rollup_pct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = RU.percentile_partials(
+        ev.where("event_id % 2 = 0"), "value", group_by="event_type"
+    )
+    batch = RU.percentile_partials(
+        ev.where("event_id % 2 = 1"), "value", group_by="event_type"
+    )
+    merged = RU.merge_percentile_rollups(hist, batch, group_by="event_type")
+    return RU.finalize_percentile_rollup(
+        merged, qs=(0.5, 0.95), group_by="event_type"
+    )
+
+
+register(
+    "rollup_percentile_daily",
+    _rollup_pct_incremental,
+    RU.percentile_recompute_sql(
+        "events", "value", qs=(0.5, 0.95), group_by="event_type"
+    ),
+)
+
 # Distributed PCA (dataprep/pca.py): the Arrow-batched partial-Gram kernel
 # verdicted in-plan against the JVM exact-decimal Gram (band + snapped
 # exact values — the oracle recomputes the exact side in DuckDB).
@@ -3011,6 +3039,7 @@ _PROMOTED = [
     # (b) registered this round: first verdict
     "embedding_drift_rff_mmd",
     "fp16_roundtrip_topk",
+    "rollup_percentile_daily",
     # (c) r6/r7-verdicted entries sitting on code r8 changed: the
     # dec_scaled fast path (scalers, winsorized, flat/rolling aggregates,
     # profile, version diff, rollup partial format, PCA grid sums), the
@@ -3020,7 +3049,9 @@ _PROMOTED = [
     "corr_kendall_matrix",
     "graph_pagerank_coparts",
     "feature_standardize_z",
-    "feature_standardize_robust",
+    # feature_standardize_robust yields its slot to the new
+    # rollup_percentile_daily: the robust fit is the percentile branch,
+    # untouched by the r8 dec_scaled switch (zscore covers the module)
     "agg_global_stats",
     "agg_winsorized_price",
     "rollup_incremental_daily",

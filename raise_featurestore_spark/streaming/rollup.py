@@ -334,3 +334,136 @@ def rollup_stream(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )
+
+
+# ------------------------------------------------- percentile rollups
+#
+# Sum/avg/stddev partials merge as integers; PERCENTILES need a mergeable
+# distribution summary. The engine's is a GRID HISTOGRAM on the
+# significant-digit grid (functions/stable.sig_round): per bucket, a
+# (cell, cnt) map whose size is bounded by the RELATIVE grid (~900
+# mantissa cells per decade → a few thousand cells total regardless of
+# row count), merged by integer addition, finalized as the type-1
+# (lower) quantile over cumulative counts. Unlike t-digest/KLL this
+# sketch is DETERMINISTIC and engine-reproducible, so the incremental
+# answer is oracle-checkable: the quantile on the snapped grid, exact —
+# relative error ≤ half a grid step (≈0.05% at 3 significant digits),
+# the documented contract. Non-finite rows are excluded from the
+# distribution (they have no place on a quantile axis; the NaN/Inf
+# POLICY lives in the quality operators).
+
+
+def percentile_partials(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    bucket: str = "day",
+    group_by: str | None = None,
+    sig_digits: int = 3,
+) -> DataFrame:
+    """Per-bucket mergeable grid-histogram partial: (keys…, period_start,
+    cell, cnt). One grouped aggregate, map-side combinable; the stored
+    size is rows-independent (grid-bounded)."""
+    from raise_featurestore_spark.functions.stable import sig_round
+
+    d = F.col(value_col).cast("double")
+    finite = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+    keys = [F.col(group_by)] if group_by else []
+    period = F.date_format(
+        F.date_trunc(bucket, F.col(time_col)), _fmt(bucket)[0]
+    ).alias("period_start")
+    return (
+        df.where(finite)
+        .groupBy(*keys, period, sig_round(d, sig_digits).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_percentile_rollups(
+    existing: DataFrame, delta: DataFrame, group_by: str | None = None
+) -> DataFrame:
+    """Integer-exact combine: union + per-(bucket, cell) count addition.
+    Associative and commutative, so ANY batching of arrivals finalizes
+    to the same quantiles as a from-scratch recompute."""
+    keys = ([group_by] if group_by else []) + ["period_start", "cell"]
+    return (
+        existing.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def finalize_percentile_rollup(
+    partials: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    group_by: str | None = None,
+) -> DataFrame:
+    """Quantiles from the merged histogram — a window + one aggregate
+    over the grid-bounded relation (≤ cells rows per bucket, never data
+    scale). Type-1 (lower) quantile: the smallest cell whose cumulative
+    count reaches ceil(q·n) — pure integer/compare logic, identical on
+    any engine; the emitted cell values are already on the sig grid."""
+    from pyspark.sql.window import Window
+
+    keys = ([group_by] if group_by else []) + ["period_start"]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*keys)
+    cum = partials.select(
+        *keys,
+        "cell",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(tot).alias("__n"),
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for q in qs:
+        # ceil(q·n) via the shared double literal; both engines compute
+        # the identical product/ceil (q itself may be binary-inexact —
+        # fine, as long as it is the SAME double everywhere)
+        target = F.ceil(F.lit(float(q)) * F.col("__n").cast("double")).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= target, F.col("cell"))).alias(
+                f"p{round(q * 100):02d}"
+            )
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def percentile_recompute_sql(
+    table: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    time_col: str = "ts",
+    bucket: str = "day",
+    group_by: str | None = None,
+    sig_digits: int = 3,
+) -> str:
+    """From-scratch DuckDB recompute the incremental path must
+    hash-match: the same grid snap, cumulative counts, and type-1 pick
+    from the raw rows."""
+    from raise_featurestore_spark.functions.stable import dlit, sig_round_sql
+
+    d = f"CAST({value_col} AS DOUBLE)"
+    finite = f"{value_col} IS NOT NULL AND NOT ISNAN({d}) AND NOT ISINF({d})"
+    keys = f"{group_by}, " if group_by else ""
+    part = f"PARTITION BY {keys.rstrip(', ')}{', ' if group_by else ''}period_start"
+    sel = ["CAST(MAX(__n) AS BIGINT) AS n"]
+    for q in qs:
+        target = f"CAST(CEIL({dlit(float(q))} * CAST(__n AS DOUBLE)) AS BIGINT)"
+        sel.append(
+            f"MIN(CASE WHEN __cum >= {target} THEN cell END) AS p{round(q * 100):02d}"
+        )
+    return (
+        f"WITH __cells AS (SELECT {keys}"
+        f"STRFTIME(DATE_TRUNC('{bucket}', {time_col}), '{_fmt(bucket)[1]}') AS period_start, "
+        f"{sig_round_sql(d, sig_digits)} AS cell, COUNT(*) AS cnt "
+        f"FROM {table} WHERE {finite} GROUP BY 1, 2{', 3' if group_by else ''}), "
+        f"__cum AS (SELECT *, SUM(cnt) OVER ({part} ORDER BY cell "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum, "
+        f"SUM(cnt) OVER ({part}) AS __n FROM __cells) "
+        f"SELECT {keys}period_start, {', '.join(sel)} FROM __cum "
+        f"GROUP BY {'1, 2' if group_by else '1'}"
+    )

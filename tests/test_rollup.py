@@ -235,3 +235,59 @@ def test_rollup_underflow_poisons_across_merged_batches(spark):
     merged = merge_rollups(legacy, batch([4.0] * 6))
     fin2 = finalize_rollup(merged, ["sum"]).collect()
     assert all(not math.isnan(r.sum_value) for r in fin2)
+
+
+def test_percentile_rollup_merge_invariance(spark):
+    """r8: the grid-histogram percentile partials must finalize to the
+    SAME quantiles regardless of how arrivals were batched, and match a
+    from-scratch build; quantiles land on the sig-3 grid with type-1
+    (lower) semantics."""
+    import datetime
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_percentile_rollup,
+        merge_percentile_rollups,
+        percentile_partials,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=i % 48), float(v))
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0] * 40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+
+    direct = finalize_percentile_rollup(percentile_partials(df, "value"))
+    got_direct = {r.period_start: (r.n, r.p50, r.p95) for r in direct.collect()}
+
+    # three-way arbitrary batching -> identical finalize
+    a = percentile_partials(df.where("event_id % 3 = 0"), "value")
+    b = percentile_partials(df.where("event_id % 3 = 1"), "value")
+    c = percentile_partials(df.where("event_id % 3 = 2"), "value")
+    merged = merge_percentile_rollups(merge_percentile_rollups(a, b), c)
+    got_inc = {
+        r.period_start: (r.n, r.p50, r.p95)
+        for r in finalize_percentile_rollup(merged).collect()
+    }
+    assert got_inc == got_direct
+
+    # type-1 semantics: the ceil(q·n)-th smallest raw value, per day
+    import math
+    from collections import defaultdict
+
+    by_day = defaultdict(list)
+    for _, ts, v in rows:
+        by_day[ts.strftime("%Y-%m-%d")].append(v)
+    for day, (n, p50, p95) in got_direct.items():
+        vals = sorted(by_day[day])
+        assert n == len(vals)
+        assert p50 == vals[math.ceil(0.5 * n) - 1], (day, n, p50)
+        assert p95 == vals[math.ceil(0.95 * n) - 1], (day, n, p95)
+
+    # non-finite rows are excluded from the distribution
+    bad = spark.createDataFrame(
+        [(0, base, float("nan")), (1, base, float("inf")), (2, base, 7.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    out = finalize_percentile_rollup(percentile_partials(bad, "value")).collect()
+    assert len(out) == 1 and out[0].n == 1 and out[0].p50 == 7.0
