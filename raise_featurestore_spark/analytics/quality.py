@@ -206,3 +206,74 @@ def data_quality_to_sql(
             f"{grid_snap_sql(f'EPOCH(MAX(CAST({spec.time_column} AS TIMESTAMP)))', round_to)} FROM {table}"
         )
     return " UNION ALL ".join(sels)
+
+
+# --------------------------------------------- referential integrity
+
+
+def referential_integrity(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit across table edges — the join-shaped data
+    quality check every multi-table training pipeline needs before a fact
+    table feeds feature joins (an orphan row silently drops from every
+    inner join downstream).
+
+    ``edges``: (edge_name, child_df, child_key, parent_df, parent_key).
+    Emits one row per edge: (edge, n_child, n_orphans, orphan_rate).
+
+    Scale shape: per edge, ONE left-anti join (NOT EXISTS semantics — no
+    row multiplication on duplicate parent keys, unlike a naive left
+    join) + a count; Catalyst/AQE picks broadcast vs shuffled anti by
+    parent size at runtime. NULL child keys count as orphans (they too
+    vanish from downstream inner joins — that is the property being
+    audited). orphan_rate = exact-long division, bit-identical on any
+    engine.
+    """
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        tot = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orph = child.join(
+            parent.select(F.col(pk).alias("__pk")).where(F.col(pk).isNotNull()),
+            child[ck] == F.col("__pk"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        # two 1-row aggregates cross-joined: the whole report stays ONE
+        # lazy plan (no per-edge driver actions)
+        parts.append(
+            tot.crossJoin(orph).select(
+                F.lit(name).alias("edge"), "n_child", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "edge",
+        "n_child",
+        "n_orphans",
+        (F.col("n_orphans").cast("double") / F.col("n_child").cast("double")).alias(
+            "orphan_rate"
+        ),
+    )
+
+
+def referential_integrity_sql(
+    edges: list[tuple[str, str, str, str, str]],
+) -> str:
+    """DuckDB twin: NOT EXISTS per edge (NULL child keys orphan, matching
+    the anti-join's null semantics), UNION ALL'd."""
+    sels = []
+    for name, child, ck, parent, pk in edges:
+        orphan = (
+            f"SUM(CASE WHEN {ck} IS NULL OR NOT EXISTS "
+            f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+        sels.append(
+            f"SELECT '{name}' AS edge, COUNT(*) AS n_child, "
+            f"CAST({orphan} AS BIGINT) AS n_orphans, "
+            f"CAST({orphan} AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS orphan_rate "
+            f"FROM {child} c"
+        )
+    return " UNION ALL ".join(sels)

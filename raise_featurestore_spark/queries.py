@@ -523,6 +523,42 @@ register(
 )
 
 
+# Referential-integrity audit (r8, §2.14): FK orphan rates across the
+# schema's join edges — one left-anti join per edge (NOT EXISTS
+# semantics; AQE picks broadcast vs shuffled anti), the whole report one
+# lazy plan. An orphan row silently drops from every downstream inner
+# feature join, which is exactly what this catches pre-training.
+def _ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.analytics.quality import referential_integrity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    pt = load_table(spark, sf_dir, "part")
+    return referential_integrity(
+        [
+            ("lineitem->orders", li, "l_orderkey", od, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", pt, "p_partkey"),
+            ("orders->customer", od, "o_custkey", cu, "c_custkey"),
+        ]
+    )
+
+
+def _ref_integrity_sql() -> str:
+    from raise_featurestore_spark.analytics.quality import referential_integrity_sql
+
+    return referential_integrity_sql(
+        [
+            ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ]
+    )
+
+
+register("quality_fk_integrity", _ref_integrity, _ref_integrity_sql())
+
+
 # --------------------------------------------------------------------------
 # §2.2 / §2.7 RecordLookup: project/filter/order/limit (top-k) + point lookup
 # --------------------------------------------------------------------------
@@ -3040,6 +3076,7 @@ _PROMOTED = [
     "embedding_drift_rff_mmd",
     "fp16_roundtrip_topk",
     "rollup_percentile_daily",
+    "quality_fk_integrity",
     # (c) r6/r7-verdicted entries sitting on code r8 changed: the
     # dec_scaled fast path (scalers, winsorized, flat/rolling aggregates,
     # profile, version diff, rollup partial format, PCA grid sums), the
@@ -3057,7 +3094,9 @@ _PROMOTED = [
     "rollup_incremental_daily",
     "version_diff_value",
     "profile_table_events",
-    "window_session_user",
+    # window_session_user yields its slot to the new quality_fk_integrity:
+    # the window family rides dec_sum only through stable.py (re-validated
+    # by the full sf0.1 gate this round) and its latest verdict is r6
     "embedding_gram_check",
 ]
 

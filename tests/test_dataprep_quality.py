@@ -477,3 +477,25 @@ def test_flag_outliers_keeps_null_group_rows(spark):
     df = spark.createDataFrame(rows, "id int, g string, x double")
     got = flag_outliers(df, "x", "id", group_by="g").collect()
     assert len(got) == 20  # NULL-group rows flagged, not dropped
+
+
+def test_referential_integrity_counts_orphans_and_null_keys(spark):
+    """r8: FK audit — NOT EXISTS semantics (no row multiplication on
+    duplicate parent keys), NULL child keys count as orphans, rates are
+    exact-long division."""
+    from raise_featurestore_spark.analytics.quality import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+        "id long, fk long",
+    )
+    # duplicate parent key 10 must NOT multiply matched child rows
+    parent = spark.createDataFrame(
+        [(10,), (10,), (20,), (None,)], "pk long"
+    )
+    out = referential_integrity([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.edge == "c->p" and r.n_child == 5
+    assert r.n_orphans == 2  # fk=99 and fk=NULL
+    assert r.orphan_rate == 2.0 / 5.0
