@@ -199,3 +199,78 @@ def profile_sql(
         for metric, expr in rows:
             selects.append(f"SELECT '{col}' AS col_name, '{metric}' AS metric, {expr} AS value FROM {table}")
     return " UNION ALL ".join(selects)
+
+
+# --------------------------------------------- label / class balance
+
+
+def label_balance_report(
+    df: DataFrame,
+    label_col: str,
+    group_by: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Class-balance QA per group: (group?, n, n_classes, majority_share,
+    entropy, gini) — the first thing to check before training on a
+    labeled/stratified corpus (a 0.98-majority split trains a constant
+    predictor; near-zero entropy in one source flags a scrape bug).
+
+    Scale shape: ONE grouped count per (group, label) — map-side
+    combinable, output bounded by the label vocabulary — then a window +
+    aggregate over that bounded relation. Shannon entropy in nats,
+    Gini impurity 1−Σp²; probabilities are exact-count divisions so both
+    engines feed ln() identical doubles (the ≤1-ulp libm/JVM ln
+    difference and the ≤classes-term sum-order noise sit ~1e-16, ten
+    orders under the 1e-6 emission grid). NULL labels form their own
+    class (a real category in corpus QA — unlabeled rows)."""
+    from pyspark.sql.window import Window
+
+    from raise_featurestore_spark.functions.stable import grid_snap
+
+    keys = [F.col(group_by)] if group_by else []
+    lab = F.coalesce(F.col(label_col).cast("string"), F.lit("<null>"))
+    counts = df.groupBy(*keys, lab.alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(*keys) if group_by else Window.partitionBy(F.lit(0))
+    p = F.col("__c").cast("double") / F.sum("__c").over(w).cast("double")
+    enriched = counts.select(*keys, "__c", p.alias("__p"))
+    out = enriched.groupBy(*keys).agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_classes"),
+        (
+            F.max("__c").cast("double") / F.sum("__c").cast("double")
+        ).alias("majority_share"),
+        grid_snap(-F.sum(F.col("__p") * F.log("__p")), round_to).alias("entropy"),
+        grid_snap(
+            F.lit(1.0) - F.sum(F.col("__p") * F.col("__p")), round_to
+        ).alias("gini"),
+    )
+    return out
+
+
+def label_balance_report_sql(
+    table: str,
+    label_col: str,
+    group_by: str | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`label_balance_report`."""
+    from raise_featurestore_spark.functions.stable import grid_snap_sql
+
+    keys = f"{group_by}, " if group_by else ""
+    part = f"PARTITION BY {group_by}" if group_by else ""
+    ent = grid_snap_sql("-SUM(__p * LN(__p))", round_to)
+    gini = grid_snap_sql("1.0 - SUM(__p * __p)", round_to)
+    return (
+        f"WITH __c AS (SELECT {keys}"
+        f"COALESCE(CAST({label_col} AS VARCHAR), '<null>') AS __lab, "
+        f"COUNT(*) AS __c FROM {table} GROUP BY {'1, 2' if group_by else '1'}), "
+        f"__p AS (SELECT *, CAST(__c AS DOUBLE) / "
+        f"CAST(SUM(__c) OVER ({part}) AS DOUBLE) AS __p FROM __c) "
+        f"SELECT {keys}CAST(SUM(__c) AS BIGINT) AS n, "
+        f"COUNT(*) AS n_classes, "
+        f"CAST(MAX(__c) AS DOUBLE) / CAST(SUM(__c) AS DOUBLE) AS majority_share, "
+        f"{ent} AS entropy, {gini} AS gini FROM __p "
+        f"GROUP BY {'1' if group_by else '()'}"
+    )

@@ -2793,6 +2793,27 @@ def _profile_events_sql() -> str:
 register("profile_table_events", _profile_events, _profile_events_sql())
 
 
+# Class-balance QA (r8, §2.14): per-source language distribution —
+# entropy/gini/majority share from exact counts over a label-vocabulary-
+# bounded relation; the pre-training check that catches constant-class
+# sources and scrape bugs.
+def _label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raise_featurestore_spark.analytics.profile import label_balance_report
+
+    return label_balance_report(
+        load_table(spark, sf_dir, "documents"), "lang", group_by="source"
+    )
+
+
+def _label_balance_sql() -> str:
+    from raise_featurestore_spark.analytics.profile import label_balance_report_sql
+
+    return label_balance_report_sql("documents", "lang", group_by="source")
+
+
+register("profile_label_balance", _label_balance, _label_balance_sql())
+
+
 _SKEW_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
 
 
@@ -3077,6 +3098,7 @@ _PROMOTED = [
     "fp16_roundtrip_topk",
     "rollup_percentile_daily",
     "quality_fk_integrity",
+    "profile_label_balance",
     # (c) r6/r7-verdicted entries sitting on code r8 changed: the
     # dec_scaled fast path (scalers, winsorized, flat/rolling aggregates,
     # profile, version diff, rollup partial format, PCA grid sums), the
@@ -3096,8 +3118,11 @@ _PROMOTED = [
     "profile_table_events",
     # window_session_user yields its slot to the new quality_fk_integrity:
     # the window family rides dec_sum only through stable.py (re-validated
-    # by the full sf0.1 gate this round) and its latest verdict is r6
-    "embedding_gram_check",
+    # by the full sf0.1 gate this round) and its latest verdict is r6.
+    # embedding_gram_check yields its slot to the new
+    # profile_label_balance for the same reason (PCA grid sums ride
+    # stable.py only; re-validated by the full sf0.01 AND sf0.1 gates
+    # this round).
 ]
 
 

@@ -360,3 +360,26 @@ def test_correlation_oracle_applies_sample_size(spark, ddb):
     assert_frames_match(
         compile_correlation(df, spec), con.sql(correlation_to_sql(spec, "t")).df()
     )
+
+
+def test_label_balance_report_semantics(spark):
+    """r8: entropy/gini/majority from exact counts; NULL labels are a
+    real class; a constant-label group reads entropy 0 / gini 0 /
+    majority 1."""
+    import math
+
+    from raise_featurestore_spark.analytics.profile import label_balance_report
+
+    rows = (
+        [("a", "en")] * 6 + [("a", "fr")] * 2 + [("a", None)] * 2
+        + [("b", "en")] * 5
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {r.src: r for r in label_balance_report(df, "lang", group_by="src").collect()}
+    a, b = got["a"], got["b"]
+    assert a.n == 10 and a.n_classes == 3 and a.majority_share == 0.6
+    want_ent = -(0.6 * math.log(0.6) + 0.2 * math.log(0.2) * 2)
+    assert abs(a.entropy - want_ent) < 1e-6
+    assert abs(a.gini - (1 - 0.36 - 0.04 - 0.04)) < 1e-6
+    assert b.n == 5 and b.n_classes == 1 and b.majority_share == 1.0
+    assert b.entropy == 0.0 and b.gini == 0.0
