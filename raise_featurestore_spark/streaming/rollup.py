@@ -242,6 +242,8 @@ def make_rollup_batch_fn(
     time_col: str = "ts",
     bucket: str = "day",
     group_by: str | None = None,
+    partials_fn=None,
+    merge_fn=None,
 ):
     """``foreachBatch`` function maintaining the partial table on disk:
     aggregate ONLY the micro-batch, merge with the stored partials, and
@@ -263,6 +265,12 @@ def make_rollup_batch_fn(
     delta the live table already contains (r5 ADVICE finding)."""
     import os
     import shutil
+
+    # the sketch family is pluggable (r8): the same staged-swap state
+    # machine maintains moment partials (default) or the percentile grid
+    # histograms — only the partial builder and the merge differ
+    partials_fn = partials_fn or rollup_partials
+    merge_fn = merge_fn or merge_rollups
 
     def _applied(live: str) -> int:
         try:
@@ -295,12 +303,12 @@ def make_rollup_batch_fn(
                 os.rename(os.path.join(state_path, olds[-1]), live)
         if os.path.isdir(live) and _applied(live) >= batch_id:
             return  # checkpoint-replayed batch already merged into live
-        delta = rollup_partials(batch_df, value_col, time_col, bucket, group_by)
+        delta = partials_fn(batch_df, value_col, time_col, bucket, group_by)
         if os.path.isdir(live) and any(
             n.endswith(".parquet") for n in os.listdir(live)
         ):
             existing = spark.read.parquet(live)
-            merged = merge_rollups(existing, delta, group_by)
+            merged = merge_fn(existing, delta, group_by)
         else:
             merged = delta
         stage = os.path.join(state_path, f"stage-{batch_id}")
@@ -466,4 +474,34 @@ def percentile_recompute_sql(
         f"SUM(cnt) OVER ({part}) AS __n FROM __cells) "
         f"SELECT {keys}period_start, {', '.join(sel)} FROM __cum "
         f"GROUP BY {'1, 2' if group_by else '1'}"
+    )
+
+
+def make_percentile_rollup_batch_fn(
+    spark,
+    state_path: str,
+    value_col: str,
+    time_col: str = "ts",
+    bucket: str = "day",
+    group_by: str | None = None,
+    sig_digits: int = 3,
+):
+    """``foreachBatch`` maintainer for the PERCENTILE grid histograms —
+    the same staged-swap/replay-idempotent state machine as
+    :func:`make_rollup_batch_fn`, with the grid-histogram partials and
+    integer-addition merge plugged in. Query the live table with
+    :func:`finalize_percentile_rollup`."""
+
+    def _partials(df, v, t, b, g):
+        return percentile_partials(df, v, t, b, g, sig_digits=sig_digits)
+
+    return make_rollup_batch_fn(
+        spark,
+        state_path,
+        value_col,
+        time_col,
+        bucket,
+        group_by,
+        partials_fn=_partials,
+        merge_fn=merge_percentile_rollups,
     )

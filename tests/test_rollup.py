@@ -291,3 +291,41 @@ def test_percentile_rollup_merge_invariance(spark):
     )
     out = finalize_percentile_rollup(percentile_partials(bad, "value")).collect()
     assert len(out) == 1 and out[0].n == 1 and out[0].p50 == 7.0
+
+
+def test_percentile_rollup_streaming_batches(spark, tmp_path):
+    """The foreachBatch percentile maintainer: batches merge into the
+    live grid-histogram state; finalize matches a from-scratch build;
+    a checkpoint-replayed batch_id is a no-op."""
+    import datetime
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_percentile_rollup,
+        make_percentile_rollup_batch_fn,
+        percentile_partials,
+    )
+
+    base = datetime.datetime(2026, 2, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=i % 24), float((i % 9) + 1))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    state = str(tmp_path / "pct_state")
+    fn = make_percentile_rollup_batch_fn(spark, state, "value")
+    fn(df.where("event_id < 120"), 0)
+    fn(df.where("event_id >= 120"), 1)
+    fn(df.where("event_id >= 120"), 1)  # replayed batch: must be a no-op
+
+    live = spark.read.parquet(state + "/live")
+    got = {
+        r.period_start: (r.n, r.p50, r.p95)
+        for r in finalize_percentile_rollup(live).collect()
+    }
+    want = {
+        r.period_start: (r.n, r.p50, r.p95)
+        for r in finalize_percentile_rollup(
+            percentile_partials(df, "value")
+        ).collect()
+    }
+    assert got == want
