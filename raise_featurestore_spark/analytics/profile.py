@@ -222,16 +222,18 @@ def label_balance_report(
     engines feed ln() identical doubles (the ≤1-ulp libm/JVM ln
     difference and the ≤classes-term sum-order noise sit ~1e-16, ten
     orders under the 1e-6 emission grid). NULL labels form their own
-    class (a real category in corpus QA — unlabeled rows)."""
+    class (a real category in corpus QA — unlabeled rows): GROUP BY
+    collects NULLs into one group on both engines, so the raw label is
+    the group key — no string sentinel, so a genuine label value
+    '<null>' stays a distinct class (r8 ADVICE low)."""
     from pyspark.sql.window import Window
 
     from raise_featurestore_spark.functions.stable import grid_snap
 
     keys = [F.col(group_by)] if group_by else []
-    lab = F.coalesce(F.col(label_col).cast("string"), F.lit("<null>"))
-    counts = df.groupBy(*keys, lab.alias("__lab")).agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    counts = df.groupBy(
+        *keys, F.col(label_col).cast("string").alias("__lab")
+    ).agg(F.count(F.lit(1)).alias("__c"))
     w = Window.partitionBy(*keys) if group_by else Window.partitionBy(F.lit(0))
     p = F.col("__c").cast("double") / F.sum("__c").over(w).cast("double")
     enriched = counts.select(*keys, "__c", p.alias("__p"))
@@ -264,7 +266,7 @@ def label_balance_report_sql(
     gini = grid_snap_sql("1.0 - SUM(__p * __p)", round_to)
     return (
         f"WITH __c AS (SELECT {keys}"
-        f"COALESCE(CAST({label_col} AS VARCHAR), '<null>') AS __lab, "
+        f"CAST({label_col} AS VARCHAR) AS __lab, "
         f"COUNT(*) AS __c FROM {table} GROUP BY {'1, 2' if group_by else '1'}), "
         f"__p AS (SELECT *, CAST(__c AS DOUBLE) / "
         f"CAST(SUM(__c) OVER ({part}) AS DOUBLE) AS __p FROM __c) "

@@ -127,12 +127,25 @@ def fp16_cosine_topk(
     definition, not against itself. Emits (vec_id, dim, cos_sim) where
     dim comes from the PACKED byte length (the binary column is on the
     emitted path, not just an intermediate).
+
+    Non-finite guard (r8 ADVICE medium): a NaN/Inf element — or any
+    |x| > 65504, which the fp16 codec turns into ±Inf — would reach the
+    decimal cast and hard-crash under Spark 4's ANSI default (and the
+    oracle's BIGINT cast). A vector containing such an element has no
+    defined fp16 cosine, so those VECTORS are excluded up front, by the
+    identical exactly-representable predicate on both engines.
     """
     from raise_featurestore_spark.functions.stable import grid_snap
 
-    unp = df.select(
-        F.col(id_col).alias("vec_id"), pack_fp16(emb_col).alias("pb")
-    ).select("vec_id", fp16_dim("pb").alias("dim"), unpack_fp16("pb").alias("qe"))
+    fin = F.forall(
+        F.col(emb_col).cast("array<double>"),
+        lambda e: e.isNotNull() & ~F.isnan(e) & (F.abs(e) <= F.lit(65504.0)),
+    )
+    unp = (
+        df.where(F.col(emb_col).isNotNull() & fin)
+        .select(F.col(id_col).alias("vec_id"), pack_fp16(emb_col).alias("pb"))
+        .select("vec_id", fp16_dim("pb").alias("dim"), unpack_fp16("pb").alias("qe"))
+    )
     el = unp.select(
         "vec_id",
         "dim",
@@ -221,10 +234,17 @@ def fp16_cosine_topk_sql(
         "SQRT(CAST(nv_s AS DOUBLE) * CAST(nq_s AS DOUBLE))"
     )
     return (
-        f"WITH __e AS (SELECT {id_col} AS vec_id, "
+        f"WITH __e0 AS (SELECT {id_col} AS vec_id, "
         f"generate_subscripts({emb_col}, 1) AS j, "
         f"CAST(unnest({emb_col}) AS DOUBLE) AS x FROM {table} "
         f"WHERE {emb_col} IS NOT NULL), "
+        # same vector-level non-finite/overflow exclusion as the Spark
+        # path: NaN/Inf/|x|>65504 would crash the BIGINT cast in the
+        # RNE ladder (r8 ADVICE medium)
+        f"__bad AS (SELECT DISTINCT vec_id FROM __e0 "
+        f"WHERE x IS NULL OR ISNAN(x) OR ABS(x) > 65504.0), "
+        f"__e AS (SELECT * FROM __e0 "
+        f"WHERE vec_id NOT IN (SELECT vec_id FROM __bad)), "
         f"{quant}"
         f"__a AS (SELECT vec_id, j, "
         f"CAST(__qx * {dlit(16777216.0)} AS DECIMAL(18,0)) AS a FROM {prev}), "

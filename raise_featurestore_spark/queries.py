@@ -1211,6 +1211,71 @@ register(
     kendall_tau_matrix_sql("events", _KM_FEATS, where=_KF_WHERE),
 )
 
+# --------------------------------------------------------------------------
+# PRD-shaped WIDE correlation matrix (r8 VERDICT item 2): the reference's
+# own latency target is a 10-FEATURE matrix < 10 s (raise_/PRD.md:2754;
+# N×N contract raise_/analytics/analysis.py:152-195). Ten features over
+# lineitem: the 8 natural numeric columns plus the two TPC-H Q1 derived
+# measures (disc_price, charge) — deterministic IEEE doubles, identical on
+# both engines (same association order in Spark and SQL).
+# --------------------------------------------------------------------------
+
+_WIDE_FEATS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "disc_price", "charge",
+]
+_WIDE_TBL = (
+    "(SELECT *, l_extendedprice * (1.0 - l_discount) AS disc_price, "
+    "(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge "
+    "FROM lineitem) __w"
+)
+
+
+def _wide_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.withColumn(
+        "disc_price", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).withColumn("charge", F.col("disc_price") * (F.lit(1.0) + F.col("l_tax")))
+
+
+_WIDE_P = Correlation(features=_WIDE_FEATS)
+_WIDE_S = Correlation(features=_WIDE_FEATS, method="spearman")
+
+
+def _corr_matrix_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-feature pearson AND spearman matrices at DATA scale, one long
+    frame with a method column. Pearson = all 45 pairwise corr() in ONE
+    aggregate pass; spearman = the distributed prefix-sum ranks then the
+    same one-pass aggregate — no per-pair rescans."""
+    li = _wide_lineitem(spark, sf_dir)
+    p = compile_correlation(li, _WIDE_P).withColumn("method", F.lit("pearson"))
+    s = compile_correlation(li, _WIDE_S).withColumn("method", F.lit("spearman"))
+    return p.unionByName(s)
+
+
+register(
+    "corr_matrix_wide",
+    _corr_matrix_wide,
+    f"SELECT 'pearson' AS method, * FROM ({correlation_to_sql(_WIDE_P, _WIDE_TBL)}) "
+    f"UNION ALL SELECT 'spearman' AS method, * "
+    f"FROM ({correlation_to_sql(_WIDE_S, _WIDE_TBL)})",
+)
+
+# Exact kendall tau-b at k=10 (45 pairs, one range exchange for ALL of
+# them): gates the r8 dense-pid fix (kendall_full.py:489) at the PRD's
+# matrix width. The row filter bounds n so the oracle can afford the 45
+# O(n²) pair definitions; the k=10 DATA-scale wall time is measured by
+# scripts/stress_kendall.py (1M rows) and recorded in PERF.md.
+_KW_WHERE = "l_orderkey % 256 = 0"
+
+register(
+    "corr_kendall_wide",
+    lambda spark, sf_dir: kendall_tau_matrix(
+        _wide_lineitem(spark, sf_dir).where(_KW_WHERE), _WIDE_FEATS
+    ),
+    kendall_tau_matrix_sql(_WIDE_TBL, _WIDE_FEATS, where=_KW_WHERE),
+)
+
 register(
     # per-step conversion window (within="7d", the PRD duration grammar):
     # step k counts only within 7 days of the user's step k-1 time —

@@ -41,10 +41,23 @@ from raise_featurestore_spark.functions.stable import (
 # dec_scaled conversion contract (r8): stored s1/ss partials hold the
 # SCALED integers value*10^4 / value^2*10^8 (DECIMAL(28/38,0)); finalize
 # divides once after the double cast. Partials written by the pre-r8
-# dec_term format carry scale-4/8 decimal types -- schema-incompatible
-# with this version's merge, by design loud (type mismatch on union).
+# dec_term format carry scale-4/8 decimal types. Spark's union type
+# coercion silently WIDENS decimal(28,4) vs decimal(28,0) to
+# decimal(38,4) rather than erroring (r8 ADVICE high), so mixing the two
+# formats would corrupt values without a poison — hence TWO guards:
+# merge_rollups asserts scale 0 on both inputs (raises on pre-r8
+# partials), and the streaming maintainer stamps a ``_format_version``
+# marker into the live state dir and refuses to merge onto a mismatched
+# or unmarked generation. ``migrate_rollup_partials`` is the one-shot
+# rescale for old state.
 _G1 = 1e4
 _G2 = 1e8
+
+# bumped whenever the stored-partial layout changes incompatibly;
+# per-sketch-family markers (moments vs percentile grids share the state
+# machine but not the schema)
+_FORMAT_MOMENTS = "moments-v2-dec-scaled"
+_FORMAT_PCTL = "pctl-grid-v1"
 
 _PARTIAL_COLS = ["n", "s1", "ss", "mn", "mx", "pois"]
 
@@ -99,6 +112,57 @@ def rollup_partials(
     )
 
 
+def _assert_scaled_partials(df: DataFrame, which: str) -> None:
+    """Refuse pre-r8 dec_term partials LOUDLY: their s1/ss carry decimal
+    scale 4/8 (value-scale), and unioning them with the current scale-0
+    (value*1e4-scale) format coerces silently to decimal(38,4) — mixing
+    the two would halve/quarter every merged sum with no error (r8
+    ADVICE high, verified empirically by the advisor)."""
+    from pyspark.sql.types import DecimalType
+
+    for name in ("s1", "ss"):
+        if name not in df.columns:
+            raise ValueError(
+                f"rollup merge: {which} partials missing column {name!r} — "
+                "not a moments partial table"
+            )
+        dt = df.schema[name].dataType
+        if isinstance(dt, DecimalType) and dt.scale != 0:
+            raise ValueError(
+                f"rollup merge: {which} partials column {name!r} has decimal "
+                f"scale {dt.scale} — pre-r8 dec_term format (value-scale), "
+                "incompatible with the current scaled-integer format. "
+                "Run migrate_rollup_partials() once to rescale old state."
+            )
+
+
+def migrate_rollup_partials(old: DataFrame) -> DataFrame:
+    """One-shot rescale of pre-r8 dec_term partials (s1/ss at value scale,
+    decimal scale 4/8) into the current scaled-integer format
+    (value*1e4 / value^2*1e8, decimal scale 0). Counts/min/max/poison are
+    format-stable. Write the result as the new live generation, stamped
+    with the current format version."""
+    _c = old
+    if "uf" not in _c.columns:
+        _c = _c.withColumn("uf", F.lit(0).cast("long"))
+    from pyspark.sql.types import DecimalType
+
+    s1t, sst = _c.schema["s1"].dataType, _c.schema["ss"].dataType
+    if not (
+        isinstance(s1t, DecimalType)
+        and s1t.scale == 4
+        and isinstance(sst, DecimalType)
+        and sst.scale == 8
+    ):
+        raise ValueError(
+            "migrate_rollup_partials expects the pre-r8 dec_term layout "
+            f"(s1 scale 4, ss scale 8); got s1={s1t} ss={sst}"
+        )
+    return _c.withColumn(
+        "s1", (F.col("s1") * F.lit(10**4)).cast("decimal(28,0)")
+    ).withColumn("ss", (F.col("ss") * F.lit(10**8)).cast("decimal(38,0)"))
+
+
 def merge_rollups(
     existing: DataFrame, delta: DataFrame, group_by: str | None = None
 ) -> DataFrame:
@@ -106,6 +170,8 @@ def merge_rollups(
     Decimal sums merge exactly; the refresh cost is O(|delta| buckets),
     independent of history size."""
     keys = ([group_by] if group_by else []) + ["period_start"]
+    _assert_scaled_partials(existing, "existing")
+    _assert_scaled_partials(delta, "delta")
     # pre-r7 stored partials lack the underflow column; absent counts are
     # conservatively 0 (those rows predate the sentinel)
     if "uf" not in existing.columns:
@@ -244,6 +310,7 @@ def make_rollup_batch_fn(
     group_by: str | None = None,
     partials_fn=None,
     merge_fn=None,
+    format_version: str = _FORMAT_MOMENTS,
 ):
     """``foreachBatch`` function maintaining the partial table on disk:
     aggregate ONLY the micro-batch, merge with the stored partials, and
@@ -279,6 +346,30 @@ def make_rollup_batch_fn(
         except (OSError, ValueError):
             return -1
 
+    def _check_format(live: str) -> None:
+        # the live generation is stamped with its partial-layout version
+        # (installed atomically by the same rename as the data); a
+        # MISMATCHED marker means the stored partials were written by an
+        # incompatible layout and merging would corrupt silently (union
+        # decimal coercion widens instead of erroring — r8 ADVICE high).
+        # An ABSENT marker (pre-r9 state) falls through to
+        # merge_rollups' decimal-scale assert, which catches the one
+        # real pre-marker incompatibility (dec_term vs dec_scaled).
+        marker = os.path.join(live, "_format_version")
+        try:
+            with open(marker) as fh:
+                found = fh.read().strip()
+        except OSError:
+            return
+        if found != format_version:
+            raise ValueError(
+                f"rollup state at {live!r} was written by partial format "
+                f"{found!r}; this maintainer writes {format_version!r}. "
+                "Refusing to merge incompatible partials — migrate the "
+                "state (migrate_rollup_partials) or point at a fresh "
+                "state_path."
+            )
+
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -307,6 +398,7 @@ def make_rollup_batch_fn(
         if os.path.isdir(live) and any(
             n.endswith(".parquet") for n in os.listdir(live)
         ):
+            _check_format(live)
             existing = spark.read.parquet(live)
             merged = merge_fn(existing, delta, group_by)
         else:
@@ -315,6 +407,8 @@ def make_rollup_batch_fn(
         merged.write.mode("overwrite").parquet(stage)  # clobbers a retry's leftover
         with open(os.path.join(stage, "_applied_batch"), "w") as fh:
             fh.write(str(batch_id))
+        with open(os.path.join(stage, "_format_version"), "w") as fh:
+            fh.write(format_version)
         old = os.path.join(state_path, f"old-{batch_id}")
         shutil.rmtree(old, ignore_errors=True)  # a retry's leftover
         if os.path.isdir(live):
@@ -359,6 +453,26 @@ def rollup_stream(
 # the documented contract. Non-finite rows are excluded from the
 # distribution (they have no place on a quantile axis; the NaN/Inf
 # POLICY lives in the quality operators).
+
+
+def _q_labels(qs: tuple[float, ...]) -> list[str]:
+    """Output column names derived from the EXACT quantile, not a rounded
+    percent: ``p{round(q*100):02d}`` collided for qs that round to the
+    same integer percent and mislabeled q=0.125 as p12 under banker's
+    rounding (r8 ADVICE low). 0.5→p50, 0.95→p95, 0.125→p12_5,
+    0.954→p95_4; duplicate labels (duplicate qs) raise."""
+    from decimal import Decimal
+
+    labels = []
+    for q in qs:
+        if not 0.0 < float(q) <= 1.0:
+            raise ValueError(f"quantile out of range (0, 1]: {q!r}")
+        pct = format((Decimal(repr(float(q))) * 100).normalize(), "f")
+        whole, _, frac = pct.partition(".")
+        labels.append("p" + whole.zfill(2) + (f"_{frac}" if frac else ""))
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate percentile labels from qs={qs!r}: {labels}")
+    return labels
 
 
 def percentile_partials(
@@ -427,15 +541,13 @@ def finalize_percentile_rollup(
         F.sum("cnt").over(tot).alias("__n"),
     )
     aggs = [F.max("__n").cast("long").alias("n")]
-    for q in qs:
+    for q, label in zip(qs, _q_labels(qs)):
         # ceil(q·n) via the shared double literal; both engines compute
         # the identical product/ceil (q itself may be binary-inexact —
         # fine, as long as it is the SAME double everywhere)
         target = F.ceil(F.lit(float(q)) * F.col("__n").cast("double")).cast("long")
         aggs.append(
-            F.min(F.when(F.col("__cum") >= target, F.col("cell"))).alias(
-                f"p{round(q * 100):02d}"
-            )
+            F.min(F.when(F.col("__cum") >= target, F.col("cell"))).alias(label)
         )
     return cum.groupBy(*keys).agg(*aggs)
 
@@ -459,11 +571,9 @@ def percentile_recompute_sql(
     keys = f"{group_by}, " if group_by else ""
     part = f"PARTITION BY {keys.rstrip(', ')}{', ' if group_by else ''}period_start"
     sel = ["CAST(MAX(__n) AS BIGINT) AS n"]
-    for q in qs:
+    for q, label in zip(qs, _q_labels(qs)):
         target = f"CAST(CEIL({dlit(float(q))} * CAST(__n AS DOUBLE)) AS BIGINT)"
-        sel.append(
-            f"MIN(CASE WHEN __cum >= {target} THEN cell END) AS p{round(q * 100):02d}"
-        )
+        sel.append(f"MIN(CASE WHEN __cum >= {target} THEN cell END) AS {label}")
     return (
         f"WITH __cells AS (SELECT {keys}"
         f"STRFTIME(DATE_TRUNC('{bucket}', {time_col}), '{_fmt(bucket)[1]}') AS period_start, "
@@ -504,4 +614,5 @@ def make_percentile_rollup_batch_fn(
         group_by,
         partials_fn=_partials,
         merge_fn=merge_percentile_rollups,
+        format_version=_FORMAT_PCTL,
     )

@@ -120,3 +120,41 @@ def test_sql_fp16_quantizer_matches_numpy_rne():
         if g == 0 and w == 0:
             continue  # signed zero washes out in the decimal pipeline
         assert g == w, (v, g, w)
+
+
+def test_fp16_cosine_topk_nonfinite_guard(spark):
+    """r8 ADVICE medium: NaN/Inf elements — or |x|>65504, which the fp16
+    codec turns into ±Inf — must not reach the ANSI decimal cast (crash)
+    or the oracle's BIGINT cast (DuckDB ConversionException). Vectors
+    containing them are excluded identically on both engines."""
+    import duckdb
+
+    from raise_featurestore_spark.functions.fp16 import (
+        fp16_cosine_topk,
+        fp16_cosine_topk_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 8)).astype(np.float16).astype(np.float32)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(len(base))]
+    rows.append((100, [float("nan")] + [0.5] * 7))      # NaN element
+    rows.append((101, [float("inf")] + [0.5] * 7))      # Inf element
+    rows.append((102, [70000.0] + [0.5] * 7))           # fp16 overflow
+    rows.append((103, None))                            # NULL vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = fp16_cosine_topk(df, query_id=0, k=40).toPandas()
+    assert set(got.vec_id) == set(range(30))  # guarded vectors excluded
+    assert not got.cos_sim.isna().any()
+
+    con = duckdb.connect()
+    con.register(
+        "t",
+        df.toPandas(),
+    )
+    oracle = con.sql(fp16_cosine_topk_sql("t", query_id=0, k=40)).df()
+    assert set(oracle.vec_id) == set(range(30))
+    s = got.sort_values("vec_id").reset_index(drop=True)
+    o = oracle.sort_values("vec_id").reset_index(drop=True)
+    assert (s.vec_id.values == o.vec_id.values).all()
+    assert np.allclose(s.cos_sim.values, o.cos_sim.values, atol=0, rtol=0)

@@ -383,3 +383,28 @@ def test_label_balance_report_semantics(spark):
     assert abs(a.gini - (1 - 0.36 - 0.04 - 0.04)) < 1e-6
     assert b.n == 5 and b.n_classes == 1 and b.majority_share == 1.0
     assert b.entropy == 0.0 and b.gini == 0.0
+
+
+def test_label_balance_null_vs_literal_null_string(spark):
+    """r8 ADVICE low: a genuine label value '<null>' must stay a class
+    distinct from actual NULL labels (no string sentinel in the group
+    key) — on BOTH engines."""
+    import duckdb
+
+    from raise_featurestore_spark.analytics.profile import (
+        label_balance_report,
+        label_balance_report_sql,
+    )
+
+    rows = [("<null>",)] * 3 + [(None,)] * 2 + [("en",)] * 5
+    df = spark.createDataFrame(rows, "lang string")
+    got = label_balance_report(df, "lang").first()
+    assert got.n == 10 and got.n_classes == 3 and got.majority_share == 0.5
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = con.sql(label_balance_report_sql("t", "lang")).df().iloc[0]
+    assert int(oracle.n) == 10 and int(oracle.n_classes) == 3
+    assert float(oracle.majority_share) == 0.5
+    assert abs(float(oracle.entropy) - got.entropy) < 1e-12
+    assert abs(float(oracle.gini) - got.gini) < 1e-12

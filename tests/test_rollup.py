@@ -329,3 +329,111 @@ def test_percentile_rollup_streaming_batches(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_merge_refuses_pre_r8_value_scale_partials(spark, events):
+    """r8 ADVICE high: union coercion silently widens decimal(28,0) vs
+    decimal(28,4) instead of erroring, so merging pre-r8 dec_term
+    partials would corrupt sums with no poison. merge_rollups must
+    raise on value-scale inputs, and migrate_rollup_partials must
+    rescale them into the current format exactly."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        migrate_rollup_partials,
+        rollup_partials,
+    )
+
+    new = rollup_partials(events.where("event_id % 2 = 0"), "value")
+    # reconstruct the pre-r8 dec_term layout: s1/ss at VALUE scale,
+    # decimal(28,4)/(38,8) — numerically identical content, old format
+    old = rollup_partials(events.where("event_id % 2 = 1"), "value")
+    old_fmt = old.withColumn(
+        "s1", (F.col("s1").cast("decimal(38,10)") / F.lit(10**4)).cast("decimal(28,4)")
+    ).withColumn(
+        "ss", (F.col("ss").cast("decimal(38,8)") / F.lit(10**8)).cast("decimal(38,8)")
+    )
+    with pytest.raises(ValueError, match="pre-r8 dec_term"):
+        merge_rollups(new, old_fmt)
+    with pytest.raises(ValueError, match="pre-r8 dec_term"):
+        merge_rollups(old_fmt, new)
+
+    migrated = migrate_rollup_partials(old_fmt)
+    got = _finalized_rows(
+        finalize_rollup(merge_rollups(new, migrated), ["count", "sum", "avg"])
+    )
+    want = _finalized_rows(
+        finalize_rollup(rollup_partials(events, "value"), ["count", "sum", "avg"])
+    )
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="expects the pre-r8"):
+        migrate_rollup_partials(new)  # already current format
+
+
+def test_streaming_rollup_format_marker(spark, events, tmp_path):
+    """The live generation carries a _format_version stamp installed by
+    the same atomic rename as the data; a maintainer with a different
+    format refuses to merge onto it instead of corrupting silently."""
+    import os
+
+    from raise_featurestore_spark.streaming.rollup import (
+        _FORMAT_MOMENTS,
+        make_percentile_rollup_batch_fn,
+        make_rollup_batch_fn,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    fn = make_rollup_batch_fn(spark, state, "value")
+    fn(events.where("event_id % 2 = 0"), 0)
+    live = os.path.join(state, "live")
+    with open(os.path.join(live, "_format_version")) as fh:
+        assert fh.read() == _FORMAT_MOMENTS
+
+    # a percentile maintainer pointed at the SAME state dir must refuse
+    pfn = make_percentile_rollup_batch_fn(spark, state, "value")
+    with pytest.raises(ValueError, match="Refusing to merge"):
+        pfn(events.where("event_id % 2 = 1"), 1)
+
+    # the moments maintainer keeps going fine
+    fn(events.where("event_id % 2 = 1"), 1)
+    with open(os.path.join(live, "_format_version")) as fh:
+        assert fh.read() == _FORMAT_MOMENTS
+
+
+def test_percentile_q_labels_exact(spark):
+    """r8 ADVICE low: labels derive from the exact q, not a rounded
+    percent — q=0.125 is p12_5 (was p12 under banker's rounding), qs
+    that round to the same integer percent no longer collide, and true
+    duplicates raise."""
+    from raise_featurestore_spark.streaming.rollup import _q_labels
+
+    assert _q_labels((0.5, 0.95, 0.99)) == ["p50", "p95", "p99"]
+    assert _q_labels((0.05,)) == ["p05"]
+    assert _q_labels((0.125,)) == ["p12_5"]
+    assert _q_labels((0.954, 0.955)) == ["p95_4", "p95_5"]
+    with pytest.raises(ValueError, match="duplicate"):
+        _q_labels((0.5, 0.5))
+    with pytest.raises(ValueError, match="out of range"):
+        _q_labels((1.5,))
+
+    # end-to-end: the finalized frame and the SQL twin agree on names
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_percentile_rollup,
+        percentile_partials,
+        percentile_recompute_sql,
+    )
+
+    rows = [("2026-01-01 00:00:00", float(v)) for v in range(1, 41)]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value"
+    )
+    out = finalize_percentile_rollup(
+        percentile_partials(df, "value"), qs=(0.125, 0.5)
+    )
+    assert out.columns == ["period_start", "n", "p12_5", "p50"]
+    sql = percentile_recompute_sql("t", "value", qs=(0.125, 0.5))
+    assert "p12_5" in sql and "p50" in sql
