@@ -89,11 +89,23 @@ def pagerank(
     iterations: int = 2,
     damping: float = 0.85,
     round_to: int = 8,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """(node, pr) after ``iterations`` of weighted PageRank on the
     co-occurrence graph. Emitted pr is stable-rounded (masses are ~1/N,
-    so ``round_to`` defaults fine-grained)."""
-    edges = cooccurrence_edges(df, basket_col, item_col)
+    so ``round_to`` defaults fine-grained).
+
+    ``edges``: a pre-built (src, dst, w) co-occurrence table — e.g. the
+    materialized output of :func:`cooccurrence_edges` kept as a stored
+    derived table and reused across analytics runs (r8 VERDICT item 5;
+    the reference's materialized-derived-state pattern,
+    raise_/analytics/live_table.py:162-209). The basket build was 4.5 s
+    of the 5–6 s sf0.1 wall; reading the stored edges pays one
+    repartition instead. When given, ``df``/``basket_col``/``item_col``
+    are ignored for edge construction."""
+    edges = (
+        edges if edges is not None else cooccurrence_edges(df, basket_col, item_col)
+    )
     # localCheckpoint (eager): materializes the edge list ONCE and
     # truncates its lineage, so the k iterations reuse stored blocks
     # instead of re-running the basket build per reference. The node

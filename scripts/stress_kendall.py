@@ -72,6 +72,38 @@ def main(n: int = 1_000_000) -> None:
         w = _tau_b(arrs[fa], arrs[fb])
         assert tau == w, (fa, fb, tau, w)
     print(f"kendall_matrix(3 features, {len(got_m)} pairs): MATCH spark={dt:.1f}s")
+
+    # the PRD-shaped WIDE matrix at the same scale: k=10 features
+    # (45 pairs), proving the r8 dense-pid driver cost stays linear in
+    # pairs and measuring the raise_/PRD.md:2754 "<10 s for a 10-feature
+    # matrix" target at 1M rows. Every pair bit-equal to Knight.
+    k = 10
+    cols = {"f0": x, "f1": y, "f2": z}
+    for i in range(3, k):
+        cols[f"f{i}"] = np.round(
+            0.2 * x + 0.1 * cols[f"f{i - 1}"] + rng.normal(size=n) * (5 + i), 1
+        )
+    names = list(cols)
+    sdf10 = spark.createDataFrame(
+        list(zip(*(map(float, cols[c]) for c in names))),
+        ", ".join(f"{c} double" for c in names),
+    ).cache()
+    sdf10.count()
+    t0 = time.perf_counter()
+    got_w = {
+        (r.feature_a, r.feature_b): r.corr
+        for r in kendall_tau_matrix(sdf10, names, round_to=None).collect()
+    }
+    dt10 = time.perf_counter() - t0
+    assert len(got_w) == k * (k - 1) // 2, len(got_w)
+    for (fa, fb), tau in got_w.items():
+        w = _tau_b(cols[fa], cols[fb])
+        assert tau == w, (fa, fb, tau, w)
+    print(
+        f"kendall_matrix({k} features, {len(got_w)} pairs): MATCH "
+        f"spark={dt10:.1f}s (PRD 10-feature target < 10 s; 3-pair run {dt:.1f}s "
+        f"-> per-pair driver cost {'linear' if dt10 < dt * 15 * 1.5 else 'SUPERLINEAR'})"
+    )
     print(f"1M-row exact-kendall differential: bit-identical (n={n})")
 
 
