@@ -77,26 +77,47 @@ def _rank_cols(df: DataFrame, features: list[str]) -> DataFrame:
 
     Scale-safe: melt all features to long form (one scan), group to distinct
     (feature, value) with tie counts, then ONE grouped range-partitioned
-    prefix sum gives every feature's cumulative counts — no
+    rank pass attaches every feature's per-row average rank — no
     ``rank() OVER (ORDER BY x)`` single-partition sort, and one range
-    shuffle total instead of one per feature. Average-of-tied-ranks is
-    ``cum - (t-1)/2``; ranks join back per feature on the exact value."""
-    from raise_featurestore_spark.functions.prefix import grouped_range_prefix_sums
+    shuffle total instead of one per feature.
+
+    Shape (r9): melt → ``grouped_range_avg_ranks`` (ONE range shuffle of
+    the k·n melted rows, ranks attached in-row — no value-level join
+    back) → ONE pivot aggregate keyed by a row id assigned at a single
+    projection node BEFORE the melt (so every exploded row of one input
+    row carries the same id). The previous per-feature join-back was k
+    sequential data-scale shuffles — 26 s for the k=10 PRD matrix at
+    sf0.1 vs ~8 s for this shape; the intermediate byval+equi-join
+    variant still paid a 10 s row-scale join."""
+    from raise_featurestore_spark.functions.prefix import grouped_range_avg_ranks
 
     n = len(features)
+    df = df.withColumn("__rid", F.monotonically_increasing_id())
     stack_expr = ", ".join(f"'{ft}', CAST({ft} AS DOUBLE)" for ft in features)
-    melted = df.selectExpr(f"stack({n}, {stack_expr}) AS (__ft, __val)")
-    byval = melted.groupBy("__ft", "__val").agg(F.count(F.lit(1)).alias("__t"))
-    cum = grouped_range_prefix_sums(byval, ["__ft"], "__val", {"__cum": "__t"})
-    ranks = cum.withColumn(
-        "__rk", F.col("__cum") - (F.col("__t") - F.lit(1)) / F.lit(2.0)
-    )
-    for ft in features:
-        r = ranks.where(F.col("__ft") == ft).select(
-            F.col("__val").alias(f"__v_{ft}"), F.col("__rk").alias(f"__rk_{ft}")
+    melted = df.selectExpr("__rid", f"stack({n}, {stack_expr}) AS (__ft, __val)")
+    ranked = grouped_range_avg_ranks(melted, ["__ft"], "__val")
+    # EXPLICIT repartition by row id before the pivot, for two reasons:
+    # (1) partial aggregation buys nothing here — a row's k melted rows
+    # are scattered across the (__ft, __val) range partitions, so the
+    # "partial" pivot emits ≈ one k-wide row per input row; (2) AQE
+    # coalesces the groupBy's own exchange to ONE partition (the pivot
+    # shuffle is ~50 MB < the 64 MB advisory) and then runs the
+    # CPU-heavy pivot + downstream corr partials in a single task
+    # (measured: a 17 s straggler). A user repartition is never
+    # coalesced, and the agg's clustering requirement is satisfied by
+    # it, so the pivot runs wide with no extra exchange.
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pivoted = (
+        ranked.repartition(nparts, "__rid")
+        .groupBy("__rid")
+        .agg(
+            *[
+                F.max(F.when(F.col("__ft") == ft, F.col("__rk"))).alias(ft)
+                for ft in features
+            ]
         )
-        df = df.join(r, F.col(ft).cast("double") == F.col(f"__v_{ft}"))
-    return df.select(*[F.col(f"__rk_{ft}").alias(ft) for ft in features])
+    )
+    return pivoted.select(*features)
 
 
 def compile_correlation(

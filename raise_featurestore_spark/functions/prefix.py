@@ -109,6 +109,71 @@ def grouped_range_prefix_sums(
     return local.join(F.broadcast(offsets), [*group_cols, "__pid"]).select(*out_cols)
 
 
+def grouped_range_avg_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    out_col: str = "__rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-ROW average-of-tied-ranks within each group, attached WITHOUT a
+    value-level join-back: one range shuffle of the rows, local windows,
+    and the triangular offset join — where the byval-then-join shape
+    (groupBy distinct values → prefix sums → equi-join back to rows) paid
+    a second row-scale shuffle for the join. Measured on the 10-feature
+    spearman matrix at sf0.1: the join-back was 10 s of a 20 s pipeline.
+
+    Correct under ties because RangePartitioning sends EQUAL keys to one
+    partition: the per-(group, value) tie count is a within-partition
+    window, and the cumulative count uses a RANGE frame (orderBy value),
+    so every tied row sees the same inclusive count C — rank =
+    C + offset − (t−1)/2, identical to the distinct-value construction.
+    Rows need NOT be unique in (group, order), unlike
+    :func:`grouped_range_prefix_sums`."""
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    range_cols = [F.col(c) for c in group_cols] + [F.col(order_col)]
+    part = df.repartitionByRange(num_partitions, *range_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # same two-branch boundary pin as grouped_range_prefix_sums (see the
+    # CORRECTNESS comment there): local windows and totals must observe
+    # ONE physical range partitioning
+    part = part.localCheckpoint(eager=False)
+    w_cum = (
+        Window.partitionBy(*group_cols, "__pid")
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tie = Window.partitionBy(*group_cols, "__pid", order_col)
+    local = part.select(
+        "*",
+        F.count(F.lit(1)).over(w_cum).alias("__loc_cum"),
+        F.count(F.lit(1)).over(w_tie).alias("__t"),
+    )
+    totals = part.groupBy(*group_cols, "__pid").agg(F.count(F.lit(1)).alias("__tot"))
+    lower = totals.select(
+        *[F.col(c).alias(f"__b_{c}") for c in group_cols],
+        F.col("__pid").alias("__bpid"),
+        F.col("__tot").alias("__btot"),
+    )
+    cond = F.col("__bpid") < F.col("__pid")
+    for c in group_cols:
+        cond = cond & (F.col(f"__b_{c}") == F.col(c))
+    offsets = (
+        totals.join(F.broadcast(lower), cond, "left")
+        .groupBy(*group_cols, "__pid")
+        .agg(F.coalesce(F.sum("__btot"), F.lit(0)).alias("__off"))
+    )
+    rank = (
+        (F.col("__loc_cum") + F.col("__off")).cast("double")
+        - (F.col("__t") - F.lit(1)) / F.lit(2.0)
+    ).alias(out_col)
+    return local.join(F.broadcast(offsets), [*group_cols, "__pid"]).select(
+        *df.columns, rank
+    )
+
+
 def range_prefix_sums(
     df: DataFrame,
     order_col: str,

@@ -43,5 +43,15 @@ def get_spark(app_name: str = "raise-featurestore-spark", cpus: int | None = Non
         # so read as long and convert (see tables.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Whole-stage codegen bails above this many referenced fields and
+        # silently falls back to interpreted per-row eval. The default
+        # (100) is far below a 10-feature correlation matrix's 45 corr()
+        # aggregates (6 accumulators each, 270 buffer fields + inter-stage
+        # rows): measured 3.4–25 s interpreted vs 1.3 s compiled at sf0.1
+        # (400 still tripped the check on the partial-stage row). 1000
+        # covers every wide-aggregate shape in the engine; generated code
+        # is split into sub-methods by Spark, so large stages stay
+        # JIT-able.
+        .config("spark.sql.codegen.maxFields", "1000")
     )
     return builder.getOrCreate()

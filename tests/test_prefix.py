@@ -69,3 +69,44 @@ def test_prefix_sums_consistent_at_partial_sample_scale(spark):
             for r in range_prefix_sums(df, "k", {"cw": "w"}).collect()
         }
         assert got == want
+
+
+def test_grouped_range_avg_ranks_matches_pandas(spark):
+    """r9 row-level rank kernel: per-row average-of-ties ranks with NO
+    value-level join-back must equal pandas rank(method='average') per
+    group, including heavy ties and group boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from raise_featurestore_spark.functions.prefix import grouped_range_avg_ranks
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=20000),
+            "v": np.round(rng.normal(size=20000) * 10, 0),  # heavy ties
+            "rid": np.arange(20000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        grouped_range_avg_ranks(df, ["g"], "v")
+        .select("rid", "__rk")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    want = pdf.assign(rk=pdf.groupby("g")["v"].rank(method="average")).sort_values(
+        "rid"
+    )
+    assert np.allclose(got["__rk"].to_numpy(), want["rk"].to_numpy(), atol=0)
+
+    # few-partition grid shakes the cross-partition offsets
+    got2 = (
+        grouped_range_avg_ranks(df, ["g"], "v", num_partitions=3)
+        .select("rid", "__rk")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got2["__rk"].to_numpy(), want["rk"].to_numpy(), atol=0)
