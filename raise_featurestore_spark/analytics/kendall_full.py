@@ -202,7 +202,12 @@ def kendall_tau_full(
     ydist = range_prefix_sums(ycells, "v", {"__cum": "t"}).withColumn(
         "avg_rank", F.col("__cum") - (F.col("t") - F.lit(1)) / F.lit(2.0)
     )
-    b = min(n_buckets, max(1, ny))
+    # n-adaptive cap (r9): a bucket below ~256 rows is pure task/stage
+    # overhead — at tiny filtered inputs the 64-bucket default cost 1.7×
+    # the 8-bucket plan with zero benefit. Bucket count only partitions
+    # the exchange; the decomposition is exact at ANY bucket count
+    # (1M stress runs 64 and 16 bit-identical).
+    b = min(n_buckets, max(1, n // 256), max(1, ny))
     # avg_rank is strictly increasing over distinct v and lives on the ROW
     # scale [1, n], so bucketing it yields ~equal-FREQUENCY buckets (skew-
     # proof) while preserving strict y order between buckets
@@ -449,8 +454,11 @@ def kendall_tau_matrix(
     n0 = n * (n - 1) // 2
 
     # rank buckets per feature (grouped prefix kernel; monotone in v and
-    # ~equal-frequency, same construction as the single-pair path)
-    b = min(n_buckets, max(1, max(ndist.values())))
+    # ~equal-frequency, same construction as the single-pair path).
+    # n-adaptive cap as in kendall_tau_full: ≥ ~256 rows per bucket, or
+    # the bucket grid is pure task overhead at small filtered inputs —
+    # partitioning only, exact at any bucket count
+    b = min(n_buckets, max(1, n // 256), max(1, max(ndist.values())))
     ranked = grouped_range_prefix_sums(marg, ["fi"], "v", {"__cum": "t"})
     vbuck = ranked.select(
         F.col("fi").alias("__bfi"),
