@@ -81,11 +81,16 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     zy, _ = file_stats_candidates(zpath, "y", 100)
     sx, stot = file_stats_candidates(xsorted, "x", 500)
     sy, _ = file_stats_candidates(xsorted, "y", 100)
-    assert ztot == stot == 16
+    # repartitionByRange SAMPLES its boundaries: a rare unlucky sample
+    # yields a duplicate bound -> an empty partition -> one fewer file
+    # (observed once in a full-suite run where prior tests shifted the
+    # RDD-id-derived sampling seed). The pruning CLAIM is fractional, so
+    # assert it against the actual file totals instead of a hard 16.
+    assert 14 <= ztot <= 16 and 14 <= stot <= 16, (ztot, stot)
     # x-sorted: perfect on x, useless on y (every file spans all y)
-    assert sx <= 2 and sy == 16
+    assert sx <= 2 and sy == stot
     # z-ordered: must prune meaningfully on BOTH dimensions
-    assert zx <= 8 and zy <= 8, (zx, zy)
+    assert zx <= ztot // 2 and zy <= ztot // 2, (zx, zy, ztot)
 
 
 def test_constant_column_degenerates_gracefully(spark, tmp_path):
