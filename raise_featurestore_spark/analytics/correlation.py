@@ -277,16 +277,27 @@ def correlation_to_sql(
         src = f"({base}) __r"
 
     pairs = list(combinations(range(len(feats)), 2))
+    # ONE aggregate pass computes every pair, then per-pair single-column
+    # selects unpivot the 1-row result. The previous per-pair
+    # `SELECT corr(..) FROM src` UNION ALL chain made DuckDB re-evaluate
+    # the (ranked) source subquery once per pair — 161 s for the
+    # 10-feature spearman matrix at sf0.1, an unfair baseline number;
+    # this shape is 45× fewer scans and matches the Spark plan's
+    # one-aggregate structure. Values are unchanged (same corr calls over
+    # the same rows; the unpivot is column selection).
+    aggs = ", ".join(
+        f"CORR(CAST({feats[i]} AS DOUBLE), CAST({feats[j]} AS DOUBLE)) AS {_pair_alias(i, j)}"
+        for i, j in pairs
+    )
     sels = [
         f"SELECT '{ft}' AS feature_a, '{ft}' AS feature_b, 1.0 AS corr FROM (SELECT 1) __d"
         for ft in feats
     ] + [
         f"SELECT '{feats[i]}', '{feats[j]}', "
-        f"{grid_snap_sql(f'CORR(CAST({feats[i]} AS DOUBLE), CAST({feats[j]} AS DOUBLE))', round_to)} + 0.0 "
-        f"FROM {src}"
+        f"{grid_snap_sql(_pair_alias(i, j), round_to)} + 0.0 FROM __cm"
         for i, j in pairs
     ]
-    return " UNION ALL ".join(sels)
+    return f"WITH __cm AS MATERIALIZED (SELECT {aggs} FROM {src}) " + " UNION ALL ".join(sels)
 
 
 def _tau_b(x, y) -> float:
@@ -388,3 +399,118 @@ def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame
         .groupBy("__g")
         .applyInPandas(lambda pdf: tau_matrix(pdf.drop(columns="__g")), schema)
     )
+
+
+def spearman_matrix_approx(
+    df: DataFrame,
+    features: list[str],
+    sig_digits: int = 3,
+    round_to: int | None = DEFAULT_ROUND,
+) -> DataFrame:
+    """Spearman matrix on the significant-digit grid — the 100 TB path.
+
+    Exact spearman must attach a per-row rank, which costs a row-scale
+    range shuffle + a row-scale pivot (see :func:`_rank_cols`). Snapping
+    every feature to the ``sig_digits`` grid first
+    (``functions/stable.sig_round`` — the engine's deterministic emission
+    grid) bounds each feature's distinct-value relation by the GRID, not
+    the data (~900 mantissa cells per decade), so the value→rank maps
+    BROADCAST and rank attachment is a map-side lookup: the whole matrix
+    is one scan for the cell counts + one scan with k broadcast joins +
+    one wide aggregate. Zero row-scale shuffles at any corpus size.
+
+    This is an APPROXIMATION of spearman only in that near-ties within
+    half a grid step become exact ties (rank correlation is invariant to
+    the snap's monotonicity otherwise); the operator itself is fully
+    deterministic, so the DuckDB oracle computes the SAME snapped
+    definition and the gate hash-matches values — no error band needed.
+    Same listwise NULL/NaN drop as the exact path.
+    """
+    from raise_featurestore_spark.functions.prefix import grouped_range_prefix_sums
+    from raise_featurestore_spark.functions.stable import sig_round
+
+    k = len(features)
+    snapped = df.na.drop(subset=features).select(
+        *[sig_round(F.col(ft).cast("double"), sig_digits).alias(ft) for ft in features]
+    )
+    stack_expr = ", ".join(f"'{ft}', {ft}" for ft in features)
+    melted = snapped.selectExpr(f"stack({k}, {stack_expr}) AS (__ft, __val)")
+    byval = melted.groupBy("__ft", "__val").agg(F.count(F.lit(1)).alias("__t"))
+    cum = grouped_range_prefix_sums(byval, ["__ft"], "__val", {"__cum": "__t"})
+    ranks = cum.select(
+        "__ft",
+        "__val",
+        (F.col("__cum") - (F.col("__t") - F.lit(1)) / F.lit(2.0)).alias("__rk"),
+        # grid-bounded (≤ cells rows), pinned ONCE: each of the k
+        # broadcast builds below would otherwise re-run the full
+        # melt+count+prefix chain — measured 10× the build at k=10
+    ).localCheckpoint(eager=True)
+    out = snapped
+    for ft in features:
+        r = ranks.where(F.col("__ft") == ft).select(
+            F.col("__val").alias(f"__v_{ft}"), F.col("__rk").alias(f"__rk_{ft}")
+        )
+        out = out.join(F.broadcast(r), out[ft] == F.col(f"__v_{ft}"))
+    ranked = out.select(
+        *[F.col(f"__rk_{ft}").alias(ft) for ft in features]
+    )
+    pairs = list(combinations(range(k), 2))
+    one_row = ranked.agg(
+        *[
+            F.corr(F.col(features[i]), F.col(features[j])).alias(_pair_alias(i, j))
+            for i, j in pairs
+        ]
+    )
+    stack_items = [f"'{ft}', '{ft}', CAST(1.0 AS DOUBLE)" for ft in features] + [
+        f"'{features[i]}', '{features[j]}', {_pair_alias(i, j)}" for i, j in pairs
+    ]
+    res = one_row.selectExpr(
+        f"stack({len(stack_items)}, {', '.join(stack_items)}) "
+        "AS (feature_a, feature_b, corr)"
+    )
+    if round_to is not None:
+        res = res.withColumn("corr", grid_snap(F.col("corr"), round_to) + F.lit(0.0))
+    return res
+
+
+def spearman_matrix_approx_sql(
+    table: str,
+    features: list[str],
+    sig_digits: int = 3,
+    round_to: int | None = DEFAULT_ROUND,
+) -> str:
+    """DuckDB twin: the identical snapped-spearman definition (snap via
+    the shared sig grid, average ranks over the snapped values, corr)."""
+    from raise_featurestore_spark.functions.stable import sig_round_sql
+
+    notnull = " AND ".join(
+        f"{ft} IS NOT NULL AND NOT ISNAN(CAST({ft} AS DOUBLE))" for ft in features
+    )
+    snap = ", ".join(
+        f"{sig_round_sql(f'CAST({ft} AS DOUBLE)', sig_digits)} AS {ft}"
+        for ft in features
+    )
+    ranked = ", ".join(
+        f"RANK() OVER (ORDER BY {ft}) + (COUNT(*) OVER (PARTITION BY {ft}) - 1) / 2.0 AS {ft}"
+        for ft in features
+    )
+    src = (
+        f"(SELECT {ranked} FROM (SELECT {snap} FROM {table} WHERE {notnull}) __s) __r"
+    )
+    pairs = list(combinations(range(len(features)), 2))
+    # one aggregate pass for every pair (see correlation_to_sql's note:
+    # the per-pair FROM-src chain re-evaluated the rank subquery 45×)
+    aggs = ", ".join(
+        f"corr({features[i]}, {features[j]}) AS {_pair_alias(i, j)}"
+        for i, j in pairs
+    )
+    sels = [
+        f"SELECT '{ft}' AS feature_a, '{ft}' AS feature_b, 1.0 AS corr FROM (SELECT 1) __d"
+        for ft in features
+    ]
+    for i, j in pairs:
+        c = _pair_alias(i, j)
+        if round_to is not None:
+            c = f"{grid_snap_sql(c, round_to)} + 0.0"
+        sels.append(f"SELECT '{features[i]}', '{features[j]}', {c} FROM __cm")
+    return f"WITH __cm AS MATERIALIZED (SELECT {aggs} FROM {src}) " + " UNION ALL ".join(sels)

@@ -1385,6 +1385,23 @@ register(
     kendall_tau_matrix_sql(_WIDE_TBL, _WIDE_FEATS, where=_KW_WHERE),
 )
 
+# The 100 TB spearman: snapped to the sig grid, rank maps GRID-bounded
+# (broadcastable) → rank attachment is a map-side lookup, zero row-scale
+# shuffles at any corpus size. Deterministic (not banded): the oracle
+# computes the same snapped definition, so the gate hash-matches values.
+from raise_featurestore_spark.analytics.correlation import (
+    spearman_matrix_approx,
+    spearman_matrix_approx_sql,
+)
+
+register(
+    "corr_spearman_wide_grid",
+    lambda spark, sf_dir: spearman_matrix_approx(
+        _wide_lineitem(spark, sf_dir), _WIDE_FEATS
+    ),
+    spearman_matrix_approx_sql(_WIDE_TBL, _WIDE_FEATS),
+)
+
 register(
     # per-step conversion window (within="7d", the PRD duration grammar):
     # step k counts only within 7 days of the user's step k-1 time —
