@@ -1341,7 +1341,14 @@ _WIDE_TBL = (
 
 
 def _wide_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from raise_featurestore_spark.tables import fan_out_if_undersplit
+
+    # the sf0.1 lineitem parquet yields only THREE file splits; every
+    # map-heavy pass of the wide matrix (the 10-column snap, the melt,
+    # the broadcast-probe scoring scan) would run 3-way on a 32-slot box
+    # (measured: a 15.7 s wall stage whose CPU is ~0.6 s at full width).
+    # One explicit fan-out un-bottlenecks all of them.
+    li = fan_out_if_undersplit(load_table(spark, sf_dir, "lineitem"))
     return li.withColumn(
         "disc_price", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     ).withColumn("charge", F.col("disc_price") * (F.lit(1.0) + F.col("l_tax")))
@@ -3250,7 +3257,10 @@ register(
 # assignment, r8/r7-verdicted), text_lm_perplexity / text_ppl_buckets
 # (pre-built-model path — these two ARE in the 47), fp16_roundtrip_topk
 # (non-finite guard, r8), profile_label_balance (NULL-class key, r8),
-# rollup_percentile_daily (exact q labels, r8).
+# rollup_percentile_daily (exact q labels, r8), and the late r9
+# registration corr_spearman_wide_grid (grid-snapped spearman, the
+# broadcast-rank-map scale path — sf0.001+sf0.01 MATCH via driver_sim;
+# needs its first official verdict at the r10 head).
 # --------------------------------------------------------------------------
 
 _PROMOTED = [

@@ -247,3 +247,36 @@ def test_poly_cos_cross_engine_identical_and_accurate(spark, seed):
     sb = [struct.pack("<d", x) for x in got_spark]
     db = [struct.pack("<d", x) for x in got_duck]
     assert sb == db
+
+
+def test_exp10_lookup_bit_identical_to_string_parse(spark):
+    """r9: _exp10 switched from a per-row '1e<k>' string parse to a
+    literal-array lookup. Both are correctly-rounded decimal→double
+    conversions, so every reachable scale must be BIT-identical —
+    exhaustively, not sampled."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.functions.stable import _EXP10, _EXP10_LO, _exp10
+
+    ks = list(range(_EXP10_LO, _EXP10_LO + len(_EXP10)))
+    df = spark.createDataFrame([(float(k),) for k in ks], "k double")
+    got = [
+        r.v
+        for r in df.select(_exp10(F.col("k")).alias("v"), "k")
+        .orderBy("k")
+        .collect()
+    ]
+    want = [
+        r.v
+        for r in df.select(
+            F.concat(F.lit("1e"), F.col("k").cast("int").cast("string"))
+            .cast("double")
+            .alias("v"),
+            "k",
+        )
+        .orderBy("k")
+        .collect()
+    ]
+    assert got == want  # includes subnormal scales and 1e309 -> inf? no: table capped at 320
+    # python-side parity too
+    assert _EXP10 == [float(f"1e{k}") for k in ks]
