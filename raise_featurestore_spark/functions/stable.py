@@ -54,30 +54,30 @@ def _floor_half_up(m: Column) -> Column:
     return F.floor(m + F.lit(0.5))
 
 
-#: correctly-rounded 10^k for k in [-320, 320], parsed ONCE in Python
-#: (decimal-string → double parse is required to be correctly rounded,
-#: so these literals are bit-identical to any engine's own '1e<k>' parse)
+#: correctly-rounded 10^k reference table (see test_stable_fuzz's engine
+#: parse parity sweep)
 _EXP10_LO = -320
 _EXP10 = [float(f"1e{k}") for k in range(_EXP10_LO, 321)]
 
 
 def _exp10(k: Column) -> Column:
-    """10^k (k integer-valued) — correctly rounded, NOT ``pow``: Java's
-    Math.pow is allowed 1 ulp of error while libm's is correctly rounded,
-    and that single ulp in the scale factor propagates into the snapped
-    value (caught by tests/test_stable_fuzz.py at 1e9·(1+5e-14): Spark
-    emitted 1000000000.0000001, DuckDB 999999999.9999999 — masked by the
-    driver's %.6g render, but a real bit divergence). Historically a
-    per-row '1e<k>' string build + parse; now an O(1) lookup into a
-    LITERAL array of Python-parsed scales (same correctly-rounded
-    decimal→double conversion, so bit-identical — pinned by an exhaustive
-    equality sweep in test_stable_fuzz) — the string alloc was ~25% of a
-    snap-heavy scan. The clamp is unreachable insurance: every caller
-    bounds |x| ≥ 1e-300, so k ∈ [-310, 312] for any digits ≤ 8."""
-    idx = k.cast("int") - F.lit(_EXP10_LO - 1)
-    return F.element_at(
-        F.lit(_EXP10), F.greatest(F.lit(1), F.least(F.lit(len(_EXP10)), idx))
-    )
+    """10^k (k integer-valued) via DECIMAL-STRING PARSE, not ``pow``:
+    Java's Math.pow is allowed 1 ulp of error while libm's is correctly
+    rounded, and that single ulp in the scale factor propagates into the
+    snapped value (caught by tests/test_stable_fuzz.py at 1e9·(1+5e-14):
+    Spark emitted 1000000000.0000001, DuckDB 999999999.9999999 — masked
+    by the driver's %.6g render, but a real bit divergence). String→double
+    conversion is REQUIRED to be correctly rounded by both engines, so
+    parsing '1e<k>' yields bit-identical scales everywhere.
+
+    An element_at lookup into a 641-entry literal array of Python-parsed
+    scales was tried (r9): bit-identical and ~25% faster on a snap-heavy
+    SCAN, but plans with many stable_round/sig_round sites (the exact
+    percentile family embeds dozens) paid 1.5-2.5× in plan processing
+    for the repeated wide literal — a net loss. The per-row string parse
+    stays; test_stable_fuzz pins engine parse == Python parse over the
+    full exponent table either way."""
+    return F.concat(F.lit("1e"), k.cast("int").cast("string")).cast("double")
 
 
 def sig_round(c: Column, digits: int = SIG_DIGITS) -> Column:

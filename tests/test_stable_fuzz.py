@@ -250,10 +250,10 @@ def test_poly_cos_cross_engine_identical_and_accurate(spark, seed):
 
 
 def test_exp10_lookup_bit_identical_to_string_parse(spark):
-    """r9: _exp10 switched from a per-row '1e<k>' string parse to a
-    literal-array lookup. Both are correctly-rounded decimal→double
-    conversions, so every reachable scale must be BIT-identical —
-    exhaustively, not sampled."""
+    """The engine's '1e<k>' string-parse scales must be bit-identical to
+    Python's own correctly-rounded parse over the full exponent table —
+    exhaustively, not sampled (this is what licenses the oracle twins to
+    parse the same strings on DuckDB)."""
     from pyspark.sql import functions as F
 
     from raise_featurestore_spark.functions.stable import _EXP10, _EXP10_LO, _exp10
