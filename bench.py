@@ -147,13 +147,16 @@ def main() -> None:
     compact = dict(out)
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
     keep = len(ranked)
-    while keep > 1:
+    while True:
         compact["queries"] = dict(sorted(ranked[:keep]))
         compact["queries_omitted"] = len(ranked) - keep
         compact["full_record"] = "BENCH_local.json"
-        if len(json.dumps(compact)) <= 1900:
+        if len(json.dumps(compact)) <= 1900 or keep == 0:
             break
-        keep -= 5
+        # clamped step so keep=1 (and finally 0 = drop the map entirely)
+        # IS tried — a plain keep-=5 loop could exit at keep 4..6 with a
+        # record still over the driver's ~2000-char tail window
+        keep = keep - 5 if keep > 6 else (1 if keep > 1 else 0)
     print(json.dumps(compact))
     spark.stop()
     sys.exit(1 if failures else 0)

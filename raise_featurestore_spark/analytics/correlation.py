@@ -463,13 +463,31 @@ def spearman_matrix_approx(
         tables[ft] = (np.ascontiguousarray(a[:, 0]), np.ascontiguousarray(a[:, 1]))
 
     def _lookup(ft: str):
-        keys, vals = tables[ft]
+        # empty-input degrade: when the na-dropped relation had zero rows
+        # at map-build time there is no entry for ft — emit NULL ranks so
+        # the plan still builds and the (0-row) aggregate yields the same
+        # diagonal-1.0 + NULL-pair frame the exact path produces on empty
+        # input, instead of a plan-build KeyError.
+        keys, vals = tables.get(
+            ft, (np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64))
+        )
 
         @pandas_udf("double")
         def look(s: pd.Series) -> pd.Series:
+            x = s.to_numpy(dtype=np.float64)
+            if keys.size == 0:
+                return pd.Series(np.full(len(x), np.nan))
             # every input value exists in the map by construction (the
-            # map was built from this same snapped relation)
-            return pd.Series(vals[np.searchsorted(keys, s.to_numpy())])
+            # map was built from this same snapped relation) — verify,
+            # so a stale/foreign map fails loudly instead of silently
+            # attaching a neighbour's rank.
+            idx = np.minimum(np.searchsorted(keys, x), keys.size - 1)
+            if not np.array_equal(keys[idx], x):
+                raise RuntimeError(
+                    f"spearman grid rank map miss for feature {ft!r}: input "
+                    "contains snapped values absent from the collected map"
+                )
+            return pd.Series(vals[idx])
 
         return look
 

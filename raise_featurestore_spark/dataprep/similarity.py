@@ -185,6 +185,15 @@ def kmeans_centroids(
     return [c.tolist() for c in C]
 
 
+def centroid_signature(centroids: list[list[float]]) -> str:
+    """Content hash binding an ``ivf_cluster`` assignment to the exact
+    centroid matrix that produced it (shape + float64 bytes)."""
+    import hashlib
+
+    C = np.array(centroids, dtype=np.float64)
+    return hashlib.md5(str(C.shape).encode() + C.tobytes()).hexdigest()[:16]
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -194,7 +203,16 @@ def ivf_assign(
     """Append ``ivf_cluster``: nearest-centroid id via ONE vectorized
     Arrow-batched matmul per batch (the centroid matrix rides the closure —
     a broadcast at cluster scale). At 100 TB, write the corpus partitioned
-    (or bucketed) by this column so probes prune files, not rows."""
+    (or bucketed) by this column so probes prune files, not rows.
+
+    The column carries ``ivf_centroids_sig`` field metadata (the
+    :func:`centroid_signature` of the quantizer that produced it), which
+    survives an unpartitioned parquet round-trip; probe functions verify
+    it so an assignment from DIFFERENT centroids can't silently prune the
+    wrong inverted lists. Hive-partitioned writes reconstruct the column
+    from directory names (metadata stripped) — those callers pass
+    ``assigned=True`` to assert the binding explicitly (the r9 ADVICE
+    finding: column presence alone was the trust signal)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids, dtype=np.float64)
@@ -205,7 +223,49 @@ def ivf_assign(
         d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + cn[None, :]
         return pd.Series(d2.argmin(1))
 
-    return df.withColumn("ivf_cluster", pandas_udf(assign, "int")(F.col(emb_col)))
+    cluster = pandas_udf(assign, "int")(F.col(emb_col)).alias(
+        "ivf_cluster", metadata={"ivf_centroids_sig": centroid_signature(centroids)}
+    )
+    return df.select("*", cluster)
+
+
+def _bound_assignment(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    emb_col: str,
+    assigned: bool | None,
+) -> DataFrame:
+    """Resolve the corpus-with-``ivf_cluster`` frame a probe may prune on.
+
+    ``assigned=None`` (default): trust a pre-existing column only if its
+    ``ivf_centroids_sig`` metadata matches ``centroids`` — raise on a
+    mismatch (wrong index), REASSIGN if the column carries no signature
+    (an unbound external column is not evidence). ``assigned=True``: the
+    caller asserts the column was produced with these centroids (the
+    hive-partitioned materialized-index path, where partition columns
+    lose metadata); the column must exist. ``assigned=False``: always
+    reassign."""
+    has = "ivf_cluster" in df.columns
+    if assigned is True:
+        if not has:
+            raise ValueError("assigned=True but corpus has no ivf_cluster column")
+        return df
+    if assigned is False or not has:
+        return ivf_assign(
+            df.drop("ivf_cluster") if has else df, centroids, id_col, emb_col
+        )
+    sig = df.schema["ivf_cluster"].metadata.get("ivf_centroids_sig")
+    want = centroid_signature(centroids)
+    if sig == want:
+        return df
+    if sig is not None:
+        raise ValueError(
+            f"corpus ivf_cluster assignment was built with different centroids "
+            f"(signature {sig} != {want}); pass the matching centroids or "
+            f"assigned=False to reassign"
+        )
+    return ivf_assign(df.drop("ivf_cluster"), centroids, id_col, emb_col)
 
 
 def ivf_topk(
@@ -217,17 +277,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_to: int = 4,
+    assigned: bool | None = None,
 ) -> DataFrame:
     """IVF probe: rank centroids by distance to the query driver-side,
     prune the corpus to the ``nprobe`` nearest inverted lists, exact cosine
-    within. ``nprobe=len(centroids)`` degrades gracefully to brute force."""
+    within. ``nprobe=len(centroids)`` degrades gracefully to brute force.
+    ``assigned`` binds a precomputed ``ivf_cluster`` column to these
+    centroids — see :func:`_bound_assignment`."""
     q = np.asarray(query_vec, dtype=np.float64)
     C = np.array(centroids, dtype=np.float64)
     probe = ((C - q[None, :]) ** 2).sum(1).argsort()[:nprobe].tolist()
-    assigned = (
-        df if "ivf_cluster" in df.columns else ivf_assign(df, centroids, id_col, emb_col)
-    )
-    pruned = assigned.where(F.col("ivf_cluster").isin([int(p) for p in probe]))
+    bound = _bound_assignment(df, centroids, id_col, emb_col, assigned)
+    pruned = bound.where(F.col("ivf_cluster").isin([int(p) for p in probe]))
     return brute_force_topk(pruned, query_vec, k, id_col, emb_col, round_to)
 
 
@@ -265,6 +326,7 @@ def ivf_batch_topk(
     query_id_col: str = "query_id",
     query_emb_col: str = "embedding",
     round_to: int = 4,
+    assigned: bool | None = None,
 ) -> DataFrame:
     """Batch-mode IVF ANN: a query TABLE joined through the same
     inverted-list pruning as :func:`ivf_topk` — the shape a training
@@ -279,7 +341,10 @@ def ivf_batch_topk(
        from ``io/cache.cached_table`` or a table written partitioned by
        cluster — skips the matmul entirely (r8 VERDICT item 4: the
        assignment was recomputed per query against the operator's own
-       written-partitioned contract).
+       written-partitioned contract). The ``assigned`` parameter binds
+       that precomputed column to these centroids (signature-validated by
+       default; ``assigned=True`` for hive-partitioned tables whose
+       partition column lost its metadata — see :func:`_bound_assignment`).
     2. Queries get their ``nprobe`` nearest lists, exploded to
        (query, probe_cluster) and BROADCAST — a query batch is bounded
        (thousands), so the corpus never shuffles: candidates come out of a
@@ -293,11 +358,7 @@ def ivf_batch_topk(
 
     Returns (query_id, rank 1..k, vec_id, cosine) rows.
     """
-    assigned = (
-        corpus
-        if "ivf_cluster" in corpus.columns
-        else ivf_assign(corpus, centroids, id_col, emb_col)
-    )
+    bound = _bound_assignment(corpus, centroids, id_col, emb_col, assigned)
     # Probe selection runs DRIVER-side on the collected batch: the batch
     # is broadcast to every executor two lines down regardless (that IS
     # the scale contract — queries bounded, corpus never shuffles), so
@@ -325,7 +386,7 @@ def ivf_batch_topk(
         else [],
         f"__qid {qid_t}, __qv array<double>, ivf_cluster int",
     )
-    cand = assigned.join(F.broadcast(probed), "ivf_cluster").where(
+    cand = bound.join(F.broadcast(probed), "ivf_cluster").where(
         F.size(F.col(emb_col)) == F.size(F.col("__qv"))
     )
     cos = grid_snap(

@@ -73,14 +73,16 @@ def cached_table(spark, tag: str, key_parts, build_fn, partition_by=None):
     artifact hive-partitioned so downstream equi-filters on that column
     prune FILES (the IVF probe-join contract)."""
     path = os.path.join(CACHE_ROOT, tag, _key(tag, key_parts))
-    if os.path.isdir(path) and (
-        partition_by
-        or any(n.endswith(".parquet") for n in os.listdir(path))
-    ):
+    # the hit predicate requires an actual DATA file, not just the
+    # directory: a zero-row partitioned build writes only _SUCCESS (no
+    # partition dirs), and reading that back is an AnalysisException on a
+    # schema-less directory (r9 ADVICE) — treat it as a miss instead
+    if os.path.isdir(path) and _has_parquet(path):
         return spark.read.parquet(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     stage = f"{path}.stage-{os.getpid()}"
-    w = build_fn().write.mode("overwrite")
+    df = build_fn()
+    w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(stage)
@@ -88,4 +90,17 @@ def cached_table(spark, tag: str, key_parts, build_fn, partition_by=None):
         os.rename(stage, path)
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)  # concurrent builder won
-    return spark.read.parquet(path)
+    if _has_parquet(path):
+        return spark.read.parquet(path)
+    # legitimately-empty artifact: parquet has no file to carry the
+    # schema, so hand back the built (0-row) frame itself — schema intact,
+    # and the next call rebuilds (cheap by definition: the build scanned
+    # to zero rows)
+    return df
+
+
+def _has_parquet(path: str) -> bool:
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

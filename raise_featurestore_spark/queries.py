@@ -904,7 +904,10 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_similarity_ivf.py pins the same floor)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, assigned = _ivf_index_cached(spark, sf_dir)
-    ivf = SIM.ivf_topk(assigned, _QUERY_VEC, cents, k=10, nprobe=3).select(
+    # assigned=True: the cache key (io/cache) binds this hive-partitioned
+    # assignment to the same-keyed centroids; partition columns lose the
+    # signature metadata, so the binding is asserted explicitly
+    ivf = SIM.ivf_topk(assigned, _QUERY_VEC, cents, k=10, nprobe=3, assigned=True).select(
         F.col("vec_id").alias("ivf_id")
     )
     exact = SIM.brute_force_topk(emb, _QUERY_VEC, k=10).select("vec_id")
@@ -986,7 +989,7 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # 8 rows, consumed by BOTH the ivf and exact branches
     )
     cents, assigned = _ivf_index_cached(spark, sf_dir)
-    ivf = SIM.ivf_batch_topk(assigned, qs, cents, k=10, nprobe=3).select(
+    ivf = SIM.ivf_batch_topk(assigned, qs, cents, k=10, nprobe=3, assigned=True).select(
         "query_id", F.col("vec_id").alias("ivf_id")
     )
     exact = SIM.brute_force_batch_topk(emb, qs, k=10).select("query_id", "vec_id")
@@ -3240,82 +3243,84 @@ register(
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # verdict the FIRST 50 slots each round. Rotate so the least-recently-
-# verdicted entries come first. Round-9 rotation (VERDICT r8 item 1):
-# (a) ALL 47 entries whose latest verdict is r6 — exactly at the two-round
-# staleness boundary; the dedup/stattest/dist/corr families among them sit
-# on the stable.py emission layer the r8 int64-grid rewrite touched, so
-# the driver gate must re-verify them on current code; (b) the 3 new r9
-# registrations needing a first verdict: the PRD-shaped wide correlation
-# matrix pair (corr_matrix_wide, corr_kendall_wide) and the
-# train-once/score-many LM scorer (text_lm_score_pretrained). 47 + 3 fill
-# the window exactly. After this window no query's latest verdict is older
-# than r7.
+# verdicted entries come first. Round-10 rotation (VERDICT r9 item 2):
+# (a) corr_spearman_wide_grid — the one registered query that has NEVER
+# had a driver verdict (late r9 registration; empty-input crash fixed
+# this round, analytics/correlation.py _lookup); (b) the 9 queries whose
+# r9 rewrite postdates their latest verdict — text_lm_perplexity /
+# text_ppl_buckets (train-once pretrained-model path; r8 verdicts; the r9
+# window comment wrongly claimed they were in the 47 — they were not),
+# ann_ivf_topk (r7) / ann_ivf_batch_topk (r8, materialized+cached IVF
+# assignment), fp16_roundtrip_topk (non-finite guard, r8),
+# profile_label_balance (NULL-class key, r8), rollup_percentile_daily
+# (exact q labels, r8), graph_pagerank_coparts (stored edge table, r8),
+# corr_kendall_matrix (r8); (c) 40 of the 43 remaining r7-latest entries,
+# now at the two-round staleness boundary. 1 + 9 + 40 fill the window
+# exactly.
 #
-# Changed-this-round but NOT in the window (the 47 stale take priority;
-# re-verified MATCH by scripts/driver_sim.py on current code, rotate to
-# the r10 head): ann_ivf_batch_topk / ann_ivf_topk (materialized IVF
-# assignment, r8/r7-verdicted), text_lm_perplexity / text_ppl_buckets
-# (pre-built-model path — these two ARE in the 47), fp16_roundtrip_topk
-# (non-finite guard, r8), profile_label_balance (NULL-class key, r8),
-# rollup_percentile_daily (exact q labels, r8), and the late r9
-# registration corr_spearman_wide_grid (grid-snapped spearman, the
-# broadcast-rank-map scale path — sf0.001+sf0.01 MATCH via driver_sim;
-# needs its first official verdict at the r10 head).
+# Deferred to the r11 head (the 3 r7-latest that do not fit — chosen
+# because each carries an INDEPENDENT check beyond the driver gate and
+# its implementation file is unchanged since its verdict):
+# agg_global_stats_approx (in-plan error band vs the r8-gated exact
+# twin), expr_case_when (pinned by the DuckDB differential fuzz suite),
+# dedup_exact_keepers (plain hash-groupBy, pytest-pinned). All three are
+# sim-MATCH on current code via scripts/driver_sim.py.
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
-    # (a) the 47 r6-stale entries (two-round staleness boundary)
-    "agg_null_profile",
-    "asof_purchase_last_click",
-    "bpe_pair_counts",
-    "corr_kendall_full",
-    "corr_kendall_sampled",
-    "corr_pearson_matrix",
-    "corr_spearman",
-    "decontaminate_benchmark",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dist_cdf_segmented",
-    "dist_histogram_price",
-    "dist_percentiles_by_segment",
-    "embedding_pca_frobenius_check",
-    "embedding_pca_spectrum",
-    "expr_cross_group_join",
-    "expr_json_extract",
-    "expr_window_lag",
-    "filter_quality_rules",
-    "funnel_within_7d",
-    "inference_linear_batch",
-    "job_incremental_checkpoint",
-    "job_quality_report",
-    "job_upsert_merge",
-    "pack_context_windows",
-    "redact_pii",
-    "sample_stratified_lang",
-    "source_columnar_pushdown",
-    "source_filesystem_jsonl",
-    "source_objectstorage_csv",
-    "split_train_val_test",
-    "stattest_anova",
-    "stattest_chi2",
-    "stattest_ttest",
-    "stattest_welch",
-    "stattest_welch_pvalue",
-    "text_repetition",
-    "text_vocab_topk",
-    "transform_sql_job",
-    "vector_quantize_int8",
-    "window_session_user",
-    "window_sliding_6h",
-    "window_tumbling_daily",
-    # (b) registered this round: first verdict
-    "corr_matrix_wide",
-    "corr_kendall_wide",
-    "text_lm_score_pretrained",
+    # (a) first driver verdict ever (late r9 registration)
+    "corr_spearman_wide_grid",
+    # (b) the 9 queries rewritten in r9 after their latest verdict
+    "text_lm_perplexity",
+    "text_ppl_buckets",
+    "ann_ivf_topk",
+    "ann_ivf_batch_topk",
+    "fp16_roundtrip_topk",
+    "profile_label_balance",
+    "rollup_percentile_daily",
+    "graph_pagerank_coparts",
+    "corr_kendall_matrix",
+    # (c) 40 of the 43 remaining r7-latest entries (staleness boundary)
+    "agg_pricing_summary",
+    "agg_rolling_by_type",
+    "agg_rolling_daily",
+    "agg_window_7d",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucket_topk",
+    "boilerplate_ngram_mine",
+    "chunk_sliding_window",
+    "corpus_health_by_source",
+    "corr_cross_group",
+    "dist_density",
+    "dist_moments",
+    "embedding_drift_sliced_w",
+    "embedding_gram_check",
+    "embedding_pca_trace_check",
+    "expr_zscore_hoisted",
+    "feature_standardize_robust",
+    "feature_target_encode",
+    "join_tpch_q3_topk",
+    "join_tpch_q5_region",
+    "lookup_topk_orders",
+    "mix_temperature_sample",
+    "multimodal_blob_refs",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    "multimodal_integrity",
+    "point_lookup_customer",
+    "sample_exact_k_per_source",
+    "select_token_budget",
+    "semantic_dedup_clusters",
+    "shard_manifest",
+    "source_jdbc_query",
+    "split_group_leakage_safe",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_counts",
+    "transform_pandas_batch",
+    "vector_norm_dot",
+    "vector_similarity_pairs",
 ]
 
 

@@ -58,6 +58,30 @@ def test_cached_table_partition_by_prunes_and_roundtrips(spark, cache_root):
     assert dirs == {f"part={i}" for i in range(4)}
 
 
+def test_cached_table_zero_row_partitioned_build(spark, cache_root):
+    """r9 ADVICE: a partitioned build that legitimately yields zero rows
+    installs a directory holding only _SUCCESS; subsequent calls must not
+    throw on the schema-less directory — they return the empty frame with
+    its schema and rebuild rather than treating the husk as a hit."""
+    from raise_featurestore_spark.io.cache import cached_table
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return (
+            spark.range(10)
+            .selectExpr("id", "CAST(id % 4 AS INT) AS part")
+            .where("id < 0")
+        )
+
+    a = cached_table(spark, "z", ["k"], build, partition_by="part")
+    assert a.count() == 0 and set(a.columns) == {"id", "part"}
+    b = cached_table(spark, "z", ["k"], build, partition_by="part")  # no throw
+    assert b.count() == 0 and set(b.columns) == {"id", "part"}
+    assert len(calls) == 2  # empty artifact is a miss, rebuilt (cheap: 0 rows)
+
+
 def test_source_signature_tracks_mtime(tmp_path):
     from raise_featurestore_spark.io.cache import source_signature
 

@@ -109,3 +109,43 @@ def test_batch_topk_self_recall(emb, cents):
     assert len(top1) == 5
     for r in top1:
         assert r.vec_id == r.query_id and r.cosine == 1.0
+
+
+def test_assignment_binding_signature(emb, cents):
+    """r9 ADVICE: a precomputed ivf_cluster column must be BOUND to the
+    centroids used at probe time, not trusted on column presence."""
+    from raise_featurestore_spark.dataprep.similarity import (
+        centroid_signature,
+        ivf_batch_topk,
+    )
+
+    assigned = ivf_assign(emb, cents)
+    # signed column + matching centroids: reused as-is (plan contains no
+    # second assignment UDF — compare via schema metadata identity)
+    assert (
+        assigned.schema["ivf_cluster"].metadata["ivf_centroids_sig"]
+        == centroid_signature(cents)
+    )
+    same = ivf_topk(assigned, QUERY, cents, k=5, nprobe=K_CLUSTERS)
+    assert same.count() == 5
+
+    # signed column + DIFFERENT centroids: loud failure, not wrong pruning
+    other = [[c + 1.0 for c in row] for row in cents]
+    with pytest.raises(ValueError, match="different centroids"):
+        ivf_topk(assigned, QUERY, other, k=5, nprobe=2)
+    qs = emb.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError, match="different centroids"):
+        ivf_batch_topk(assigned, qs, other, k=3, nprobe=2)
+
+    # UNSIGNED external column (e.g. arbitrary int): reassigned, so the
+    # probe result matches a fresh assignment instead of trusting garbage
+    from pyspark.sql import functions as F
+
+    garbage = emb.withColumn("ivf_cluster", F.lit(0))
+    fresh = {r.vec_id for r in ivf_topk(emb, QUERY, cents, k=5, nprobe=2).collect()}
+    refit = {r.vec_id for r in ivf_topk(garbage, QUERY, cents, k=5, nprobe=2).collect()}
+    assert refit == fresh
+
+    # assigned=True asserts the binding: requires the column to exist
+    with pytest.raises(ValueError, match="assigned=True"):
+        ivf_topk(emb, QUERY, cents, k=5, nprobe=2, assigned=True)

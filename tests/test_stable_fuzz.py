@@ -258,6 +258,8 @@ def test_exp10_lookup_bit_identical_to_string_parse(spark):
 
     from raise_featurestore_spark.functions.stable import _EXP10, _EXP10_LO, _exp10
 
+    import struct
+
     ks = list(range(_EXP10_LO, _EXP10_LO + len(_EXP10)))
     df = spark.createDataFrame([(float(k),) for k in ks], "k double")
     got = [
@@ -266,17 +268,10 @@ def test_exp10_lookup_bit_identical_to_string_parse(spark):
         .orderBy("k")
         .collect()
     ]
-    want = [
-        r.v
-        for r in df.select(
-            F.concat(F.lit("1e"), F.col("k").cast("int").cast("string"))
-            .cast("double")
-            .alias("v"),
-            "k",
-        )
-        .orderBy("k")
-        .collect()
+    # THE claim: the JVM engine parse equals Python's correctly-rounded
+    # parse, bit-for-bit (struct-packed so −0.0/NaN/subnormal encodings
+    # count, not just == equality). The table spans subnormal scales
+    # (1e-320..1e-309) where a double-rounding bug would show first.
+    assert [struct.pack("<d", v) for v in got] == [
+        struct.pack("<d", x) for x in _EXP10
     ]
-    assert got == want  # includes subnormal scales and 1e309 -> inf? no: table capped at 320
-    # python-side parity too
-    assert _EXP10 == [float(f"1e{k}") for k in ks]
