@@ -197,11 +197,16 @@ class Correlation(_Spec):
     method: str = "pearson"
     sample_size: int | None = None
     filter: str | None = None
-    # engine addition (kendall only): compute the EXACT full-population
-    # tau-b matrix via the distributed 3-term inversion decomposition
-    # (analytics/kendall_full.kendall_tau_matrix — one data-scale range
-    # exchange for every pair) instead of the default bounded-sample
-    # estimate. Pearson/spearman are always exact already.
+    # engine addition (kendall + spearman): exact=True opts into the
+    # exact full-population path — kendall: the distributed 3-term
+    # inversion decomposition (analytics/kendall_full.kendall_tau_matrix,
+    # one data-scale range exchange for every pair) instead of the
+    # bounded-sample estimate; spearman: the row-level average-rank
+    # kernel (one range shuffle + one pivot shuffle) instead of the
+    # default grid-snapped matrix whose rank maps are grid-bounded and
+    # broadcast (correlation.spearman_matrix_approx — near-ties within
+    # half a sig-grid step become exact ties, everything else identical).
+    # Pearson is always exact.
     exact: bool = False
 
     def __post_init__(self) -> None:
@@ -209,12 +214,12 @@ class Correlation(_Spec):
             raise AnalysisSpecError(f"unknown correlation method {self.method!r}")
         if len(self.features) < 2:
             raise AnalysisSpecError("Correlation requires >= 2 features")
-        if self.exact and self.method != "kendall":
+        if self.exact and self.method == "pearson":
             raise AnalysisSpecError(
-                "exact=True applies to method='kendall' only "
-                "(pearson/spearman are exact by construction)"
+                "exact=True applies to kendall (full tau-b) and spearman "
+                "(row-rank kernel); pearson is exact by construction"
             )
-        if self.exact and self.sample_size:
+        if self.exact and self.method == "kendall" and self.sample_size:
             raise AnalysisSpecError(
                 "exact=True computes the full population; drop sample_size"
             )

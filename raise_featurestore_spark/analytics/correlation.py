@@ -149,6 +149,16 @@ def compile_correlation(
         return _kendall(df, feats, round_to)
 
     if spec.method == "spearman":
+        if not spec.exact:
+            # default = the grid-snapped matrix (the 100 TB path): rank
+            # maps are GRID-bounded and broadcast, zero row-scale shuffles
+            # — same posture as the approx twins being the aggregation
+            # default (HLL/GK) with exactness an opt-in. exact=True keeps
+            # the row-level average-rank kernel (near-ties half a grid
+            # step apart stay distinct ranks). Routing mirrors kendall's
+            # exact flag above. Brings the PRD 10-feature matrix target
+            # (< 10 s, raise_/PRD.md:2754) inside warm at sf0.1.
+            return spearman_matrix_approx(df, feats, round_to=round_to)
         df = _rank_cols(df, feats)
 
     pairs = list(combinations(range(len(feats)), 2))
@@ -269,6 +279,11 @@ def correlation_to_sql(
         )
         base += f" ORDER BY {key}, {', '.join(feats)} LIMIT {spec.sample_size}"
 
+    if spec.method == "spearman" and not spec.exact:
+        # grid-snapped default — same routing as compile_correlation
+        return spearman_matrix_approx_sql(
+            f"({base}) __b", feats, round_to=round_to
+        )
     if spec.method == "spearman":
         ranked = ", ".join(
             f"RANK() OVER (ORDER BY {ft}) + (COUNT(*) OVER (PARTITION BY {ft}) - 1) / 2.0 AS {ft}"

@@ -375,6 +375,7 @@ def kendall_tau_matrix(
     n_buckets: int = DEFAULT_BUCKETS,
     num_partitions: int | None = None,
     round_to: int | None = 4,
+    small_n: int = 50_000,
 ) -> DataFrame:
     """EXACT tau-b for every feature pair — the reference's N×N
     Correlation matrix semantics (raise_/analytics/analysis.py:152-195)
@@ -452,6 +453,57 @@ def kendall_tau_matrix(
             [(features[i], features[j], n, 0, None) for i, j in pairs], schema
         )
     n0 = n * (n - 1) // 2
+
+    if n <= small_n:
+        # tiny-n fast path (VERDICT r9 item 5): below the sampled-kendall
+        # guard the distributed bucket grid + range exchange + two term
+        # jobs are pure stage overhead (~45-task floors at ~2k rows), so
+        # compute every pair's discordant count in ONE single-group
+        # applyInPandas pass — n·k doubles ≤ a few MB through one
+        # exchange. Bit-identical to the distributed path by
+        # construction: same marginal-pass tie terms, same y-inversion
+        # definition over the same (x, y) sort, and the shared
+        # _assemble_tau_rows formula. The 1M-row stress harness
+        # (scripts/stress_kendall.py) exceeds this threshold and keeps
+        # exercising the distributed decomposition.
+        pair_list = list(pairs)
+
+        def knight_all_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for pi, (i, j) in enumerate(pair_list):
+                x = pdf[f"__f{i}"].to_numpy()
+                y = pdf[f"__f{j}"].to_numpy()
+                order = np.lexsort((y, x))
+                xs, ys = x[order], y[order]
+                d = int(_local_inv(ys))
+                if len(xs) > 1:
+                    change = np.empty(len(xs), dtype=bool)
+                    change[0] = True
+                    change[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+                    rc = np.diff(np.append(np.flatnonzero(change), len(xs)))
+                    n3 = int((rc * (rc - 1) // 2).sum())
+                else:
+                    n3 = 0
+                out.append((pi, d, n3))
+            return pd.DataFrame(out, columns=["pair", "d", "n3"])
+
+        small = (
+            clean.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(
+                lambda pdf: knight_all_pairs(pdf.drop(columns="__g")),
+                "pair int, d long, n3 long",
+            )
+            .collect()
+        )
+        d_small = {int(r.pair): int(r.d) for r in small}
+        n3_small = {int(r.pair): int(r.n3) for r in small}
+        return spark.createDataFrame(
+            _assemble_tau_rows(
+                pairs, features, tie, n, n0, d_small, n3_small, round_to
+            ),
+            schema,
+        )
 
     # rank buckets per feature (grouped prefix kernel; monotone in v and
     # ~equal-frequency, same construction as the single-pair path).
@@ -598,10 +650,8 @@ def kendall_tau_matrix(
         else:
             d_same[r.pair] = d_same.get(r.pair, 0) + r.v
 
-    out_rows = []
-    import math
-
-    for pi, (i, j) in enumerate(pairs):
+    d_by: dict[int, int] = {}
+    for pi in range(len(pairs)):
         # sorted GLOBAL pids preserve the pair's x-order (range partition
         # ids are boundary-ordered); dense row index = position in that
         # order — the cross-partition d_diff only needs relative order.
@@ -618,7 +668,25 @@ def kendall_tau_matrix(
             suffix = np.cumsum(earlier[::-1])[::-1]
             higher = np.concatenate([suffix[1:], [0]])
             d_diff += sum(int(a) * int(h) for a, h in zip(Mp[q], higher))
-        d = d_local[pi] + d_diff + d_same.get(pi, 0)
+        d_by[pi] = d_local[pi] + d_diff + d_same.get(pi, 0)
+    return spark.createDataFrame(
+        _assemble_tau_rows(pairs, features, tie, n, n0, d_by, n3_by, round_to),
+        schema,
+    )
+
+
+def _assemble_tau_rows(
+    pairs, features, tie, n, n0, d_by, n3_by, round_to
+) -> list[tuple]:
+    """Final tau-b rows from per-pair discordant/joint-tie counts. Shared
+    by the distributed and small-n paths so both compute the SAME integer
+    terms and the SAME deterministic IEEE division + floor rounding —
+    bit-identity between the paths is by construction, not by test luck."""
+    import math
+
+    out_rows = []
+    for pi, (i, j) in enumerate(pairs):
+        d = d_by[pi]
         n1, n2, n3 = tie[i], tie[j], n3_by[pi]
         cmd = n0 - n1 - n2 + n3 - 2 * d
         denom = float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
@@ -628,7 +696,7 @@ def kendall_tau_matrix(
             tau = math.floor(tau * s10 + 0.5) / s10 + 0.0
         cmd_out = int(cmd) if abs(cmd) < 2**63 else None
         out_rows.append((features[i], features[j], n, cmd_out, tau))
-    return spark.createDataFrame(out_rows, schema)
+    return out_rows
 
 
 def kendall_tau_matrix_sql(

@@ -285,7 +285,10 @@ register(
     correlation_to_sql(_CORR_P, "lineitem"),
 )
 
-_CORR_S = Correlation(features=["value", "user_id"], method="spearman")
+# exact=True: this query IS the exact row-rank spearman anchor (the
+# engine default is the grid-snapped matrix; see _WIDE_S below and
+# corr_spearman_wide_grid for the default's own gates)
+_CORR_S = Correlation(features=["value", "user_id"], method="spearman", exact=True)
 register(
     "corr_spearman",
     lambda spark, sf_dir: compile_correlation(load_table(spark, sf_dir, "events"), _CORR_S),
@@ -1358,14 +1361,20 @@ def _wide_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WIDE_P = Correlation(features=_WIDE_FEATS)
+# default exact=False → the grid-snapped spearman leg (VERDICT r9 item 4:
+# the exact melt→rank→pivot leg cost ~80 s CPU over 4 stage barriers and
+# put the matrix outside the PRD < 10 s target; the grid path is the
+# registered 100 TB posture and corr_spearman / corr_spearman_wide_grid
+# keep the exact and grid kernels independently gated). exact=True on the
+# spec restores the row-rank leg.
 _WIDE_S = Correlation(features=_WIDE_FEATS, method="spearman")
 
 
 def _corr_matrix_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-feature pearson AND spearman matrices at DATA scale, one long
     frame with a method column. Pearson = all 45 pairwise corr() in ONE
-    aggregate pass; spearman = the distributed prefix-sum ranks then the
-    same one-pass aggregate — no per-pair rescans."""
+    aggregate pass; spearman = the grid-snapped matrix (broadcast rank
+    maps, zero row-scale shuffles) — no per-pair rescans."""
     li = _wide_lineitem(spark, sf_dir)
     p = compile_correlation(li, _WIDE_P).withColumn("method", F.lit("pearson"))
     s = compile_correlation(li, _WIDE_S).withColumn("method", F.lit("spearman"))
@@ -3263,7 +3272,10 @@ register(
 # its implementation file is unchanged since its verdict):
 # agg_global_stats_approx (in-plan error band vs the r8-gated exact
 # twin), expr_case_when (pinned by the DuckDB differential fuzz suite),
-# dedup_exact_keepers (plain hash-groupBy, pytest-pinned). All three are
+# dedup_exact_keepers (plain hash-groupBy, pytest-pinned), and
+# vector_norm_dot (its dot/cosine kernels run in-plan inside the gated
+# ann_* queries) — the 4th deferral makes room for corr_matrix_wide,
+# rewritten this round onto the grid-snapped spearman leg. All four are
 # sim-MATCH on current code via scripts/driver_sim.py.
 # --------------------------------------------------------------------------
 
@@ -3280,7 +3292,11 @@ _PROMOTED = [
     "rollup_percentile_daily",
     "graph_pagerank_coparts",
     "corr_kendall_matrix",
-    # (c) 40 of the 43 remaining r7-latest entries (staleness boundary)
+    # (b2) rewritten THIS round: the wide matrix's spearman leg switched
+    # to the grid-snapped default (VERDICT r9 item 4) — needs a fresh
+    # verdict on the new shape
+    "corr_matrix_wide",
+    # (c) 39 of the 43 remaining r7-latest entries (staleness boundary)
     "agg_pricing_summary",
     "agg_rolling_by_type",
     "agg_rolling_daily",
@@ -3319,7 +3335,6 @@ _PROMOTED = [
     "text_quality_score",
     "text_token_counts",
     "transform_pandas_batch",
-    "vector_norm_dot",
     "vector_similarity_pairs",
 ]
 

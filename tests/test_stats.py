@@ -383,9 +383,14 @@ def test_kendall_matrix_matches_knight_and_amortizes_shuffles(spark, monkeypatch
     arrs = {"a": a, "b": b, "c": c, "d": d}
     for feats in (["a", "b", "c"], ["a", "b", "c", "d"]):
         calls.clear()
+        # small_n=0 forces the distributed decomposition (n=4000 would
+        # otherwise take the single-pass fast path) — this test pins the
+        # scale path's plan shape and values
         got = {
             (r.feature_a, r.feature_b): r.corr
-            for r in kendall_tau_matrix(sdf, feats, round_to=None).collect()
+            for r in kendall_tau_matrix(
+                sdf, feats, round_to=None, small_n=0
+            ).collect()
         }
         assert len(got) == len(feats) * (len(feats) - 1) // 2
         for (fa, fb), tau in got.items():
@@ -394,6 +399,17 @@ def test_kendall_matrix_matches_knight_and_amortizes_shuffles(spark, monkeypatch
         # replicated data frame (the one data-scale shuffle) + the prefix
         # kernel over per-feature DISTINCT values (metadata scale)
         assert len(calls) == 2, calls
+        # the small-n fast path (default at n=4000) must be BIT-identical
+        # to the distributed decomposition — same tie terms, same
+        # y-inversion definition, shared assembly (VERDICT r9 item 5)
+        calls.clear()
+        fast = {
+            (r.feature_a, r.feature_b): (r.n, r.concordant_minus_discordant, r.corr)
+            for r in kendall_tau_matrix(sdf, feats, round_to=None).collect()
+        }
+        assert len(calls) == 0, "fast path must not range-exchange"
+        for (fa, fb), (fn, fcmd, ftau) in fast.items():
+            assert ftau == got[(fa, fb)], (fa, fb)
 
 
 def test_kendall_matrix_listwise_nulls_and_nan(spark):
