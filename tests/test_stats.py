@@ -479,9 +479,12 @@ def test_correlation_spec_exact_kendall(spark):
     }
     assert want == got4
 
-    # spec validation: exact only makes sense for kendall / full population
+    # spec validation: pearson is exact by construction (exact=True is a
+    # spec error); spearman accepts it since r10 (routes to the row-rank
+    # kernel); kendall exact=True is full-population, so no sample cap
     with _pt.raises(AnalysisSpecError):
         Correlation(features=["x", "y"], method="pearson", exact=True)
+    Correlation(features=["x", "y"], method="spearman", exact=True)  # valid
     with _pt.raises(AnalysisSpecError):
         Correlation(features=["x", "y"], method="kendall", exact=True,
                     sample_size=100)
@@ -735,3 +738,37 @@ def test_embedding_rff_mmd_detects_variance_only_shift(spark):
     df0 = spark.createDataFrame(same, "vec_id long, embedding array<float>")
     z = embedding_rff_mmd_drift(df0, **args, round_to=None).collect()[0].mmd_sq
     assert not math.isnan(z) and z == 0.0, z
+
+
+def test_spearman_grid_equals_exact_on_grid_aligned_data(spark):
+    """The grid-snapped spearman (the engine default) differs from the
+    exact row-rank kernel ONLY through the sig-digit snap: on data already
+    on the grid (integers < 10^sig_digits) the snap is the identity, so
+    the two paths must agree bit-for-bit — including under heavy ties."""
+    import numpy as np
+
+    from raise_featurestore_spark.analytics.analysis import Correlation
+    from raise_featurestore_spark.analytics.correlation import compile_correlation
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 900, 3000).astype(float)
+    b = np.floor(0.5 * a + rng.integers(0, 200, 3000))
+    c = rng.integers(0, 5, 3000).astype(float)  # heavy ties
+    sdf = spark.createDataFrame(
+        [tuple(map(float, t)) for t in zip(a, b, c)],
+        "a double, b double, c double",
+    )
+    feats = ["a", "b", "c"]
+    grid = {
+        (r.feature_a, r.feature_b): r.corr
+        for r in compile_correlation(
+            sdf, Correlation(features=feats, method="spearman")
+        ).collect()
+    }
+    exact = {
+        (r.feature_a, r.feature_b): r.corr
+        for r in compile_correlation(
+            sdf, Correlation(features=feats, method="spearman", exact=True)
+        ).collect()
+    }
+    assert grid == exact and len(grid) == 6  # 3 diagonal + 3 pairs
