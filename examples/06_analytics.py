@@ -48,6 +48,18 @@ def main(sf_dir: str = SF_DIR) -> dict:
     corr = client.analyze(events, Correlation(features=["value", "user_id"]))
     checks["correlation_cells"] = corr.row_count
 
+    # spearman defaults to the grid-snapped matrix (broadcast rank maps —
+    # the 100 TB path); exact=True opts into the row-level rank kernel
+    sp = client.analyze(
+        events, Correlation(features=["value", "user_id"], method="spearman")
+    )
+    sp_exact = client.analyze(
+        events,
+        Correlation(features=["value", "user_id"], method="spearman", exact=True),
+    )
+    checks["spearman_grid_cells"] = sp.row_count
+    checks["spearman_exact_cells"] = sp_exact.row_count
+
     tt = client.analyze(events, StatTest(
         feature="value", test="welch", segment_by="event_type",
         control="view", treatment="purchase"))
