@@ -3277,6 +3277,13 @@ register(
 # ann_* queries) — the 4th deferral makes room for corr_matrix_wide,
 # rewritten this round onto the grid-snapped spearman leg. All four are
 # sim-MATCH on current code via scripts/driver_sim.py.
+#
+# Window facts are DERIVED, not asserted: scripts/rotation_audit.py
+# computes every query's latest verdict from the CORRECTNESS_r*.json
+# artifacts and prints the next round's rotation debt (the r9 wrong-
+# window-comment class of error is now mechanically checkable). r11
+# debt as computed: the 4 deferrals above + the 42 r8-latest = 46 of 50
+# slots, leaving 4 for rewrites/new registrations.
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
