@@ -122,6 +122,50 @@ def _rank_cols(df: DataFrame, features: list[str]) -> DataFrame:
     return pivoted.select(*features)
 
 
+def _feature_bounds(df: DataFrame, feats: list[str]) -> DataFrame:
+    """1-row min/max per feature — the engine's two-pass bounds pattern
+    (histograms/drift/outliers), here as the ANSI degenerate-pair guard."""
+    return df.agg(
+        *[F.min(F.col(f).cast("double")).alias(f"__mn_{i}") for i, f in enumerate(feats)],
+        *[F.max(F.col(f).cast("double")).alias(f"__mx_{i}") for i, f in enumerate(feats)],
+    )
+
+
+def _null_constant_features(
+    df: DataFrame, feats: list[str], bounds: DataFrame
+) -> DataFrame:
+    """NULL out features that are CONSTANT on the (listwise-cleaned)
+    frame before the corr aggregate. Spark 4 runs ANSI mode by default
+    and ``Corr.evaluateExpression`` divides by the variance — a constant
+    feature (one distinct value after a slice filter; also n = 1) is a
+    hard DIVIDE_BY_ZERO job failure instead of the NULL every other
+    engine (and this engine's own DuckDB twins) produce. Feeding the
+    aggregate an all-NULL column makes its pair count n = 0, which Corr
+    short-circuits to NULL with no division — so degeneracy degrades to
+    the oracle's NULL while HEALTHY features stream the exact same
+    doubles through the exact same F.corr (the hash-parity-preserving
+    property a regr_sxy/sxx/syy reimplementation measurably lacks: ulp
+    drift in the separate co-moment buffers). min == max detects zero
+    variance exactly on NaN-dropped input (IEEE: -0.0 == 0.0, matching
+    variance 0). Constancy is invariant under ranking, so the exact
+    spearman path computes bounds on the RAW features and applies the
+    guard to the ranked frame. Cost: one extra column-pruned min/max
+    scan + a 1-row broadcast (the allowlisted bounds-BNLJ shape)."""
+    guarded = df.crossJoin(F.broadcast(bounds))
+    return guarded.select(
+        *[
+            F.when(
+                F.col(f"__mn_{i}").isNull()
+                | (F.col(f"__mn_{i}") == F.col(f"__mx_{i}")),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.col(f).cast("double"))
+            .alias(f)
+            for i, f in enumerate(feats)
+        ]
+    )
+
+
 def compile_correlation(
     df: DataFrame, spec: Correlation, round_to: int | None = DEFAULT_ROUND, seed: int = 42
 ) -> DataFrame:
@@ -159,7 +203,11 @@ def compile_correlation(
             # exact flag above. Brings the PRD 10-feature matrix target
             # (< 10 s, raise_/PRD.md:2754) inside warm at sf0.1.
             return spearman_matrix_approx(df, feats, round_to=round_to)
+        bounds = _feature_bounds(df, feats)
         df = _rank_cols(df, feats)
+        df = _null_constant_features(df, feats, bounds)
+    else:
+        df = _null_constant_features(df, feats, _feature_bounds(df, feats))
 
     pairs = list(combinations(range(len(feats)), 2))
     aggs = [
@@ -510,14 +558,27 @@ def spearman_matrix_approx(
         *[_lookup(ft)(F.col(ft)).alias(ft) for ft in features]
     )
     pairs = list(combinations(range(k), 2))
+    # ANSI degenerate guard, FREE on this path: a feature whose collected
+    # rank map has ≤ 1 cell is constant on the snapped frame (zero rank
+    # variance), and Spark 4's ANSI Corr would DIVIDE_BY_ZERO on it —
+    # its pairs become literal NULLs (the DuckDB twin's CORR answer) and
+    # never enter the aggregate. Healthy pairs keep the identical F.corr.
+    degen = {ft for ft in features if tables.get(ft, (np.empty(0),))[0].size <= 1}
+    live = [(i, j) for i, j in pairs if features[i] not in degen and features[j] not in degen]
     one_row = ranked.agg(
-        *[
-            F.corr(F.col(features[i]), F.col(features[j])).alias(_pair_alias(i, j))
-            for i, j in pairs
-        ]
+        *(
+            [
+                F.corr(F.col(features[i]), F.col(features[j])).alias(_pair_alias(i, j))
+                for i, j in live
+            ]
+            or [F.lit(1).alias("__dummy")]
+        )
     )
+    live_set = set(live)
     stack_items = [f"'{ft}', '{ft}', CAST(1.0 AS DOUBLE)" for ft in features] + [
-        f"'{features[i]}', '{features[j]}', {_pair_alias(i, j)}" for i, j in pairs
+        f"'{features[i]}', '{features[j]}', "
+        + (_pair_alias(i, j) if (i, j) in live_set else "CAST(NULL AS DOUBLE)")
+        for i, j in pairs
     ]
     res = one_row.selectExpr(
         f"stack({len(stack_items)}, {', '.join(stack_items)}) "

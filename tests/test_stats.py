@@ -754,11 +754,12 @@ def test_spearman_grid_equals_exact_on_grid_aligned_data(spark):
     a = rng.integers(0, 900, 3000).astype(float)
     b = np.floor(0.5 * a + rng.integers(0, 200, 3000))
     c = rng.integers(0, 5, 3000).astype(float)  # heavy ties
+    k = np.full(3000, 7.0)  # constant: zero rank variance -> NULL corr
     sdf = spark.createDataFrame(
-        [tuple(map(float, t)) for t in zip(a, b, c)],
-        "a double, b double, c double",
+        [tuple(map(float, t)) for t in zip(a, b, c, k)],
+        "a double, b double, c double, k double",
     )
-    feats = ["a", "b", "c"]
+    feats = ["a", "b", "c", "k"]
     grid = {
         (r.feature_a, r.feature_b): r.corr
         for r in compile_correlation(
@@ -771,4 +772,5 @@ def test_spearman_grid_equals_exact_on_grid_aligned_data(spark):
             sdf, Correlation(features=feats, method="spearman", exact=True)
         ).collect()
     }
-    assert grid == exact and len(grid) == 6  # 3 diagonal + 3 pairs
+    assert grid == exact and len(grid) == 10  # 4 diagonal + 6 pairs
+    assert grid[("a", "k")] is None  # constant feature degrades to NULL
