@@ -168,7 +168,15 @@ def kmeans_centroids(
     (first ``sample_rows`` by id — a TakeOrdered, not a full sort), numpy
     float64 on the driver. At 100 TB quantizer training stays a
     bounded-sample problem; only assignment is corpus-scale."""
-    rows = df.select(id_col, emb_col).orderBy(id_col).limit(sample_rows).collect()
+    rows = (
+        df.select(id_col, emb_col)
+        # NULL vectors must not reach the driver matrix (list(None) was a
+        # raw TypeError; the documented guard below is the contract)
+        .where(F.col(emb_col).isNotNull())
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if len(X) < k:
         raise ValueError(f"need >= {k} sample vectors, got {len(X)}")

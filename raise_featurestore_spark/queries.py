@@ -2177,10 +2177,14 @@ def _pandas_batch_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas UDTF (row-wise deterministic → oracle-safe)."""
     from raise_featurestore_spark.transforms.transform import PandasBatchTransform
 
+    # nullable Int64 so NULL text yields NULL length / NULL flag —
+    # mirroring the SQL twin's LENGTH(NULL)/NULL > 500 semantics (the
+    # int64 + raw NaN comparison form crashed the Arrow batch on NULL
+    # rows and would have answered false where SQL answers NULL)
     t = PandasBatchTransform(
         fn=lambda pdf: pdf.assign(
-            text_chars=pdf["text"].str.len().astype("int64"),
-            is_long=pdf["text"].str.len() > 500,
+            text_chars=(sl := pdf["text"].str.len().astype("Int64")),
+            is_long=sl > 500,
         )[["doc_id", "text_chars", "is_long"]],
         schema="doc_id bigint, text_chars bigint, is_long boolean",
     )
