@@ -47,6 +47,10 @@ from raise_featurestore_spark.analytics.analysis import Correlation
 from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 DEFAULT_ROUND = 4
+# one-time (per process) call-site notice that the spearman DEFAULT is the
+# grid-snapped approximation since r10 (ADVICE r10: the semantics change
+# was silent for existing spec callers)
+_SPEARMAN_DEFAULT_NOTICED = False
 # guard for the single-task kendall kernel; Knight's O(n log n) keeps even
 # this cap at ~0.3 s (the old O(n²) kernel required 5k)
 KENDALL_MAX_SAMPLE = 50_000
@@ -169,6 +173,19 @@ def _null_constant_features(
 def compile_correlation(
     df: DataFrame, spec: Correlation, round_to: int | None = DEFAULT_ROUND, seed: int = 42
 ) -> DataFrame:
+    """Compile a :class:`Correlation` spec to its matrix DataFrame.
+
+    NOT always lazy (r10 ADVICE): the default spearman route
+    (``method='spearman'``, ``exact=False``) is the grid-snapped
+    approximation, whose plan embeds driver-collected rank maps —
+    building it runs two data-scale Spark jobs at COMPILE time (cell
+    counts + rank-map collect, :func:`spearman_matrix_approx`). Plan-only
+    / dry-run callers that must not touch data should pass
+    ``exact=True`` or inspect the spec without compiling. The routing
+    change from exact row-rank spearman to the grid default (r10) is
+    announced once per process via logging so existing spec callers can
+    discover it at call sites.
+    """
     df = _prepare(df, spec, seed)
     feats = spec.features
 
@@ -202,6 +219,18 @@ def compile_correlation(
             # step apart stay distinct ranks). Routing mirrors kendall's
             # exact flag above. Brings the PRD 10-feature matrix target
             # (< 10 s, raise_/PRD.md:2754) inside warm at sf0.1.
+            global _SPEARMAN_DEFAULT_NOTICED
+            if not _SPEARMAN_DEFAULT_NOTICED:
+                _SPEARMAN_DEFAULT_NOTICED = True
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "Correlation(method='spearman') defaults to the "
+                    "grid-snapped approximation since r10 (near-ties "
+                    "within half a sig-grid step become exact ties; "
+                    "plan compilation is eager). Pass exact=True for "
+                    "the previous exact row-rank semantics."
+                )
             return spearman_matrix_approx(df, feats, round_to=round_to)
         bounds = _feature_bounds(df, feats)
         df = _rank_cols(df, feats)
@@ -466,6 +495,194 @@ def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame
     )
 
 
+def _grid_rank_tables(
+    snapped: DataFrame, features: list[str]
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Collect the per-feature snapped-value → average-rank maps.
+
+    The value→rank tables are GRID-bounded (≤ cells rows — ~12k total
+    for 10 lineitem features), so collecting them to the driver is a
+    bounded-metadata collect (the literal-centroid k-means pattern,
+    dataprep/clustering.py). EAGER: runs one partial-count job at
+    plan-build time (documented on the callers).
+
+    Shape (r11): melt all k features to long form (a NARROW map-side
+    ``stack``) straight into a (feature, cell) hash aggregate — the
+    PARTIAL aggregate is grid-bounded per partition, so the shuffle
+    moves partitions × grid-cells rows regardless of corpus size — then
+    the average ranks are a driver-side cumsum over the ≤12k collected
+    cells. The previous shape pushed the counted cells through a
+    range-partitioned prefix-sum window (an extra cell-scale range
+    exchange + window stage) and computed ranks distributedly — 5.5 s
+    cold / 2.0 s warm at sf0.1 vs 2.8 s cold / 1.8 s warm for this
+    all-JVM pass (a mapInPandas np.unique variant measured in between:
+    Python-worker spin-up dominated its cold time).
+    """
+    k = len(features)
+    stack_expr = ", ".join(f"'{ft}', {ft}" for ft in features)
+    cells = (
+        snapped.selectExpr(f"stack({k}, {stack_expr}) AS (__ft, __val)")
+        .groupBy("__ft", "__val")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .collect()
+    )
+    maps: dict[str, list[tuple[float, int]]] = {}
+    for r in cells:
+        maps.setdefault(r["__ft"], []).append((r["__val"], r["__t"]))
+    tables: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for ft, v in maps.items():
+        v.sort()
+        vals = np.ascontiguousarray(np.array([x[0] for x in v], dtype=np.float64))
+        t = np.array([x[1] for x in v], dtype=np.float64)
+        # inclusive cumsum − (ties−1)/2 = the standard average rank (same
+        # formula the range-prefix-sum shape computed distributedly)
+        rk = np.cumsum(t) - (t - 1.0) / 2.0
+        tables[ft] = (vals, np.ascontiguousarray(rk))
+    return tables
+
+
+def _grid_rank_lookup(tables: dict, ft: str):
+    """Vectorized snapped-value → rank attachment for one feature: ONE
+    Arrow pass of np.searchsorted lookups riding the task closure —
+    measured 2× the k chained broadcast-hash-join variant (9-15 s vs
+    19-28 s at sf0.1, whose per-join stage overheads dominated)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # empty-input degrade: when the na-dropped relation had zero rows
+    # at map-build time there is no entry for ft — emit NULL ranks so
+    # the plan still builds and the (0-row) aggregate yields the same
+    # diagonal-1.0 + NULL-pair frame the exact path produces on empty
+    # input, instead of a plan-build KeyError.
+    keys, vals = tables.get(
+        ft, (np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64))
+    )
+
+    @pandas_udf("double")
+    def look(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype=np.float64)
+        if keys.size == 0:
+            return pd.Series(np.full(len(x), np.nan))
+        # every input value exists in the map by construction (the
+        # map was built from this same snapped relation) — verify,
+        # so a stale/foreign map fails loudly instead of silently
+        # attaching a neighbour's rank.
+        idx = np.minimum(np.searchsorted(keys, x), keys.size - 1)
+        if not np.array_equal(keys[idx], x):
+            raise RuntimeError(
+                f"spearman grid rank map miss for feature {ft!r}: input "
+                "contains snapped values absent from the collected map"
+            )
+        return pd.Series(vals[idx])
+
+    return look
+
+
+def correlation_matrix_dual(
+    df: DataFrame,
+    features: list[str],
+    sig_digits: int = 3,
+    round_to: int | None = DEFAULT_ROUND,
+) -> DataFrame:
+    """Pearson AND grid-snapped-spearman matrices from ONE shared scan —
+    the fused form of the PRD wide-matrix query (raise_/PRD.md:2754,
+    10-feature matrix < 10 s; matrix semantics analysis.py:152-195).
+
+    Values are BIT-IDENTICAL to running ``compile_correlation`` twice
+    (pearson + spearman-grid) and unioning: the pearson cells stream the
+    same guarded doubles through the same ``F.corr``, and the spearman
+    cells the same searchsorted grid ranks — only the PLAN is fused:
+
+    - the listwise-cleaned 10-column double projection is computed once
+      and ``persist()``-ed (populated by the eager rank-map job, so the
+      main action never re-reads parquet);
+    - the pearson constant-guard columns and the spearman rank-lookup
+      columns are emitted by ONE map-side projection of that cache;
+    - all 2·C(k,2) correlation cells run in ONE aggregate pass (a single
+      partial+final hash aggregate instead of two), unpivoted by one
+      ``stack`` into the long (method, feature_a, feature_b, corr) form.
+
+    Separate-leg shape (the rejected alternative, kept by
+    ``compile_correlation`` for single-method specs): 4 data-scale scans
+    and 2 aggregate barriers — measured 8.1 s warm at sf0.1 vs ~5 s for
+    this fusion. EAGER like ``spearman_matrix_approx``: building the
+    plan runs the bounds + rank-map jobs.
+    """
+    from raise_featurestore_spark.functions.stable import sig_round
+
+    k = len(features)
+    base = df.na.drop(subset=features).select(
+        *[F.col(ft).cast("double").alias(ft) for ft in features]
+    )
+    # per-query cache: ≤ k doubles/row; both the eager rank-map job and
+    # the main aggregate read it, so parquet is scanned exactly once.
+    base = base.persist()
+    snapped_cols = [sig_round(F.col(ft), sig_digits) for ft in features]
+    tables = _grid_rank_tables(
+        base.select(*[c.alias(ft) for c, ft in zip(snapped_cols, features)]),
+        features,
+    )
+    # pearson ANSI constant-feature guard (see _null_constant_features):
+    # 1-row bounds broadcast, constant features become all-NULL columns →
+    # their Corr short-circuits to NULL with no division.
+    bounds = _feature_bounds(base, features)
+    wide = base.crossJoin(F.broadcast(bounds)).select(
+        *[
+            F.when(
+                F.col(f"__mn_{i}").isNull()
+                | (F.col(f"__mn_{i}") == F.col(f"__mx_{i}")),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.col(ft))
+            .alias(f"__p_{i}")
+            for i, ft in enumerate(features)
+        ],
+        *[
+            _grid_rank_lookup(tables, ft)(snapped_cols[i]).alias(f"__s_{i}")
+            for i, ft in enumerate(features)
+        ],
+    )
+    pairs = list(combinations(range(k), 2))
+    # spearman degenerate guard (shared with spearman_matrix_approx):
+    # ≤ 1 grid cell ⇒ constant snapped feature ⇒ literal-NULL pairs.
+    degen = {
+        i
+        for i, ft in enumerate(features)
+        if tables.get(ft, (np.empty(0),))[0].size <= 1
+    }
+    live = [(i, j) for i, j in pairs if i not in degen and j not in degen]
+    one_row = wide.agg(
+        *[
+            F.corr(F.col(f"__p_{i}"), F.col(f"__p_{j}")).alias(f"__pc_{i}_{j}")
+            for i, j in pairs
+        ],
+        *[
+            F.corr(F.col(f"__s_{i}"), F.col(f"__s_{j}")).alias(f"__sc_{i}_{j}")
+            for i, j in live
+        ],
+    )
+    live_set = set(live)
+    stack_items = (
+        [f"'pearson', '{ft}', '{ft}', CAST(1.0 AS DOUBLE)" for ft in features]
+        + [
+            f"'pearson', '{features[i]}', '{features[j]}', __pc_{i}_{j}"
+            for i, j in pairs
+        ]
+        + [f"'spearman', '{ft}', '{ft}', CAST(1.0 AS DOUBLE)" for ft in features]
+        + [
+            f"'spearman', '{features[i]}', '{features[j]}', "
+            + (f"__sc_{i}_{j}" if (i, j) in live_set else "CAST(NULL AS DOUBLE)")
+            for i, j in pairs
+        ]
+    )
+    res = one_row.selectExpr(
+        f"stack({len(stack_items)}, {', '.join(stack_items)}) "
+        "AS (method, feature_a, feature_b, corr)"
+    )
+    if round_to is not None:
+        res = res.withColumn("corr", grid_snap(F.col("corr"), round_to) + F.lit(0.0))
+    return res
+
+
 def spearman_matrix_approx(
     df: DataFrame,
     features: list[str],
@@ -491,71 +708,19 @@ def spearman_matrix_approx(
     definition and the gate hash-matches values — no error band needed.
     Same listwise NULL/NaN drop as the exact path.
     """
-    from raise_featurestore_spark.functions.prefix import grouped_range_prefix_sums
     from raise_featurestore_spark.functions.stable import sig_round
 
     k = len(features)
     snapped = df.na.drop(subset=features).select(
         *[sig_round(F.col(ft).cast("double"), sig_digits).alias(ft) for ft in features]
     )
-    stack_expr = ", ".join(f"'{ft}', {ft}" for ft in features)
-    melted = snapped.selectExpr(f"stack({k}, {stack_expr}) AS (__ft, __val)")
-    byval = melted.groupBy("__ft", "__val").agg(F.count(F.lit(1)).alias("__t"))
-    cum = grouped_range_prefix_sums(byval, ["__ft"], "__val", {"__cum": "__t"})
-    # the value→rank tables are GRID-bounded (≤ cells rows — ~12k total
-    # for 10 lineitem features), so collecting them to the driver is a
-    # bounded-metadata collect (the literal-centroid k-means pattern,
-    # dataprep/clustering.py). Rank attachment is then ONE vectorized
-    # Arrow pass of np.searchsorted lookups riding the task closure —
-    # measured 2× the k chained broadcast-hash-join variant (9-15 s vs
-    # 19-28 s at sf0.1, whose per-join stage overheads dominated).
-    from pyspark.sql.functions import pandas_udf
-
-    rows = cum.select(
-        "__ft",
-        "__val",
-        (F.col("__cum") - (F.col("__t") - F.lit(1)) / F.lit(2.0)).alias("__rk"),
-    ).collect()
-    maps: dict[str, list[tuple[float, float]]] = {}
-    for r in rows:
-        maps.setdefault(r["__ft"], []).append((r["__val"], r["__rk"]))
-    tables = {}
-    for ft, v in maps.items():
-        v.sort()
-        a = np.array(v, dtype=np.float64)
-        tables[ft] = (np.ascontiguousarray(a[:, 0]), np.ascontiguousarray(a[:, 1]))
-
-    def _lookup(ft: str):
-        # empty-input degrade: when the na-dropped relation had zero rows
-        # at map-build time there is no entry for ft — emit NULL ranks so
-        # the plan still builds and the (0-row) aggregate yields the same
-        # diagonal-1.0 + NULL-pair frame the exact path produces on empty
-        # input, instead of a plan-build KeyError.
-        keys, vals = tables.get(
-            ft, (np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64))
-        )
-
-        @pandas_udf("double")
-        def look(s: pd.Series) -> pd.Series:
-            x = s.to_numpy(dtype=np.float64)
-            if keys.size == 0:
-                return pd.Series(np.full(len(x), np.nan))
-            # every input value exists in the map by construction (the
-            # map was built from this same snapped relation) — verify,
-            # so a stale/foreign map fails loudly instead of silently
-            # attaching a neighbour's rank.
-            idx = np.minimum(np.searchsorted(keys, x), keys.size - 1)
-            if not np.array_equal(keys[idx], x):
-                raise RuntimeError(
-                    f"spearman grid rank map miss for feature {ft!r}: input "
-                    "contains snapped values absent from the collected map"
-                )
-            return pd.Series(vals[idx])
-
-        return look
-
+    # per-query cache (k doubles/row, LRU-evictable): the eager rank-map
+    # job materializes it, the rank-attach aggregate re-reads it — one
+    # source scan total instead of two.
+    snapped = snapped.persist()
+    tables = _grid_rank_tables(snapped, features)
     ranked = snapped.select(
-        *[_lookup(ft)(F.col(ft)).alias(ft) for ft in features]
+        *[_grid_rank_lookup(tables, ft)(F.col(ft)).alias(ft) for ft in features]
     )
     pairs = list(combinations(range(k), 2))
     # ANSI degenerate guard, FREE on this path: a feature whose collected

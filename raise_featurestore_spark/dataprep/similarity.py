@@ -234,6 +234,12 @@ def ivf_assign(
     cluster = pandas_udf(assign, "int")(F.col(emb_col)).alias(
         "ivf_cluster", metadata={"ivf_centroids_sig": centroid_signature(centroids)}
     )
+    # REPLACE semantics on re-assignment (r10 ADVICE): a frame that
+    # already carries ivf_cluster (e.g. an old assignment fed back in)
+    # must not end up with two same-named columns — drop the stale one
+    # so downstream F.col("ivf_cluster") stays unambiguous.
+    if "ivf_cluster" in df.columns:
+        df = df.drop("ivf_cluster")
     return df.select("*", cluster)
 
 

@@ -1372,13 +1372,16 @@ _WIDE_S = Correlation(features=_WIDE_FEATS, method="spearman")
 
 def _corr_matrix_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-feature pearson AND spearman matrices at DATA scale, one long
-    frame with a method column. Pearson = all 45 pairwise corr() in ONE
-    aggregate pass; spearman = the grid-snapped matrix (broadcast rank
-    maps, zero row-scale shuffles) — no per-pair rescans."""
-    li = _wide_lineitem(spark, sf_dir)
-    p = compile_correlation(li, _WIDE_P).withColumn("method", F.lit("pearson"))
-    s = compile_correlation(li, _WIDE_S).withColumn("method", F.lit("spearman"))
-    return p.unionByName(s)
+    frame with a method column — the FUSED plan (r10 VERDICT item 2):
+    one persisted 10-column projection feeds the rank-map build, the
+    pearson guard, and a SINGLE 90-cell corr aggregate; values are
+    bit-identical to the two-leg compile_correlation union (same F.corr
+    over the same guarded doubles / searchsorted grid ranks)."""
+    from raise_featurestore_spark.analytics.correlation import (
+        correlation_matrix_dual,
+    )
+
+    return correlation_matrix_dual(_wide_lineitem(spark, sf_dir), _WIDE_FEATS)
 
 
 register(

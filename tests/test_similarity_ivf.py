@@ -45,6 +45,21 @@ def test_assignment_covers_every_row(emb, cents):
     assert all(0 <= c < K_CLUSTERS for c in counts)
 
 
+def test_reassignment_replaces_existing_column(emb, cents):
+    # r10 ADVICE: feeding an already-assigned frame back into ivf_assign
+    # must REPLACE the column, not duplicate it (ambiguous F.col downstream)
+    once = ivf_assign(emb, cents)
+    twice = ivf_assign(once, cents)
+    assert twice.columns.count("ivf_cluster") == 1
+    from pyspark.sql import functions as F
+
+    # the re-derived column resolves unambiguously and matches
+    assert twice.where(F.col("ivf_cluster").isNull()).count() == 0
+    a = {r.vec_id: r.ivf_cluster for r in once.select("vec_id", "ivf_cluster").collect()}
+    b = {r.vec_id: r.ivf_cluster for r in twice.select("vec_id", "ivf_cluster").collect()}
+    assert a == b
+
+
 def test_full_probe_equals_brute_force(emb, cents):
     exact = [r.vec_id for r in brute_force_topk(emb, QUERY, k=10).collect()]
     full = [r.vec_id for r in
