@@ -87,6 +87,16 @@ def _commit_swap(path: str, gen: str) -> None:
     target is displaced into a generation dir first (one-time migration;
     the only swap whose pre-existing readers see moved paths)."""
     gen = os.path.abspath(gen)
+    # refuse to commit a missing or torn generation: re-pointing the live
+    # symlink at one would atomically BREAK the table (r11 finding — a
+    # concurrent writer's prune may have removed a staged gen between its
+    # write and this commit; failing loudly beats a dangling live link)
+    if not os.path.exists(os.path.join(gen, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"refusing to commit incomplete/missing generation {gen!r} "
+            "(no _SUCCESS marker — torn write, or pruned by a concurrent "
+            "writer's commit)"
+        )
     prev = os.path.realpath(path) if os.path.islink(path) else None
     if os.path.lexists(path) and not os.path.islink(path):
         legacy = os.path.abspath(f"{path}__gen_{uuid.uuid4().hex[:8]}")
@@ -95,13 +105,32 @@ def _commit_swap(path: str, gen: str) -> None:
     tmp = f"{path}__ln_{uuid.uuid4().hex[:8]}"
     os.symlink(gen, tmp)
     os.replace(tmp, path)  # atomic on POSIX: commit point
+    # mark the generation as having been LIVE: only committed-superseded
+    # generations may be pruned eagerly. A `__gen_*` dir without this
+    # marker is either a concurrent writer's staging mid-upsert (must
+    # survive — r11: the prune used to delete it, so that writer's commit
+    # dangled the table) or crash debris from a dead writer (swept once
+    # older than the grace period, like the `__ln_*` sweep below).
+    # Leading-underscore files are invisible to Spark's parquet reader.
+    try:
+        with open(os.path.join(gen, "_COMMITTED"), "w"):
+            pass
+    except OSError:
+        pass
     # realpath BOTH sides of the keep comparison: prev is already
     # realpath'd, and a symlinked parent of path (symlinked data roots,
     # macOS /tmp) would make abspath(glob entry) never equal it — the
     # prune would delete the generation we just promised to retain
     keep = {os.path.realpath(p) for p in (gen, prev) if p is not None}
     for g in glob.glob(f"{path}__gen_*"):
-        if os.path.realpath(g) not in keep:
+        if os.path.realpath(g) in keep:
+            continue
+        committed = os.path.exists(os.path.join(g, "_COMMITTED"))
+        try:
+            fresh = time.time() - os.lstat(g).st_mtime <= _LN_SWEEP_GRACE_S
+        except OSError:
+            fresh = False
+        if committed or not fresh:
             shutil.rmtree(g, ignore_errors=True)
     for ln in glob.glob(f"{path}__ln_*"):
         # orphan temp links from a crash between symlink() and replace().
