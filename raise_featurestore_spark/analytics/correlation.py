@@ -603,9 +603,10 @@ def correlation_matrix_dual(
 
     Separate-leg shape (the rejected alternative, kept by
     ``compile_correlation`` for single-method specs): 4 data-scale scans
-    and 2 aggregate barriers — measured 8.1 s warm at sf0.1 vs ~5 s for
-    this fusion. EAGER like ``spearman_matrix_approx``: building the
-    plan runs the bounds + rank-map jobs.
+    and 2 aggregate barriers — measured 6.8 s warm / 13.4 s cold at
+    sf0.1 vs 5.4 s / 9.3 s for this fusion (isolated session, one
+    warm-up query). EAGER like ``spearman_matrix_approx``: building the
+    plan runs the rank-map job.
     """
     from raise_featurestore_spark.functions.stable import sig_round
 

@@ -36,6 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# rounds the last connected_components call ran before reaching the
+# star-forest fixpoint — read by scripts/scale_rehearsal.py to verify the
+# O(log n) contract holds as data grows (process-local diagnostics only)
+LAST_ROUNDS: int = -1
+
 
 def _half_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star or small-star contraction.
@@ -121,8 +126,10 @@ def connected_components(
         )
         return row["max_leaf"] is None or (row["max_leaf"] <= 1 and row["both"] == 0)
 
+    global LAST_ROUNDS
     for i in range(max_iter + 1):
         if is_min_star_forest(e):
+            LAST_ROUNDS = i  # diagnostics: rounds must stay ~log(n)
             break
         if i == max_iter:
             raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -37,6 +37,9 @@ DEFAULT_NGRAM = 5
 DEFAULT_MAX_DF = 100
 DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4
+# max shingle keys the jaccard skew-salting broadcasts (see the hot-set
+# note in ngram_jaccard_pairs): bounds the broadcast at corpus scale
+_SALT_HOT_CAP = 1 << 16
 
 
 def _norm_text(c: Column) -> Column:
@@ -141,7 +144,19 @@ def jaccard_pairs(
     if persist_shingles:
         sh = sh.persist()
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    rare = sh.join(df_counts.where(F.col("__df") <= max_df), "sh")
+    # SORT-MERGE, not broadcast, for the df-cap join: df_counts is the
+    # corpus's DISTINCT-shingle relation — Catalyst's size estimate reads
+    # it as broadcastable at toy scale, but it grows linearly with the
+    # corpus and the x64 scale rehearsal killed the driver building the
+    # broadcast (r11). SMJ clusters on sh (the build side reuses the
+    # groupBy's own exchange) and SPILLS instead of holding a per-task
+    # hash relation: the shuffle_hash variant measured in between GC-
+    # thrashed at x64 — 32 concurrent in-heap builds of a corpus-scale
+    # relation is the same unbounded-memory bet as the broadcast, one
+    # level down. This is the join shape a 100 TB corpus needs anyway.
+    rare = sh.join(
+        df_counts.where(F.col("__df") <= max_df).hint("merge"), "sh"
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     # Prefix filtering (the PPJoin family's candidate pruning): order each
@@ -202,10 +217,23 @@ def jaccard_pairs(
         # enter the prefix index (dropped from `rare`), so without it the
         # broadcast would carry EVERY frequent shingle in the corpus —
         # unbounded on boilerplate-heavy data — not the [hot_min_df,
-        # max_df] band
-        hot = df_counts.where(
-            (F.col("__df") >= hot_min_df) & (F.col("__df") <= max_df)
-        ).select("sh", F.lit(True).alias("__hot"))
+        # max_df] band.
+        # The band bounds each key's df, NOT the band's cardinality: the
+        # number of band shingles grows ~linearly with the corpus, and the
+        # r11 x64 scale rehearsal killed the driver building this
+        # broadcast. Cap the salted set at the top `_SALT_HOT_CAP` keys by
+        # df (TakeOrdered, deterministic sh tie-break): the hottest keys
+        # are exactly the straggler risk, an unsalted band key costs at
+        # most C(max_df, 2) pairs in one task (~20k at the default 200),
+        # and the broadcast is now constant-size at any corpus scale.
+        hot = (
+            df_counts.where(
+                (F.col("__df") >= hot_min_df) & (F.col("__df") <= max_df)
+            )
+            .orderBy(F.col("__df").desc(), "sh")
+            .limit(_SALT_HOT_CAP)
+            .select("sh", F.lit(True).alias("__hot"))
+        )
         tagged = pref.join(F.broadcast(hot), "sh", "left")
         left = tagged.select(
             "id",
@@ -226,10 +254,20 @@ def jaccard_pairs(
         )
     else:  # salting off: identical join minus the salt machinery
         left = right = pref.withColumn("salt", F.lit(0))
+    # Every join from here on pairs two CORPUS-SCALE relations (the prefix
+    # index with itself, then candidates with the per-doc size/array
+    # frames), so each is pinned to sort-merge. Left to the optimizer,
+    # the local session's 64 MB broadcast threshold reads the COMPRESSED
+    # shuffle bytes of these frames — the shingle-array frame especially
+    # decompresses to many times that as an in-memory hash relation — and
+    # the x64 scale rehearsal OOM'd the driver building the broadcasts
+    # (r11, second finding after the hot-set cap). SMJ clusters both
+    # sides on the join key and spills; on real clusters with default
+    # thresholds it is the plan Spark would pick anyway.
     cand = (
         left.alias("a")
         .join(
-            right.alias("b"),
+            right.alias("b").hint("merge"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
@@ -245,14 +283,14 @@ def jaccard_pairs(
     # than the id+size rows, so this is the cheap half of verification.
     arrs = doc_sets.select("id", "arr")
     out = (
-        cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a").hint("merge"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b").hint("merge"), "id_b")
         .where(
             F.least("sz_a", "sz_b")
             >= F.lit(t_eff) * F.greatest("sz_a", "sz_b")
         )
-        .join(arrs.withColumnRenamed("id", "id_a").withColumnRenamed("arr", "arr_a"), "id_a")
-        .join(arrs.withColumnRenamed("id", "id_b").withColumnRenamed("arr", "arr_b"), "id_b")
+        .join(arrs.withColumnRenamed("id", "id_a").withColumnRenamed("arr", "arr_a").hint("merge"), "id_a")
+        .join(arrs.withColumnRenamed("id", "id_b").withColumnRenamed("arr", "arr_b").hint("merge"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",

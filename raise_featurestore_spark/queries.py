@@ -3259,97 +3259,87 @@ register(
 # --------------------------------------------------------------------------
 # Registry ordering: harnesses that process queries in registration order
 # verdict the FIRST 50 slots each round. Rotate so the least-recently-
-# verdicted entries come first. Round-10 rotation (VERDICT r9 item 2):
-# (a) corr_spearman_wide_grid — the one registered query that has NEVER
-# had a driver verdict (late r9 registration; empty-input crash fixed
-# this round, analytics/correlation.py _lookup); (b) the 9 queries whose
-# r9 rewrite postdates their latest verdict — text_lm_perplexity /
-# text_ppl_buckets (train-once pretrained-model path; r8 verdicts; the r9
-# window comment wrongly claimed they were in the 47 — they were not),
-# ann_ivf_topk (r7) / ann_ivf_batch_topk (r8, materialized+cached IVF
-# assignment), fp16_roundtrip_topk (non-finite guard, r8),
-# profile_label_balance (NULL-class key, r8), rollup_percentile_daily
-# (exact q labels, r8), graph_pagerank_coparts (stored edge table, r8),
-# corr_kendall_matrix (r8); (c) 40 of the 43 remaining r7-latest entries,
-# now at the two-round staleness boundary. 1 + 9 + 40 fill the window
-# exactly.
+# verdicted entries come first. The facts below are DERIVED, not asserted:
+# scripts/rotation_audit.py recomputes every query's latest verdict from
+# the CORRECTNESS_r*.json artifacts and prints the next round's debt, and
+# scripts/freeze_manifest.py + tests/test_round_lint.py fail the suite if
+# an implementation changes after its latest verdict without the query
+# re-entering this window (the r9 wrong-window-comment class, now
+# mechanically checked end-to-end).
 #
-# Deferred to the r11 head (the 3 r7-latest that do not fit — chosen
-# because each carries an INDEPENDENT check beyond the driver gate and
-# its implementation file is unchanged since its verdict):
-# agg_global_stats_approx (in-plan error band vs the r8-gated exact
-# twin), expr_case_when (pinned by the DuckDB differential fuzz suite),
-# dedup_exact_keepers (plain hash-groupBy, pytest-pinned), and
-# vector_norm_dot (its dot/cosine kernels run in-plan inside the gated
-# ann_* queries) — the 4th deferral makes room for corr_matrix_wide,
-# rewritten this round onto the grid-snapped spearman leg. All four are
-# sim-MATCH on current code via scripts/driver_sim.py.
+# Round-11 rotation (VERDICT r10 item 1), exactly rotation_audit's r11
+# debt head: (a) the 4 r7-latest deferrals from the r10 window
+# (agg_global_stats_approx, expr_case_when, vector_norm_dot,
+# dedup_exact_keepers); (b) all 42 r8-latest entries; (c) the 4 queries
+# whose r11 rewrite postdates their latest verdict — corr_matrix_wide
+# (fused single-aggregate pearson+spearman plan,
+# analytics/correlation.correlation_matrix_dual), corr_spearman_wide_grid
+# (JVM partial-agg rank-map build + persisted snapped frame),
+# job_upsert_merge (writer commit prune protects concurrently staged
+# generations, io/writer.py), and dedup_ngram_jaccard (skew-salting hot
+# set capped at _SALT_HOT_CAP — the x64 scale rehearsal OOM'd the
+# unbounded broadcast). 4 + 42 + 4 = 50, filling the window exactly.
 #
-# Window facts are DERIVED, not asserted: scripts/rotation_audit.py
-# computes every query's latest verdict from the CORRECTNESS_r*.json
-# artifacts and prints the next round's rotation debt (the r9 wrong-
-# window-comment class of error is now mechanically checkable). r11
-# debt as computed: the 4 deferrals above + the 42 r8-latest = 46 of 50
-# slots, leaving 4 for rewrites/new registrations.
+# Inert-change note: components.py gained a LAST_ROUNDS diagnostic global
+# (value-inert) read by the scale rehearsal — dedup_clusters (r9) and
+# semantic_dedup_clusters (r10) keep their verdicts and head the r12
+# rotation debt with the 48 other r9-latest entries.
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
-    # (a) first driver verdict ever (late r9 registration)
-    "corr_spearman_wide_grid",
-    # (b) the 9 queries rewritten in r9 after their latest verdict
-    "text_lm_perplexity",
-    "text_ppl_buckets",
-    "ann_ivf_topk",
-    "ann_ivf_batch_topk",
-    "fp16_roundtrip_topk",
-    "profile_label_balance",
-    "rollup_percentile_daily",
-    "graph_pagerank_coparts",
-    "corr_kendall_matrix",
-    # (b2) rewritten THIS round: the wide matrix's spearman leg switched
-    # to the grid-snapped default (VERDICT r9 item 4) — needs a fresh
-    # verdict on the new shape
+    # (a) the r10 window's four documented deferrals (r7-latest)
+    "agg_global_stats_approx",
+    "dedup_exact_keepers",
+    "expr_case_when",
+    "vector_norm_dot",
+    # (b) the 42 r8-latest entries (two-round staleness boundary)
+    "agg_cube_status_priority",
+    "agg_global_stats",
+    "agg_pivot_status_by_priority",
+    "agg_rollup_flag_status",
+    "agg_winsorized_price",
+    "asof_salted_spine",
+    "cluster_balanced_sample",
+    "cluster_kmeans_report",
+    "cohort_retention_weekly",
+    "dedup_substring_overlap",
+    "drift_order_status",
+    "embedding_drift_mmd_linear",
+    "embedding_drift_rff_mmd",
+    "feature_decay_ewma",
+    "feature_quantile_bins",
+    "feature_sequence_history",
+    "feature_standardize_z",
+    "forecast_backtest_naive",
+    "funnel_signup_view_purchase",
+    "join_anti_inactive_customers",
+    "join_cardinality_events",
+    "join_semi_high_value_customers",
+    "linkage_fuzzy_part_names",
+    "lookup_filter_project",
+    "lookup_sample_events",
+    "mix_recipe_budget",
+    "outlier_flags_iqr",
+    "outlier_flags_zscore",
+    "profile_table_events",
+    "quality_fk_integrity",
+    "quality_orders",
+    "rollup_incremental_daily",
+    "sample_weighted_aes",
+    "set_except_churned_buyers",
+    "set_intersect_retained_buyers",
+    "skew_report_orders",
+    "stattest_ks",
+    "stattest_mannwhitney",
+    "text_encoding_report",
+    "text_tfidf_keywords",
+    "version_diff_value",
+    "zorder_morton_orders",
+    # (c) rewritten this round after their latest verdict
     "corr_matrix_wide",
-    # (c) 39 of the 43 remaining r7-latest entries (staleness boundary)
-    "agg_pricing_summary",
-    "agg_rolling_by_type",
-    "agg_rolling_daily",
-    "agg_window_7d",
-    "ann_bruteforce_topk",
-    "ann_lsh_bucket_topk",
-    "boilerplate_ngram_mine",
-    "chunk_sliding_window",
-    "corpus_health_by_source",
-    "corr_cross_group",
-    "dist_density",
-    "dist_moments",
-    "embedding_drift_sliced_w",
-    "embedding_gram_check",
-    "embedding_pca_trace_check",
-    "expr_zscore_hoisted",
-    "feature_standardize_robust",
-    "feature_target_encode",
-    "join_tpch_q3_topk",
-    "join_tpch_q5_region",
-    "lookup_topk_orders",
-    "mix_temperature_sample",
-    "multimodal_blob_refs",
-    "multimodal_byte_features",
-    "multimodal_frame_sample",
-    "multimodal_integrity",
-    "point_lookup_customer",
-    "sample_exact_k_per_source",
-    "select_token_budget",
-    "semantic_dedup_clusters",
-    "shard_manifest",
-    "source_jdbc_query",
-    "split_group_leakage_safe",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_counts",
-    "transform_pandas_batch",
-    "vector_similarity_pairs",
+    "corr_spearman_wide_grid",
+    "dedup_ngram_jaccard",
+    "job_upsert_merge",
 ]
 
 

@@ -17,7 +17,12 @@ exact-duplicate cliques (which would make candidate generation
 quadratic BY CONSTRUCTION of the data, not the plan — real corpora
 grow mostly-new content).
 
-Usage: python scripts/scale_rehearsal.py [factor] [sf_dir]
+Usage: python scripts/scale_rehearsal.py [factor] [sf_dir] [q1,q2,...]
+
+The optional third argument restricts the run to a comma-separated query
+subset — the r11 x64 pass reruns just the shuffle families this way
+(inflation cost grows with the factor, so the big factors run the
+queries whose curves actually bend).
 """
 
 from __future__ import annotations
@@ -47,7 +52,11 @@ QUERIES = [
     "corr_matrix_wide",           # one-pass pearson + grid spearman
     "ann_bruteforce_topk",        # vectorized scan + TakeOrdered
     "text_quality_score",         # JVM string exprs over documents
+    "dedup_clusters",             # alternating-star CC (rounds ~ log n)
 ]
+
+if len(sys.argv) > 3:
+    QUERIES = [q.strip() for q in sys.argv[3].split(",") if q.strip()]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -190,19 +199,29 @@ def main() -> None:
     t_inf = timed(lambda: inflate(spark, SRC, big, FACTOR))
     print(f"inflation wrote in {t_inf:.1f}s", flush=True)
 
+    from raise_featurestore_spark.dataprep import components as CC
+
     qs = em.queries()
     rows = []
     for name in QUERIES:
         q = qs[name]
         q(spark, SRC).count()  # warm-up (and artifact build) at base
         t_base = min(timed(lambda: q(spark, SRC).count()) for _ in range(2))
+        rounds_base = CC.LAST_ROUNDS
         q(spark, big).count()  # warm-up (and artifact build) at F·n
         t_big = min(timed(lambda: q(spark, big).count()) for _ in range(2))
+        rounds_big = CC.LAST_ROUNDS
         ratio = t_big / t_base if t_base > 0 else float("inf")
         if name in WORK_PROXIES:
             wfn = WORK_PROXIES[name]
             work_ratio = wfn(spark, big) / max(wfn(spark, SRC), 1.0)
             bound, basis = work_ratio, f"work x{work_ratio:.1f}"
+        elif name in ("dedup_clusters", "semantic_dedup_clusters"):
+            # wall may grow ~F·(rounds_big/rounds_base); the CONTRACT is
+            # that the round count stays logarithmic, so report it
+            extra = max(rounds_big, 1) / max(rounds_base, 1)
+            bound = float(FACTOR) * extra
+            basis = f"rows x{FACTOR} · rounds {rounds_base}->{rounds_big}"
         else:
             bound, basis = float(FACTOR), f"rows x{FACTOR}"
         rows.append((name, t_base, t_big, ratio, bound, basis))

@@ -437,3 +437,78 @@ def test_percentile_q_labels_exact(spark):
     assert out.columns == ["period_start", "n", "p12_5", "p50"]
     sql = percentile_recompute_sql("t", "value", qs=(0.125, 0.5))
     assert "p12_5" in sql and "p50" in sql
+
+
+def test_streaming_rollup_multibatch_soak_with_replays_and_crash(spark, tmp_path):
+    """r10 VERDICT item 6: soak the staged-swap state machine — 50
+    foreachBatch cycles through BOTH sketch families (moments +
+    percentile grid) with periodic checkpoint-replays and one injected
+    mid-swap crash each, asserting the final live state still equals a
+    from-scratch recompute row-for-row. The single-cycle replay/crash
+    tests pin each transition once; this pins that the transitions
+    COMPOSE (a replay after a crash after 30 merges is still exact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.streaming.rollup import (
+        finalize_percentile_rollup,
+        finalize_rollup,
+        make_percentile_rollup_batch_fn,
+        make_rollup_batch_fn,
+        percentile_partials,
+        rollup_partials,
+    )
+
+    n_batches = 50
+    base = (
+        spark.range(2000)
+        .selectExpr(
+            "id",
+            "timestamp_ntz '2026-03-01 00:00:00' + make_interval(0,0,0,0,0,0, id*97) AS ts",
+            "CAST(((id * 37) % 1000) AS DOUBLE) / 8.0 AS value",
+        )
+        .persist()
+    )
+    base.count()
+
+    m_state = str(tmp_path / "moments")
+    p_state = str(tmp_path / "pct")
+    os.makedirs(m_state)
+    os.makedirs(p_state)
+    fn = make_rollup_batch_fn(spark, m_state, "value")
+    pfn = make_percentile_rollup_batch_fn(spark, p_state, "value")
+
+    for i in range(n_batches):
+        batch = base.where(F.col("id") % n_batches == i)
+        fn(batch, i)
+        pfn(batch, i)
+        if i % 9 == 4:
+            # checkpoint-uncommitted replay: same batch id re-delivered
+            fn(batch, i)
+            pfn(batch, i)
+        if i == 25:
+            # death between the two renames: live displaced, stage lost
+            os.rename(os.path.join(m_state, "live"),
+                      os.path.join(m_state, f"old-{i + 1}"))
+        if i == 37:
+            os.rename(os.path.join(p_state, "live"),
+                      os.path.join(p_state, f"old-{i + 1}"))
+
+    metrics = ["count", "sum", "avg", "stddev", "min", "max"]
+    got_m = _finalized_rows(
+        finalize_rollup(spark.read.parquet(m_state + "/live"), metrics)
+    )
+    want_m = _finalized_rows(
+        finalize_rollup(rollup_partials(base, "value"), metrics)
+    )
+    assert got_m == want_m and len(got_m) > 0
+
+    got_p = _finalized_rows(
+        finalize_percentile_rollup(spark.read.parquet(p_state + "/live"))
+    )
+    want_p = _finalized_rows(
+        finalize_percentile_rollup(percentile_partials(base, "value"))
+    )
+    assert got_p == want_p and len(got_p) > 0
+    base.unpersist()
