@@ -478,22 +478,29 @@ def minhash_lsh_pairs_sql(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
-    """32-bit SimHash over word tokens: bit j = sign(Σ_tokens ±1).
+    """SimHash over word tokens: bit j = sign(Σ_tokens ±1). 60-bit
+    fingerprints by default (r11): the banded candidate join's key domain
+    is carved out of the fingerprint, and the previous 32-bit/byte-band
+    scheme's 1024-key domain made bucket occupancy — and candidate pairs
+    — grow QUADRATICALLY with the corpus (285× wall at ×64 data in the
+    scale rehearsal). 60 md5 bits is what both engines can carry in an
+    int64 (functions h60/h60_sql).
 
     Single-pass plan: explode tokens once, hash each token ONCE, then one
-    hash aggregation carries all 32 per-bit sums (partial+final, map-side
-    combine). An earlier formulation used 32 higher-order ``aggregate``
-    expressions over the token array — Catalyst does not CSE the shared
-    tokenize+md5 subexpression across them, so the text was re-tokenized
-    and re-hashed 32× per row (~40× slower at sf0.1, measured).
+    hash aggregation carries all 60 per-bit sums (partial+final, map-side
+    combine). An earlier formulation used per-bit higher-order
+    ``aggregate`` expressions over the token array — Catalyst does not
+    CSE the shared tokenize+md5 subexpression across them, so the text
+    was re-tokenized and re-hashed once per bit (~40× slower at sf0.1,
+    measured).
     """
     t = _norm_text(F.col(text_col))
     toks = F.filter(F.split(t, r"\W+"), lambda w: F.length(w) > 0)
     ids = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
     tok_hashes = ids.select("id", F.explode("__toks").alias("__w")).select(
-        "id", H.h32(F.col("__w")).alias("h")
+        "id", H.h60(F.col("__w")).alias("h")
     )
     sums = tok_hashes.groupBy("id").agg(
         *[
@@ -516,11 +523,11 @@ def simhash(
     )
 
 
-def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> str:
+def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> str:
     t = _norm_text_sql(text_col)
     th = (
         f"list_transform(list_filter(string_split_regex({t}, '\\W+'), w -> length(w) > 0), "
-        f"w -> {H.h32_sql('w')})"
+        f"w -> {H.h60_sql('w')})"
     )
     bit_terms = []
     for j in range(bits):
@@ -544,41 +551,63 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ radius.
 
-    Banding: 4 bytes per hash — pairs must share ≥1 identical byte-band
-    (pigeonhole guarantees this for hamming ≤ 3 over 4 bands), so the join
-    is an equi-join on (band, byte), never a cross product. ``radius`` is
-    therefore capped at 3: a larger radius would need more/narrower bands,
-    and silently missing qualifying pairs is worse than refusing.
+    Banding (Manku/Jain/Sarma, WWW'07 shape): split the 60-bit
+    fingerprint into 6 blocks of 10 bits; a pair within hamming ≤ r has
+    flipped bits in at most r blocks, so it agrees EXACTLY on some
+    (6 − r)-block combination — index every C(6, 6−r) combination as an
+    equi-join key. At r = 3 that is 20 keys per doc over a 2³⁰ key
+    domain. The previous 4×8-bit byte-banding had a FIXED 1024-key
+    domain, so bucket occupancy — and candidate pairs — grew
+    quadratically with the corpus: the ×64 scale rehearsal measured 285×
+    wall (single-task bucket stragglers); this shape's key domain keeps
+    random collisions rare at any realistic corpus size, with candidate
+    volume driven by true near-dup clusters only. ``radius`` stays capped
+    at 3 — beyond that the combination count explodes and recall silently
+    degrades on narrower blocks.
     """
     if not 0 <= radius <= 3:
-        raise ValueError(f"radius must be in [0, 3] for 4-band candidates, got {radius}")
+        raise ValueError(
+            f"radius must be in [0, 3] for 6-block-combination candidates, got {radius}"
+        )
+    from itertools import combinations as _combos
+
     # NOTE: the self-join recomputes the signature subplan on both sides;
     # measured, that beats a .cache() here (the InMemoryRelation barrier
     # costs more than the recompute at this signature width). At 100 TB,
     # materialize signatures to a table instead.
     sh = simhash(df, id_col, text_col)
+    combos = list(_combos(range(6), 6 - radius))
+
+    def _key(combo: tuple[int, ...]):
+        k = F.lit(0).cast("long")
+        for pos, blk in enumerate(combo):
+            k = k + (F.shiftright(F.col("simhash"), blk * 10) % 1024) * F.lit(
+                2 ** (10 * pos)
+            )
+        return k
+
     banded = sh.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        (F.shiftright(F.col("simhash"), bi * 8) % 256).alias("byte"),
-                    )
-                    for bi in range(4)
+                    F.struct(F.lit(ci).alias("band"), _key(c).alias("bkey"))
+                    for ci, c in enumerate(combos)
                 ]
             )
         ).alias("__b"),
-    ).select("id", "simhash", "__b.band", "__b.byte")
+    ).select("id", "simhash", "__b.band", "__b.bkey")
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
+        # corpus × corpus equi-join: pinned sort-merge for the same reason
+        # as the jaccard attach joins (compressed-bytes underestimation
+        # under the local 64 MB broadcast threshold)
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .where(ham <= radius)
@@ -590,18 +619,32 @@ def simhash_near_pairs(
 def simhash_near_pairs_sql(
     table: str, id_col: str = "doc_id", text_col: str = "text", radius: int = 3
 ) -> str:
+    """DuckDB twin of :func:`simhash_near_pairs` (same 6×10-bit block
+    combination banding over the 60-bit fingerprint)."""
     if not 0 <= radius <= 3:
-        raise ValueError(f"radius must be in [0, 3] for 4-band candidates, got {radius}")
+        raise ValueError(
+            f"radius must be in [0, 3] for 6-block-combination candidates, got {radius}"
+        )
+    from itertools import combinations as _combos
+
     sh = simhash_sql(table, id_col, text_col)
+    combos = list(_combos(range(6), 6 - radius))
+
+    def _key(combo: tuple[int, ...]) -> str:
+        return " + ".join(
+            f"((simhash >> {blk * 10}) % 1024) * {2 ** (10 * pos)}"
+            for pos, blk in enumerate(combo)
+        )
+
     bands = " UNION ALL ".join(
-        f"SELECT id, simhash, {bi} AS band, (simhash >> {bi * 8}) % 256 AS byte FROM __sh"
-        for bi in range(4)
+        f"SELECT id, simhash, {ci} AS band, {_key(c)} AS bkey FROM __sh"
+        for ci, c in enumerate(combos)
     )
     return (
         f"WITH __sh AS ({sh}), __bd AS ({bands}) "
         f"SELECT a.id AS id_a, b.id AS id_b, "
         f"CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming "
-        f"FROM __bd a JOIN __bd b ON a.band = b.band AND a.byte = b.byte AND a.id < b.id "
+        f"FROM __bd a JOIN __bd b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius} GROUP BY 1, 2"
     )
 

@@ -3279,7 +3279,13 @@ register(
 # generations, io/writer.py), and dedup_ngram_jaccard (candidate
 # generation rebuilt as grouped in-row pair expansion after the x64
 # scale rehearsal OOM'd the self-join's hot-set broadcast; attach joins
-# pinned sort-merge). 4 + 42 + 4 = 50, filling the window exactly.
+# pinned sort-merge) — plus dedup_simhash_pairs, whose banding was
+# rebuilt on 60-bit fingerprints with 6-block-combination keys after the
+# same rehearsal measured the old byte-band scheme's fixed 1024-key
+# domain going quadratic (285x wall at x64). That is 51 candidates for
+# 50 slots: set_intersect_retained_buyers (r8) is the one deferral — its
+# EXCEPT twin set_except_churned_buyers stays in the window and the two
+# share the set-op compilation path; it heads the r12 debt.
 #
 # Inert-change note: components.py gained a LAST_ROUNDS diagnostic global
 # (value-inert) read by the scale rehearsal — dedup_clusters (r9) and
@@ -3328,7 +3334,6 @@ _PROMOTED = [
     "rollup_incremental_daily",
     "sample_weighted_aes",
     "set_except_churned_buyers",
-    "set_intersect_retained_buyers",
     "skew_report_orders",
     "stattest_ks",
     "stattest_mannwhitney",
@@ -3337,6 +3342,7 @@ _PROMOTED = [
     "version_diff_value",
     "zorder_morton_orders",
     # (c) rewritten this round after their latest verdict
+    "dedup_simhash_pairs",
     "corr_matrix_wide",
     "corr_spearman_wide_grid",
     "dedup_ngram_jaccard",
