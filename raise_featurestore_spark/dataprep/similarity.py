@@ -9,9 +9,18 @@
   its own bucket (expected n/2^P of the corpus) before exact scoring.
   Recall can be raised by probing neighbor buckets (bit flips) — the probe
   list is generated driver-side as literals, still one pruned scan.
-- **embedding_near_dup_pairs**: near-duplicate detection — self-equi-join
-  on bucket id, exact cosine ≥ τ within buckets. The same
-  candidate-generation trick as minhash banding, for dense vectors.
+- **embedding_near_dup_pairs**: near-duplicate detection — banded
+  sign-LSH candidates (B bands × r planes each; a pair is a candidate if
+  it agrees on ALL r planes of ANY band), exact cosine ≥ τ on the
+  deduped candidates. The per-band key width r is N-ADAPTIVE: r grows
+  with log2(corpus rows) so the key domain scales with the corpus and
+  expected bucket occupancy stays constant — a FIXED plane count (the
+  pre-r11 design: one band of 6 planes = 64 buckets forever) makes
+  bucket occupancy grow linearly and the within-bucket self-join
+  quadratically, the same fixed-domain ceiling the r11 rehearsal
+  measured for byte-banded simhash. Banding (OR over B bands) keeps
+  recall from collapsing as r grows: P(candidate) = 1-(1-p^r)^B for
+  per-plane agreement p = 1-θ/π.
 
 Hyperplanes are ±1 vectors from ``random.Random(seed)`` — embedded as
 literals into both the Spark plan and the DuckDB oracle SQL, so both
@@ -31,12 +40,80 @@ from raise_featurestore_spark.functions import vector as V
 from raise_featurestore_spark.functions.stable import grid_snap, grid_snap_sql
 
 DEFAULT_PLANES = 6
+# banded near-dup candidates: B fixed bands, per-band width n-adaptive
+DEFAULT_BANDS = 4
+MAX_BAND_WIDTH = 24  # key domain 2^24 ≈ 16.8M per band; clamp point
+_BAND_TARGET_ROWS = 16  # expected bucket occupancy the width formula holds
 
 
 def hyperplanes(dim: int, n_planes: int = DEFAULT_PLANES, seed: int = 13) -> list[list[int]]:
     """n ±1-valued hyperplanes (deterministic, shared with the oracle)."""
     rng = random.Random(seed)
     return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def band_width(n_rows: int) -> int:
+    """Per-band plane count r for an n-row corpus: smallest r with
+    ``_BAND_TARGET_ROWS * 2^r >= n`` (clamped to [4, MAX_BAND_WIDTH]), so
+    expected bucket occupancy n/2^r stays ≤ ~16 at ANY corpus size.
+
+    The oracle derives the SAME r inside SQL from COUNT(*) (see
+    :func:`_band_width_sql`); the ``- 1e-9`` guard absorbs last-ulp log2
+    differences between libms — it can only matter when log2(n/16) sits
+    within 1e-9 of an integer, which for integer n first happens at
+    n ≈ 2^30 · 16, far beyond the clamp point where both engines emit
+    MAX_BAND_WIDTH regardless."""
+    import math
+
+    return max(
+        4,
+        min(
+            MAX_BAND_WIDTH,
+            math.ceil(math.log2(max(n_rows, 1) / float(_BAND_TARGET_ROWS)) - 1e-9),
+        ),
+    )
+
+
+def _band_width_sql(table: str) -> str:
+    """SQL twin of :func:`band_width` over COUNT(*) of ``table``."""
+    return (
+        f"(SELECT GREATEST(4, LEAST({MAX_BAND_WIDTH}, CAST(ceil("
+        f"log2(GREATEST(COUNT(*), 1) / {float(_BAND_TARGET_ROWS)}) - 1e-9) AS INT)))"
+        f" FROM {table})"
+    )
+
+
+def _dot_chain(plane: list[int], elem) -> str:
+    """``± v[0] ± v[1] ± …`` for a ±1 plane — a FLAT left-to-right chain,
+    not a higher-order fold: Spark evaluates it inside whole-stage
+    codegen (an ``aggregate()`` lambda is interpreted per element — the
+    band kernel's first JVM cut spent ~10 s/query on lambda dispatch or
+    janino-overflow interpreted fallback at sf0.1 — the Spark side now
+    computes keys in the Arrow pandas UDF instead), and because every
+    product is an exact sign flip the chain's rounding sequence is
+    identical in any evaluator that accumulates dimension-sequentially —
+    the same bit-equal ±-element-chain contract as the sliced-W1 drift
+    oracle. ``elem(j)`` renders the 0-based element ref (DuckDB
+    ``v[j+1]``)."""
+    terms = [("+ " if c > 0 else "- ") + elem(j) for j, c in enumerate(plane)]
+    first = terms[0][2:] if plane[0] > 0 else "-" + terms[0][2:]
+    return "(" + " ".join([first] + terms[1:]) + ")"
+
+
+def _band_key_expr(plane_slice: list[list[int]], elem) -> str:
+    """Band key = Σ 2^i · [v·h_i > 0] over the slice, as ONE SQL string
+    (string-built: py4j per-node Column construction costs ~0.3 ms/node
+    and the r11 literal-map experiment rejected exactly that class)."""
+    bits = [
+        f"CASE WHEN {_dot_chain(p, elem)} > 0.0 THEN CAST({2 ** i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i, p in enumerate(plane_slice)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _duck_elem(col: str):
+    return lambda j: f"{col}[{j + 1}]"
 
 
 def _lit_array(vals) -> Column:
@@ -493,25 +570,155 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_to: int = 4,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold sharing an LSH bucket (candidate
-    pruning: expected pair count shrinks by ~2^planes vs. all-pairs)."""
-    planes = planes or hyperplanes(dim)
-    with_b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).cast("array<double>").alias("v"),
-        bucket_col(F.col(emb_col), planes).alias("b"),
+    """Pairs with cosine ≥ threshold sharing a banded LSH key: candidate
+    = agrees on ALL r planes of ANY of ``bands`` bands, r n-adaptive
+    (:func:`band_width`), exact cosine on the deduped candidates.
+
+    Scale contract (the r11 rehearsal finding this rebuild answers): the
+    pre-r11 single-band fixed-6-plane design has a FIXED 64-key domain,
+    so bucket occupancy grows linearly with the corpus and the
+    within-bucket self-join quadratically — the same ceiling as
+    byte-banded simhash. Here the per-band key domain is 2^band_width(n)
+    ≥ n/16, so expected occupancy (and per-key join work) is constant at
+    any corpus size; banding keeps recall from collapsing as r grows
+    (P = 1-(1-p^r)^bands).
+
+    All band keys are computed in ONE Arrow pandas-UDF pass (the
+    ivf_assign precedent: per-row work is a dim×(bands·r) sign-matrix
+    product, vectorized over rows — a JVM expression for this is either
+    an interpreted higher-order fold or a janino-overflow flat chain,
+    both measured ~10 s/query at sf0.1). Accumulation is SEQUENTIAL over
+    dimensions (vectorized over rows and planes), so each dot's rounding
+    order is bit-identical to the oracle's left-to-right ± element chain.
+    The banded self-join carries the vectors once and is pinned
+    sort-merge (an array-of-double corpus relation under the broadcast
+    byte threshold decompresses ~10x — the jaccard x64 OOM class); the
+    multi-band duplicates are removed by ONE final DISTINCT after the
+    threshold filter, where the relation is smallest.
+
+    Plan build is EAGER (one count() job) to derive the band width, the
+    same documented posture as compile_correlation's rank maps. Passing
+    explicit ``planes`` keeps the legacy single-band fixed-plane
+    semantics for callers that pinned them."""
+    if planes is not None:
+        with_b = df.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).cast("array<double>").alias("v"),
+            bucket_col(F.col(emb_col), planes).alias("b"),
+        )
+        a, b = with_b.alias("a"), with_b.alias("b")
+        cos = V.cosine_similarity(F.col("a.v"), F.col("b.v"))
+        return (
+            a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                grid_snap(cos, round_to).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    r = band_width(df.count())
+    pool = hyperplanes(dim, bands * MAX_BAND_WIDTH, seed=13)
+    # sign matrix S[j, c]: column c = bit i of band b (c = b*r + i)
+    sign = np.array(
+        [
+            [pool[bd * MAX_BAND_WIDTH + i][j] for bd in range(bands) for i in range(r)]
+            for j in range(dim)
+        ],
+        dtype=np.float64,
     )
-    a, b = with_b.alias("a"), with_b.alias("b")
-    cos = V.cosine_similarity(F.col("a.v"), F.col("b.v"))
+    weights = np.array([1 << i for i in range(r)], dtype=np.int64)
+    n_dim, n_bands = dim, bands
+
+    @F.pandas_udf("array<long>")
+    def _band_keys(col: pd.Series) -> pd.Series:
+        vecs = col.to_numpy()
+        # rows the oracle's ± chain can evaluate to non-NULL/non-NaN: at
+        # least dim elements (extras ignored by both sides), none missing
+        # — anything else yields key 0 in BOTH engines (NULL/NaN chain
+        # never satisfies > 0, so every CASE arm contributes 0)
+        ok = np.array(
+            [
+                u is not None
+                and len(u) >= n_dim
+                and not pd.isna(np.asarray(u[:n_dim], dtype=np.float64)).any()
+                for u in vecs
+            ],
+            dtype=bool,
+        )
+        keys = np.zeros((len(vecs), n_bands), dtype=np.int64)
+        if ok.any():
+            mat = np.stack(
+                [np.asarray(u[:n_dim], dtype=np.float64) for u in vecs[ok]]
+            )
+            acc = np.zeros((mat.shape[0], sign.shape[1]))
+            for j in range(n_dim):  # sequential over dims = oracle's ± chain order
+                acc += mat[:, j : j + 1] * sign[j][None, :]
+            bits = (acc > 0.0).reshape(mat.shape[0], n_bands, -1)
+            keys[ok] = bits @ weights
+        return pd.Series(list(keys), dtype=object)
+
+    @F.pandas_udf("double")
+    def _pair_cos(ca: pd.Series, cb: pd.Series) -> pd.Series:
+        """cos = a·b / (‖a‖·‖b‖) with the SAME operation sequence as
+        V.cosine_similarity / list_cosine_similarity (sequential mul+add
+        over dims from 0.0, sqrt each norm, multiply, divide — each step
+        single-rounded), vectorized over the batch; NULL when either
+        norm is 0 or a vector is malformed (matching the JVM fold's NULL
+        propagation). The HOF fold it replaces cost ~100 interpreted
+        lambda dispatches per pair — ~6 s/query on sf0.1's candidates."""
+        av, bv = ca.to_numpy(), cb.to_numpy()
+        ok = np.zeros(len(av), dtype=bool)
+        fa, fb = [], []
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None or y is None or len(x) != n_dim or len(y) != n_dim:
+                continue
+            try:
+                fa.append(np.asarray(x, dtype=np.float64))
+                fb.append(np.asarray(y, dtype=np.float64))
+            except (TypeError, ValueError):
+                continue
+            ok[i] = True
+        out = np.full(len(av), None, dtype=object)
+        if ok.any():
+            A, B = np.stack(fa), np.stack(fb)
+            d = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for j in range(n_dim):  # sequential over dims = the fold's order
+                d += A[:, j] * B[:, j]
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+            sna, snb = np.sqrt(na), np.sqrt(nb)
+            valid = (sna > 0) & (snb > 0)
+            with np.errstate(all="ignore"):
+                cosv = d / (sna * snb)
+            out[ok] = [float(c) if m else None for c, m in zip(cosv, valid)]
+        return pd.Series(out, dtype=object)
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
+    )
+    keyed = base.select(
+        "id", "v", F.posexplode(_band_keys("v")).alias("band", "key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b.hint("merge"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            grid_snap(cos, round_to).alias("cosine"),
+            grid_snap(_pair_cos(F.col("a.v"), F.col("b.v")), round_to).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 
@@ -523,14 +730,40 @@ def embedding_near_dup_pairs_sql(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_to: int = 4,
+    bands: int = DEFAULT_BANDS,
 ) -> str:
-    planes = planes or hyperplanes(dim)
-    b = bucket_sql(f"CAST({emb_col} AS DOUBLE[])", planes)
-    src = f"(SELECT {id_col} AS id, CAST({emb_col} AS DOUBLE[]) AS v, {b} AS b FROM {table}) "
+    """DuckDB twin. The static SQL cannot know the corpus size, so each
+    band's FULL MAX_BAND_WIDTH-bit key is computed and masked down to the
+    low band_width(COUNT(*)) bits — bit-identical to the Spark side
+    building only the first r planes (bit i of the masked key = plane i
+    of the band's pool slice in both engines)."""
+    if planes is not None:
+        b = bucket_sql(f"CAST({emb_col} AS DOUBLE[])", planes)
+        src = f"(SELECT {id_col} AS id, CAST({emb_col} AS DOUBLE[]) AS v, {b} AS b FROM {table}) "
+        cos = "list_cosine_similarity(a.v, b.v)"
+        return (
+            f"SELECT a.id AS id_a, b.id AS id_b, {grid_snap_sql(cos, round_to)} AS cosine "
+            f"FROM {src} a JOIN {src} b ON a.b = b.b AND a.id < b.id "
+            f"WHERE {grid_snap_sql(cos, round_to)} >= {threshold}"
+        )
+    pool = hyperplanes(dim, bands * MAX_BAND_WIDTH, seed=13)
+    arms = " UNION ALL ".join(
+        f"SELECT id, v, {bd} AS band, "
+        + _band_key_expr(
+            pool[bd * MAX_BAND_WIDTH : (bd + 1) * MAX_BAND_WIDTH], _duck_elem("v")
+        )
+        + " & (SELECT mask FROM __w) AS key FROM __src"
+        for bd in range(bands)
+    )
     cos = "list_cosine_similarity(a.v, b.v)"
     return (
-        f"SELECT a.id AS id_a, b.id AS id_b, {grid_snap_sql(cos, round_to)} AS cosine "
-        f"FROM {src} a JOIN {src} b ON a.b = b.b AND a.id < b.id "
+        f"WITH __w AS (SELECT (CAST(1 AS BIGINT) << {_band_width_sql(table)}) - 1 AS mask), "
+        f"__src AS (SELECT {id_col} AS id, CAST({emb_col} AS DOUBLE[]) AS v FROM {table}), "
+        f"__keys AS ({arms}) "
+        f"SELECT DISTINCT a.id AS id_a, b.id AS id_b, "
+        f"{grid_snap_sql(cos, round_to)} AS cosine "
+        f"FROM __keys a JOIN __keys b "
+        f"ON a.band = b.band AND a.key = b.key AND a.id < b.id "
         f"WHERE {grid_snap_sql(cos, round_to)} >= {threshold}"
     )
 
@@ -600,11 +833,10 @@ def semantic_dedup_clusters(
     ``labels.where(node != cluster)`` is the drop set and the keepers are
     one representative per semantic group.
 
-    Scale: pair generation is bucketed (no all-pairs join); CC is the
-    same shuffles-per-round plan as ``dedup_clusters``. At 100 TB the
-    bucket width (n planes) is the knob: more planes → fewer candidate
-    pairs and a recall/width trade identical to the banded-LSH one
-    documented in dedup.minhash_lsh_pairs."""
+    Scale: pair generation is banded n-adaptive LSH (no all-pairs join,
+    key domain grows with the corpus — see
+    :func:`embedding_near_dup_pairs`); CC is the same shuffles-per-round
+    plan as ``dedup_clusters``."""
     pairs = embedding_near_dup_pairs(
         df, threshold=threshold, planes=planes, dim=dim,
         id_col=id_col, emb_col=emb_col,

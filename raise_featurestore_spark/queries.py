@@ -3270,7 +3270,8 @@ register(
 # Round-11 rotation (VERDICT r10 item 1), exactly rotation_audit's r11
 # debt head: (a) the 4 r7-latest deferrals from the r10 window
 # (agg_global_stats_approx, expr_case_when, vector_norm_dot,
-# dedup_exact_keepers); (b) all 42 r8-latest entries; (c) the 4 queries
+# dedup_exact_keepers); (b) 39 of the 42 r8-latest entries (the other 3
+# defer to r12, below); (c) the 7 queries
 # whose r11 rewrite postdates their latest verdict — corr_matrix_wide
 # (fused single-aggregate pearson+spearman plan,
 # analytics/correlation.correlation_matrix_dual), corr_spearman_wide_grid
@@ -3282,15 +3283,25 @@ register(
 # pinned sort-merge) — plus dedup_simhash_pairs, whose banding was
 # rebuilt on 60-bit fingerprints with 6-block-combination keys after the
 # same rehearsal measured the old byte-band scheme's fixed 1024-key
-# domain going quadratic (285x wall at x64). That is 51 candidates for
-# 50 slots: set_intersect_retained_buyers (r8) is the one deferral — its
-# EXCEPT twin set_except_churned_buyers stays in the window and the two
-# share the set-op compilation path; it heads the r12 debt.
+# domain going quadratic (285x wall at x64), and dedup_embedding_cosine
+# + semantic_dedup_clusters, whose shared pair kernel was rebuilt on
+# banded n-adaptive sign-LSH after the 4th rehearsal sweep caught the
+# same fixed-domain ceiling (one band of 6 planes = 64 buckets forever)
+# hanging at x64. That is 53 candidates for 50 slots; the three
+# deferrals, each with a shared-path twin staying in the window plus an
+# independent pytest pin, head the r12 debt:
+# set_intersect_retained_buyers (r8; EXCEPT twin
+# set_except_churned_buyers stays, shared set-op compilation),
+# join_anti_inactive_customers (r8; EXISTS twin
+# join_semi_high_value_customers stays, shared semi/anti path), and
+# outlier_flags_zscore (r8; outlier_flags_iqr + agg_winsorized_price
+# stay, shared fused snapped-bounds path in analytics/outliers.py).
 #
 # Inert-change note: components.py gained a LAST_ROUNDS diagnostic global
-# (value-inert) read by the scale rehearsal — dedup_clusters (r9) and
-# semantic_dedup_clusters (r10) keep their verdicts and head the r12
-# rotation debt with the 48 other r9-latest entries.
+# (value-inert) read by the scale rehearsal — dedup_clusters (r9) keeps
+# its verdict and heads the r12 rotation debt with the other r9-latest
+# entries (semantic_dedup_clusters, originally in this note, was later
+# rewritten by the 4th rehearsal sweep and is windowed under (c)).
 # --------------------------------------------------------------------------
 
 _PROMOTED = [
@@ -3319,7 +3330,6 @@ _PROMOTED = [
     "feature_standardize_z",
     "forecast_backtest_naive",
     "funnel_signup_view_purchase",
-    "join_anti_inactive_customers",
     "join_cardinality_events",
     "join_semi_high_value_customers",
     "linkage_fuzzy_part_names",
@@ -3327,7 +3337,6 @@ _PROMOTED = [
     "lookup_sample_events",
     "mix_recipe_budget",
     "outlier_flags_iqr",
-    "outlier_flags_zscore",
     "profile_table_events",
     "quality_fk_integrity",
     "quality_orders",
@@ -3347,6 +3356,8 @@ _PROMOTED = [
     "corr_spearman_wide_grid",
     "dedup_ngram_jaccard",
     "job_upsert_merge",
+    "dedup_embedding_cosine",
+    "semantic_dedup_clusters",
 ]
 
 

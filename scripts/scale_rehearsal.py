@@ -133,12 +133,22 @@ def inflate(spark, src: str, dst: str, factor: int) -> None:
         ),
     )
     emb = load_table(spark, src, "embeddings")
+    # Per-replica SIGN-FLIP isometry, not a nudge: multiplying component i
+    # of replica r by s(r,i) ∈ {±1} (r=0 keeps the base corpus bit-exact)
+    # preserves every WITHIN-replica inner product exactly (s_i² = 1), so
+    # each replica carries the base data's true near-dup structure, while
+    # CROSS-replica cosines become Rademacher averages ≈ 0 — the first
+    # run of the 4th sweep showed the old first-component 0.001 nudge
+    # leaves all F copies of a vector mutual near-dups, so the semantic
+    # dedup graph densifies quadratically BY DATA (the same property the
+    # document salt interleaving fixes for the text dedup family).
     write(
         "embeddings",
         emb.crossJoin(spark.range(factor).select(F.col("id").alias("__r"))).select(
             (F.col("vec_id") + F.col("__r") * uk).alias("vec_id"),
             F.expr(
-                "transform(embedding, (x, i) -> CAST(x + IF(i = 0, __r * 0.001, 0.0) AS FLOAT))"
+                "transform(embedding, (x, i) -> CAST(x * IF(__r = 0, 1.0,"
+                " IF(pmod(hash(__r, i), 2) = 0, 1.0, -1.0)) AS FLOAT))"
             ).alias("embedding"),
             "label",
         ),

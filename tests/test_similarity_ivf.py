@@ -164,3 +164,65 @@ def test_assignment_binding_signature(emb, cents):
     # assigned=True asserts the binding: requires the column to exist
     with pytest.raises(ValueError, match="assigned=True"):
         ivf_topk(emb, QUERY, cents, k=5, nprobe=2, assigned=True)
+
+
+def test_band_width_formula_cross_engine():
+    """The banded near-dup kernel derives its per-band key width r from
+    COUNT(*) in BOTH engines (Python eagerly, the oracle inside SQL) —
+    the two formulas must agree at every boundary or the bucket keys
+    diverge and every pair silently disappears. Sweep n across the
+    clamp points, each power-of-two boundary, and off-by-one neighbors."""
+    import duckdb
+
+    from raise_featurestore_spark.dataprep.similarity import (
+        MAX_BAND_WIDTH,
+        _band_width_sql,
+        band_width,
+    )
+
+    assert band_width(0) == 4
+    assert band_width(16 * 2**4) == 4          # exactly at the r=4 capacity
+    assert band_width(16 * 2**4 + 1) == 5      # first row past it
+    assert band_width(2000) == 7
+    assert band_width(16 * 2**24) == MAX_BAND_WIDTH
+    assert band_width(10**12) == MAX_BAND_WIDTH  # clamped at any corpus
+
+    con = duckdb.connect()
+    ns = [0, 1, 15, 16, 17, 255, 256, 257, 500, 2000, 65535, 65536, 65537]
+    ns += [16 * 2**r for r in range(2, 26)] + [16 * 2**r + 1 for r in range(2, 26)]
+    for n in ns:
+        con.execute(f"CREATE OR REPLACE VIEW __t AS SELECT * FROM range({n})")
+        got = con.execute(f"SELECT {_band_width_sql('__t')}").fetchone()[0]
+        assert got == band_width(n), f"n={n}: sql {got} != py {band_width(n)}"
+
+
+def test_banded_pairs_scale_domain(spark):
+    """The r11 fixed-domain finding, pinned as a property: the banded
+    kernel's candidate key domain must GROW with the corpus (band_width
+    strictly increases past each 16·2^r boundary), and the pair output
+    must stay a subset of brute-force truth with every emitted cosine
+    above threshold."""
+    from pyspark.sql import functions as F
+
+    from raise_featurestore_spark.dataprep.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    assert pairs, "fixture corpus has near-dup structure at 0.45"
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.45
+        assert abs(cos(vecs[r.id_a], vecs[r.id_b]) - r.cosine) < 1e-3
+    # no duplicate pairs despite multi-band candidate generation
+    keys = [(r.id_a, r.id_b) for r in pairs]
+    assert len(keys) == len(set(keys))
