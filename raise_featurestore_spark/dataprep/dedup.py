@@ -152,7 +152,7 @@ def jaccard_pairs(
     if persist_shingles:
         sh = sh.persist()
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    # SORT-MERGE, not broadcast, for the df-cap join: df_counts is the
+    # SORT-MERGE, not broadcast, for the df-attach join: df_counts is the
     # corpus's DISTINCT-shingle relation — Catalyst's size estimate reads
     # it as broadcastable at toy scale, but it grows linearly with the
     # corpus and the x64 scale rehearsal killed the driver building the
@@ -162,10 +162,17 @@ def jaccard_pairs(
     # thrashed at x64 — 32 concurrent in-heap builds of a corpus-scale
     # relation is the same unbounded-memory bet as the broadcast, one
     # level down. This is the join shape a 100 TB corpus needs anyway.
-    rare = sh.join(
-        df_counts.where(F.col("__df") <= max_df).hint("merge"), "sh"
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    #
+    # The join keeps EVERY shingle row (the cap becomes an in-row
+    # condition) so that ONE groupBy(id) computes both the full set size
+    # sz and the rare sorted array — the r11-opt fold of the old separate
+    # sizes = sh.groupBy(id) aggregation, which paid a second pass over
+    # the persisted shingle frame. The rare condition sits INSIDE
+    # collect_list as a WHEN (collect_list skips nulls), so the partial
+    # aggregate drops common shingles map-side and the exchange ships
+    # only rare structs plus the partial counts — not the full corpus of
+    # struct rows a post-collect filter would.
+    flagged = sh.join(df_counts.hint("merge"), "sh")
 
     # Prefix filtering (the PPJoin family's candidate pruning): order each
     # doc's rare shingles by a GLOBAL (df asc, sh) order and index only the
@@ -181,14 +188,21 @@ def jaccard_pairs(
     # rounded before the threshold compare.
     t_eff = max(threshold - 1e-3, 0.0)
     doc_sets = (
-        rare.groupBy("id")
+        flagged.groupBy("id")
         .agg(
+            F.count(F.lit(1)).alias("sz"),
             F.transform(
-                F.sort_array(F.collect_list(F.struct("__df", "sh"))), lambda x: x["sh"]
-            ).alias("arr")
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__df") <= max_df, F.struct("__df", "sh"))
+                    )
+                ),
+                lambda x: x["sh"],
+            ).alias("arr"),
         )
         .select(
             "id",
+            "sz",
             "arr",
             F.slice(
                 "arr",
@@ -201,11 +215,12 @@ def jaccard_pairs(
         )
     )
     if persist_shingles:
-        # consumed twice (prefix index + candidate verification); one
-        # compact row per doc. At 100 TB this frame IS the signature store —
-        # materialize it to a table instead (same note as simhash below).
+        # consumed three times (prefix index + slim size filter + array
+        # verification); one compact row per doc. At 100 TB this frame IS
+        # the signature store — materialize it to a table instead (same
+        # note as simhash below).
         doc_sets = doc_sets.persist()
-    pref = doc_sets.select("id", F.explode("prefix").alias("sh"))
+    pref = doc_sets.select("id", F.posexplode("prefix").alias("pos", "sh"))
 
     # Candidate generation: ONE groupBy over the prefix index. Each
     # shingle's posting list is ≤ max_df ids (the df cap upstream), so
@@ -214,42 +229,74 @@ def jaccard_pairs(
     # bounded at C(max_df, 2) per group, so no salting, no hot-set
     # broadcast, and HALF the shuffled index volume of the self-join
     # shape this replaced (whose skew/broadcast machinery the x64 scale
-    # rehearsal broke twice — see the docstring).
+    # rehearsal broke twice — see the docstring). Pairs carry the PREFIX
+    # POSITIONS of the colliding shingle in both docs; the groupBy that
+    # dedups candidate pairs keeps the minimum position per side, feeding
+    # the positional filter below (r11-opt; replaces a plain
+    # dropDuplicates at identical shuffle shape).
     cand = (
         pref.groupBy("sh")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.collect_list(F.struct("pos", "id")).alias("ids"))
         .where(F.size("ids") >= 2)
         .select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) -> transform("
                     "slice(ids, i + 2, size(ids)), "
-                    "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                    "y -> IF(x.id < y.id, "
+                    "struct(x.id AS id_a, y.id AS id_b, x.pos AS pa, y.pos AS pb), "
+                    "struct(y.id AS id_a, x.id AS id_b, y.pos AS pa, x.pos AS pb)))))"
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("p.id_a", "p.id_b", "p.pa", "p.pb")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
     )
-    # PPJoin length prefilter BEFORE the in-row verification: jaccard ≥ t
-    # needs inter ≥ t·union ≥ t·max(|A|,|B|), and inter ≤ min(|A|,|B|), so
-    # min ≥ t·max is necessary. Joining the (tiny int) size frames first
-    # and filtering drops most surviving candidates before they ever carry
-    # the two shingle ARRAYS through a join — the arrays are ~100× wider
-    # than the id+size rows, so this is the cheap half of verification.
+    # PPJoin prefilters BEFORE the in-row verification, on slim int rows
+    # (id, sz, rsz) only — candidates must survive BOTH before they ever
+    # carry a shingle ARRAY through a join (the arrays are ~100× wider
+    # than the int rows, and the id_b attach exchange used to ship arr_a
+    # for every unfiltered candidate — 250 MB of the old plan's shuffle):
+    # 1. length filter: jaccard ≥ t needs inter ≥ t·union ≥ t·max(|A|,|B|)
+    #    and inter ≤ min(|A|,|B|), so min ≥ t·max is necessary.
+    # 2. positional filter (PPJoin-family, set-based form): both rare
+    #    arrays are sorted by the same global (df, sh) order, so for the
+    #    min-position colliding shingle s (pa in A; its position in B is
+    #    ≥ pb), common shingles before s number ≤ pa and common shingles
+    #    after s number ≤ min(rsz_a − 1 − pa, rsz_b − 1 − pb); with the
+    #    symmetric argument via B's pivot:
+    #      inter ≤ min(pa, pb) + 1 + min(rsz_a − 1 − pa, rsz_b − 1 − pb).
+    #    (NOT the classic scan-time 1 + suffix bound — with independent
+    #    per-side min positions a common shingle can sit in A's prefix
+    #    but B's suffix and precede the first collision, so the
+    #    min(pa, pb) headroom term is required for soundness.)
+    #    Jaccard ≥ t over FULL sizes needs inter ≥ t·(sz_a + sz_b)/(1+t);
+    #    candidates whose positional bound can't reach that are dropped.
+    #    Both filters are conservative (t_eff ≤ t), so the emitted pair
+    #    set is unchanged — the DuckDB twin needs no mirror.
     # All four attach joins pair corpus-scale relations and are pinned
     # sort-merge: under the local session's 64 MB broadcast threshold the
     # optimizer read their COMPRESSED shuffle bytes as broadcastable (the
     # array frame decompresses ~10× as a hash relation) and the x64
     # rehearsal OOM'd the driver; SMJ spills instead, and is the plan a
     # default-threshold cluster picks anyway.
+    slim = doc_sets.select("id", "sz", F.size("arr").alias("rsz"))
     arrs = doc_sets.select("id", "arr")
+    required = F.lit(t_eff) / F.lit(1.0 + t_eff) * (F.col("sz_a") + F.col("sz_b"))
     out = (
-        cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a").hint("merge"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b").hint("merge"), "id_b")
+        cand.join(slim.toDF("id_a", "sz_a", "rsz_a").hint("merge"), "id_a")
+        .join(slim.toDF("id_b", "sz_b", "rsz_b").hint("merge"), "id_b")
         .where(
-            F.least("sz_a", "sz_b")
-            >= F.lit(t_eff) * F.greatest("sz_a", "sz_b")
+            (F.least("sz_a", "sz_b") >= F.lit(t_eff) * F.greatest("sz_a", "sz_b"))
+            & (
+                F.least("pa", "pb")
+                + 1
+                + F.least(
+                    F.col("rsz_a") - 1 - F.col("pa"), F.col("rsz_b") - 1 - F.col("pb")
+                )
+                >= required
+            )
         )
         .join(arrs.withColumnRenamed("id", "id_a").withColumnRenamed("arr", "arr_a").hint("merge"), "id_a")
         .join(arrs.withColumnRenamed("id", "id_b").withColumnRenamed("arr", "arr_b").hint("merge"), "id_b")

@@ -346,6 +346,52 @@ def test_jaccard_hot_prefix_shingle_grouped_pairs_same_results(spark):
     assert "collect_list" in plan and "slice" in plan, plan
 
 
+def test_jaccard_positional_filter_differential_fuzz(spark):
+    """The r11 positional prefilter (min prefix-match positions bounding
+    the rare intersection BEFORE the array attach) must be conservative:
+    seeded random corpora with heavy shared fragments, swept across
+    thresholds, must emit exactly the oracle's pair set. Low thresholds
+    make prefixes long and the positional prune aggressive — the regime
+    where an unsound bound (e.g. dropping the min(pa, pb) headroom term
+    for common shingles that collide in only one side's prefix) loses
+    qualifying pairs."""
+    import random
+
+    import duckdb
+
+    from raise_featurestore_spark.dataprep.dedup import jaccard_pairs, jaccard_pairs_sql
+
+    rng = random.Random(1105)
+    frags = ["".join(rng.choices("abcdefgh ", k=18)) for _ in range(12)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(2, 5)
+        body = "".join(rng.sample(frags, k)) + "".join(rng.choices("xyzuvw ", k=rng.randint(0, 12)))
+        rows.append((i, body))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for threshold in (0.3, 0.5, 0.7):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(
+                df, threshold=threshold, max_df=30, persist_shingles=False
+            ).collect()
+        }
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.sql(
+                jaccard_pairs_sql("docs", threshold=threshold, max_df=30)
+            ).fetchall()
+        }
+        assert got == pytest.approx(want), f"threshold={threshold}"
+        if threshold == 0.3:
+            assert want, "expected pairs at the loosest threshold"
+
+
 def test_quality_filter_rules_semantics(spark):
     """Each rule rejects exactly the documents it should; the kept set is
     the conjunction; the report counts match the filter output."""
