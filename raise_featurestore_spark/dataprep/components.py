@@ -42,11 +42,16 @@ from pyspark.sql import functions as F
 LAST_ROUNDS: int = -1
 
 
-def _half_round(edges: DataFrame, large: bool) -> DataFrame:
+def _half_round(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star or small-star contraction.
 
     Input/output edges are oriented (u, v) with v < u except for the raw
-    first input, which may be arbitrary. Output is deduplicated.
+    first input, which may be arbitrary. Output is deduplicated when
+    ``dedup`` — the large-star half passes ``dedup=False`` (r11-opt):
+    duplicate edges do not change the small-star half's min aggregates or
+    its output SET, and the round-final distinct dedups anyway, so the
+    intermediate distinct was one whole exchange of the edge frame per
+    round for nothing.
     """
     if large:
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -67,7 +72,8 @@ def _half_round(edges: DataFrame, large: bool) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins.select(F.col("u").alias("u"), F.col("m").alias("v")))
         )
-    return out.where(F.col("u") != F.col("v")).distinct()
+    out = out.where(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def connected_components(
@@ -91,7 +97,11 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy like the per-round checkpoints: the first convergence check
+        # materializes the (expensive) pair generation as part of its own
+        # job; the aggregate computes every partition, so the checkpoint
+        # completes in that same job.
+        .localCheckpoint(eager=False)
     )
     # nodes AFTER the checkpoint: the pair generator upstream (minhash,
     # shingling, ...) is the expensive part and must run exactly once.
@@ -133,8 +143,13 @@ def connected_components(
             break
         if i == max_iter:
             raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-        e = _half_round(_half_round(e, large=True), large=False)
-        e = e.localCheckpoint(eager=True)
+        e = _half_round(_half_round(e, large=True, dedup=False), large=False)
+        # LAZY checkpoint (r11-opt): the next loop iteration's convergence
+        # check is the first action on e and materializes the checkpoint as
+        # part of its own job — eager=True paid a separate materialization
+        # job per round (two driver-blocking jobs per round instead of one)
+        # for the same lineage truncation.
+        e = e.localCheckpoint(eager=False)
     labels = e.groupBy("u").agg(F.min("v").alias("cluster"))
     return (
         nodes.join(labels, "u", "left")

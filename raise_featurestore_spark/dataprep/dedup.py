@@ -546,7 +546,13 @@ def simhash(
     t = _norm_text(F.col(text_col))
     toks = F.filter(F.split(t, r"\W+"), lambda w: F.length(w) > 0)
     ids = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
-    tok_hashes = ids.select("id", F.explode("__toks").alias("__w")).select(
+    # explode_OUTER keeps token-less docs as one NULL-hash row (r11-opt):
+    # h60(NULL) is NULL, every bit condition is then NULL → the -1 arm, so
+    # all 60 sums come out negative and the fingerprint is 0 — exactly
+    # what the old  ids LEFT JOIN sums  + coalesce(sh, 0) produced, minus
+    # one whole source scan and an id-scale join+exchange per call site
+    # (this subplan runs on BOTH sides of the banded self-join).
+    tok_hashes = ids.select("id", F.explode_outer("__toks").alias("__w")).select(
         "id", H.h60(F.col("__w")).alias("h")
     )
     sums = tok_hashes.groupBy("id").agg(
@@ -562,12 +568,7 @@ def simhash(
         for j in range(bits)
     ]
     sh = sum(bit_cols[1:], bit_cols[0])
-    # left join keeps token-less docs (explode drops them): sign(0) ⇒ 0
-    return (
-        ids.select("id")
-        .join(sums, "id", "left")
-        .select("id", F.coalesce(sh, F.lit(0).cast("long")).alias("simhash"))
-    )
+    return sums.select("id", sh.alias("simhash"))
 
 
 def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> str:
