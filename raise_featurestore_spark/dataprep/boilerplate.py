@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 from raise_featurestore_spark.dataprep.dedup import _norm_text, _norm_text_sql
 
 
-def _word_grams(text_col: Column, n: int) -> Column:
-    """Distinct word n-grams of the normalized text (empty if < n tokens)."""
-    toks = F.filter(F.split(_norm_text(text_col), r"\s+"), lambda w: F.length(w) > 0)
+def _word_grams(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from a PRE-PROJECTED token array (empty if
+    < n tokens). The caller must materialize the token array as its own
+    column first (r11-opt): referencing a split-of-normalized-text
+    expression inside the transform lambda re-evaluates the whole
+    tokenize per gram position — O(tokens²) work per doc, the same
+    per-element-recompute class measured and fixed in dedup.shingles."""
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -61,7 +65,12 @@ def mine_boilerplate(
 ) -> DataFrame:
     """Top-``top_k`` word ``n``-grams appearing in ≥ ``min_df`` distinct
     documents, ordered by document frequency (gram string tiebreak)."""
-    grams = df.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
+    toks = df.select(
+        F.filter(
+            F.split(_norm_text(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+        ).alias("__toks")
+    )
+    grams = toks.select(F.explode(_word_grams(F.col("__toks"), n)).alias("gram"))
     counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     return (
         counted.where(F.col("df") >= min_df)

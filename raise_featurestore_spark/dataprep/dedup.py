@@ -86,14 +86,25 @@ def exact_duplicates_sql(
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_NGRAM
 ) -> DataFrame:
-    """(id, shingle-hash) pairs — distinct character n-grams per doc."""
-    t = _norm_text(F.col(text_col))
+    """(id, shingle-hash) pairs — distinct character n-grams per doc.
+
+    The normalized text is PROJECTED once per row before the gram
+    transform (r11-opt): referencing ``lower(trim(text))`` inside the
+    lambda re-evaluates it per element — one full lowered copy of the
+    document per shingle position, O(len²) bytes per doc (measured
+    0.43–0.46 → 0.29–0.30 s for the sf0.1 shingle pass, identical
+    hashes).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _norm_text(F.col(text_col)).alias("__t")
+    )
+    t = F.col("__t")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
         lambda i: F.substring(t, F.lit(1) + i, n),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         F.explode(F.array_distinct(grams)).alias("shingle"),
     ).select("id", H.h32(F.col("shingle")).alias("sh"))
 

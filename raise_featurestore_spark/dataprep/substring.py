@@ -60,8 +60,15 @@ def window_hashes(
     chosen for bit-exact cross-engine parity with DuckDB's string_split
     (both keep empty tokens on repeated spaces), not linguistic fidelity.
     """
-    t = F.lower(F.trim(F.col(text_col)))
-    toks = F.split(t, " ")
+    # token array PROJECTED before the window transform (r11-opt): a
+    # split expression referenced inside the lambda re-tokenizes the doc
+    # once per window position — O(tokens²) per doc (the shingles /
+    # word-grams per-element-recompute class).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     grams = F.when(
         n >= window,
@@ -71,7 +78,7 @@ def window_hashes(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram"))
+        base.select("id", F.posexplode(grams).alias("pos", "gram"))
         .select("id", "pos", H.h60(F.col("gram")).alias("gh"))
     )
 

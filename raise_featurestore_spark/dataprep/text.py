@@ -194,13 +194,20 @@ def fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: min 32-bit hash over character
     n-gram windows of the normalized text."""
-    t = F.lower(F.trim(F.col(text_col)))
+    # normalized text PROJECTED once per row (r11-opt): referencing the
+    # lower(trim(...)) expression inside the gram lambda re-lowercases
+    # the whole document per gram position — O(len²) bytes per doc (the
+    # dedup.shingles per-element-recompute class).
+    base = df.select(
+        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__t")
+    )
+    t = F.col("__t")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
         lambda i: F.substring(t, F.lit(1) + i, n),
     )
     fp = F.array_min(F.transform(grams, lambda g: H.h32(g)))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return base.select(F.col(id_col), fp.alias("fingerprint"))
 
 
 def fingerprint_sql(table: str, id_col: str = "doc_id", text_col: str = "text", n: int = 8) -> str:
