@@ -496,8 +496,8 @@ def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame
 
 
 def _grid_rank_tables(
-    snapped: DataFrame, features: list[str]
-) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    snapped: DataFrame, features: list[str], with_raw_bounds: bool = False
+):
     """Collect the per-feature snapped-value → average-rank maps.
 
     The value→rank tables are GRID-bounded (≤ cells rows — ~12k total
@@ -517,18 +517,50 @@ def _grid_rank_tables(
     cold / 2.0 s warm at sf0.1 vs 2.8 s cold / 1.8 s warm for this
     all-JVM pass (a mapInPandas np.unique variant measured in between:
     Python-worker spin-up dominated its cold time).
+
+    ``with_raw_bounds`` (r11-opt, the dual-matrix caller): the input
+    frame additionally carries ``__raw_{i}`` columns (the un-snapped
+    doubles, same index order as ``features``); the SAME cell aggregate
+    also folds per-cell min/max of the raw value, so the pearson
+    constant-guard bounds come out of this collect as plan-time
+    literals — the separate ``_feature_bounds`` pass over the cached
+    base and its 1-row broadcast crossJoin disappear from the main
+    action. Returns ``(tables, bounds)`` with
+    ``bounds[ft] = (raw_min, raw_max)``; IEEE min/max is exact, so the
+    literal bounds equal the old aggregate's bit-for-bit.
     """
     k = len(features)
-    stack_expr = ", ".join(f"'{ft}', {ft}" for ft in features)
-    cells = (
-        snapped.selectExpr(f"stack({k}, {stack_expr}) AS (__ft, __val)")
-        .groupBy("__ft", "__val")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .collect()
-    )
+    if with_raw_bounds:
+        stack_expr = ", ".join(
+            f"'{ft}', {ft}, __raw_{i}" for i, ft in enumerate(features)
+        )
+        cells = (
+            snapped.selectExpr(
+                f"stack({k}, {stack_expr}) AS (__ft, __val, __rawv)"
+            )
+            .groupBy("__ft", "__val")
+            .agg(
+                F.count(F.lit(1)).alias("__t"),
+                F.min("__rawv").alias("__mn"),
+                F.max("__rawv").alias("__mx"),
+            )
+            .collect()
+        )
+    else:
+        stack_expr = ", ".join(f"'{ft}', {ft}" for ft in features)
+        cells = (
+            snapped.selectExpr(f"stack({k}, {stack_expr}) AS (__ft, __val)")
+            .groupBy("__ft", "__val")
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .collect()
+        )
     maps: dict[str, list[tuple[float, int]]] = {}
+    bounds: dict[str, tuple[float, float]] = {}
     for r in cells:
         maps.setdefault(r["__ft"], []).append((r["__val"], r["__t"]))
+        if with_raw_bounds:
+            mn, mx = bounds.get(r["__ft"], (r["__mn"], r["__mx"]))
+            bounds[r["__ft"]] = (min(mn, r["__mn"]), max(mx, r["__mx"]))
     tables: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for ft, v in maps.items():
         v.sort()
@@ -538,6 +570,8 @@ def _grid_rank_tables(
         # formula the range-prefix-sum shape computed distributedly)
         rk = np.cumsum(t) - (t - 1.0) / 2.0
         tables[ft] = (vals, np.ascontiguousarray(rk))
+    if with_raw_bounds:
+        return tables, bounds
     return tables
 
 
@@ -672,35 +706,41 @@ def correlation_matrix_dual(
     # the main aggregate read it, so parquet is scanned exactly once.
     base = base.persist()
     snapped_cols = [sig_round(F.col(ft), sig_digits) for ft in features]
-    tables = _grid_rank_tables(
-        base.select(*[c.alias(ft) for c, ft in zip(snapped_cols, features)]),
+    # ONE eager collect builds BOTH the rank maps and the pearson bounds
+    # (r11-opt): the raw doubles ride the same stack → grid-bounded cell
+    # aggregate as extra min/max buffers, so the old `_feature_bounds`
+    # pass over the cached base — a second full pass at action time,
+    # plus a 1-row broadcast crossJoin in the plan — disappears. IEEE
+    # min/max is exact, so the literal bounds (and the (mn+mx)/2
+    # midpoints below) are bit-identical to the aggregate they replace.
+    tables, bounds = _grid_rank_tables(
+        base.select(
+            *[c.alias(ft) for c, ft in zip(snapped_cols, features)],
+            *[F.col(ft).alias(f"__raw_{i}") for i, ft in enumerate(features)],
+        ),
         features,
+        with_raw_bounds=True,
     )
+
     # pearson ANSI constant-feature guard (see _null_constant_features):
-    # 1-row bounds broadcast, constant features become all-NULL columns →
-    # their cells short-circuit to NULL with no division. Healthy columns
-    # are CENTERED by the bounds midpoint in the same projection (pearson
-    # is shift-invariant) — the numerical precondition of the raw-moment
-    # aggregate below; rank columns are centered by their rank-table
-    # midpoint (plan-time literals from the collected grid tables).
-    bounds = _feature_bounds(base, features)
+    # a CONSTANT feature (min == max on the listwise-cleaned frame, or an
+    # empty frame) becomes an all-NULL column → its cells short-circuit
+    # to NULL with no division. Healthy columns are CENTERED by the
+    # bounds midpoint (plan-time literal; pearson is shift-invariant) —
+    # the numerical precondition of the raw-moment aggregate below; rank
+    # columns are centered by their rank-table midpoint the same way.
+    def _p_col(i: int, ft: str):
+        mnmx = bounds.get(ft)
+        if mnmx is None or mnmx[0] == mnmx[1]:
+            return F.lit(None).cast("double").alias(f"__p_{i}")
+        return (F.col(ft) - F.lit((mnmx[0] + mnmx[1]) / 2.0)).alias(f"__p_{i}")
+
     mid_s = []
     for ft in features:
         rk = tables.get(ft, (np.empty(0), np.empty(0)))[1]
         mid_s.append(float((rk[0] + rk[-1]) / 2.0) if rk.size else 0.0)
-    wide = base.crossJoin(F.broadcast(bounds)).select(
-        *[
-            F.when(
-                F.col(f"__mn_{i}").isNull()
-                | (F.col(f"__mn_{i}") == F.col(f"__mx_{i}")),
-                F.lit(None).cast("double"),
-            )
-            .otherwise(
-                F.col(ft) - (F.col(f"__mn_{i}") + F.col(f"__mx_{i}")) / 2
-            )
-            .alias(f"__p_{i}")
-            for i, ft in enumerate(features)
-        ],
+    wide = base.select(
+        *[_p_col(i, ft) for i, ft in enumerate(features)],
         *[
             (_grid_rank_lookup(tables, ft)(snapped_cols[i]) - F.lit(mid_s[i])).alias(
                 f"__s_{i}"
