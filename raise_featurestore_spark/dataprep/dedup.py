@@ -631,9 +631,12 @@ def simhash_near_pairs(
     from itertools import combinations as _combos
 
     # NOTE: the self-join recomputes the signature subplan on both sides;
-    # measured, that beats a .cache() here (the InMemoryRelation barrier
-    # costs more than the recompute at this signature width). At 100 TB,
-    # materialize signatures to a table instead.
+    # measured, that beats BOTH a .cache() (InMemoryRelation barrier) and
+    # a lazy localCheckpoint (re-measured r11-opt after the explode_outer
+    # fold: 15-33 s vs 3.2-3.9 s isolated — the ExistingRDD scan breaks
+    # whole-stage codegen on both join inputs and the band explode +
+    # SMJ sort run interpreted). At 100 TB, materialize signatures to a
+    # table instead.
     sh = simhash(df, id_col, text_col)
     combos = list(_combos(range(6), 6 - radius))
 
