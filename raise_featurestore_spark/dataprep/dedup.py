@@ -226,50 +226,76 @@ def jaccard_pairs(
         )
     )
     if persist_shingles:
-        # consumed three times (prefix index + slim size filter + array
-        # verification); one compact row per doc. At 100 TB this frame IS
-        # the signature store — materialize it to a table instead (same
-        # note as simhash below).
+        # consumed twice (prefix index + array verification); one compact
+        # row per doc. At 100 TB this frame IS the signature store —
+        # materialize it to a table instead (same note as simhash below).
         doc_sets = doc_sets.persist()
-    pref = doc_sets.select("id", F.posexplode("prefix").alias("pos", "sh"))
+    # The prefix rows CARRY the doc's (sz, rsz) ints (r12-opt): candidate
+    # pairs inherit both sides' size metadata straight from the in-row
+    # expansion, so the two slim (id, sz, rsz) SMJ attach joins — two
+    # sorted exchanges of the candidate frame plus two of the doc frame —
+    # disappear outright (guide §2.3 ship metadata, §2.4 remove
+    # shuffles). Cost: +8 bytes on each prefix-index row and +16 on each
+    # pre-dedup candidate occurrence, orders below the removed join
+    # machinery at any scale.
+    pref = doc_sets.select(
+        "id", "sz", F.size("arr").alias("rsz"), F.posexplode("prefix").alias("pos", "sh")
+    )
 
     # Candidate generation: ONE groupBy over the prefix index. Each
     # shingle's posting list is ≤ max_df ids (the df cap upstream), so
-    # collect_list is bounded and the in-row transform emits that key's
+    # collect_list is bounded and the in-row expansion emits that key's
     # C(df, 2) ordered pairs without any join — skew is structurally
     # bounded at C(max_df, 2) per group, so no salting, no hot-set
     # broadcast, and HALF the shuffled index volume of the self-join
     # shape this replaced (whose skew/broadcast machinery the x64 scale
-    # rehearsal broke twice — see the docstring). Pairs carry the PREFIX
-    # POSITIONS of the colliding shingle in both docs; the groupBy that
-    # dedups candidate pairs keeps the minimum position per side, feeding
-    # the positional filter below (r11-opt; replaces a plain
-    # dropDuplicates at identical shuffle shape).
+    # rehearsal broke twice — see the docstring). The expansion is TWO
+    # chained Generates (posexplode of the posting list, then explode of
+    # the per-pivot tail slice) rather than one nested
+    # flatten/transform/slice expression (r12-opt): the pair stream and
+    # per-row memory are identical, but the shallow per-Generate
+    # expressions replace one deep tree in whole-stage codegen — the
+    # nested form was a measurable slice of the query's one-time janino
+    # cost. Pairs carry the PREFIX POSITIONS of the colliding shingle in
+    # both docs; the groupBy that dedups candidate pairs keeps the
+    # minimum position per side, feeding the positional filter below
+    # (r11-opt; replaces a plain dropDuplicates at identical shuffle
+    # shape). The length filter runs per-OCCURRENCE before that groupBy
+    # (it depends only on the pair's sizes, not the positions), so
+    # length-hopeless candidates never cross the dedup exchange.
     cand = (
         pref.groupBy("sh")
-        .agg(F.collect_list(F.struct("pos", "id")).alias("ids"))
+        .agg(F.collect_list(F.struct("pos", "id", "sz", "rsz")).alias("ids"))
         .where(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("__i", "x"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> transform("
-                    "slice(ids, i + 2, size(ids)), "
-                    "y -> IF(x.id < y.id, "
-                    "struct(x.id AS id_a, y.id AS id_b, x.pos AS pa, y.pos AS pb), "
-                    "struct(y.id AS id_a, x.id AS id_b, y.pos AS pa, x.pos AS pb)))))"
-                )
-            ).alias("p")
+            F.col("x"), F.explode(F.expr("slice(ids, __i + 2, size(ids))")).alias("y")
         )
-        .select("p.id_a", "p.id_b", "p.pa", "p.pb")
-        .groupBy("id_a", "id_b")
-        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
+        .select(
+            F.expr("IF(x.id < y.id, x, y)").alias("a"),
+            F.expr("IF(x.id < y.id, y, x)").alias("b"),
+        )
+        .where(
+            F.least("a.sz", "b.sz") >= F.lit(t_eff) * F.greatest("a.sz", "b.sz")
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.min("a.pos").alias("pa"),
+            F.min("b.pos").alias("pb"),
+            # functional of the id — min is a deterministic pick
+            F.min("a.sz").alias("sz_a"),
+            F.min("a.rsz").alias("rsz_a"),
+            F.min("b.sz").alias("sz_b"),
+            F.min("b.rsz").alias("rsz_b"),
+        )
     )
-    # PPJoin prefilters BEFORE the in-row verification, on slim int rows
-    # (id, sz, rsz) only — candidates must survive BOTH before they ever
-    # carry a shingle ARRAY through a join (the arrays are ~100× wider
-    # than the int rows, and the id_b attach exchange used to ship arr_a
-    # for every unfiltered candidate — 250 MB of the old plan's shuffle):
-    # 1. length filter: jaccard ≥ t needs inter ≥ t·union ≥ t·max(|A|,|B|)
+    # PPJoin prefilters BEFORE the in-row verification, on the carried
+    # int columns — candidates must survive BOTH before they ever carry
+    # a shingle ARRAY through a join (the arrays are ~100× wider than
+    # the int rows, and the id_b attach exchange used to ship arr_a for
+    # every unfiltered candidate — 250 MB of the pre-r11 plan's shuffle):
+    # 1. length filter (applied per-occurrence above, before the dedup
+    #    exchange): jaccard ≥ t needs inter ≥ t·union ≥ t·max(|A|,|B|)
     #    and inter ≤ min(|A|,|B|), so min ≥ t·max is necessary.
     # 2. positional filter (PPJoin-family, set-based form): both rare
     #    arrays are sorted by the same global (df, sh) order, so for the
@@ -284,30 +310,27 @@ def jaccard_pairs(
     #    min(pa, pb) headroom term is required for soundness.)
     #    Jaccard ≥ t over FULL sizes needs inter ≥ t·(sz_a + sz_b)/(1+t);
     #    candidates whose positional bound can't reach that are dropped.
+    #    It must see the MIN positions, so it runs after the dedup
+    #    groupBy (a per-occurrence bound with non-min positions is not
+    #    conservative).
     #    Both filters are conservative (t_eff ≤ t), so the emitted pair
     #    set is unchanged — the DuckDB twin needs no mirror.
-    # All four attach joins pair corpus-scale relations and are pinned
+    # Both array attach joins pair corpus-scale relations and are pinned
     # sort-merge: under the local session's 64 MB broadcast threshold the
     # optimizer read their COMPRESSED shuffle bytes as broadcastable (the
     # array frame decompresses ~10× as a hash relation) and the x64
     # rehearsal OOM'd the driver; SMJ spills instead, and is the plan a
     # default-threshold cluster picks anyway.
-    slim = doc_sets.select("id", "sz", F.size("arr").alias("rsz"))
     arrs = doc_sets.select("id", "arr")
     required = F.lit(t_eff) / F.lit(1.0 + t_eff) * (F.col("sz_a") + F.col("sz_b"))
     out = (
-        cand.join(slim.toDF("id_a", "sz_a", "rsz_a").hint("merge"), "id_a")
-        .join(slim.toDF("id_b", "sz_b", "rsz_b").hint("merge"), "id_b")
-        .where(
-            (F.least("sz_a", "sz_b") >= F.lit(t_eff) * F.greatest("sz_a", "sz_b"))
-            & (
-                F.least("pa", "pb")
-                + 1
-                + F.least(
-                    F.col("rsz_a") - 1 - F.col("pa"), F.col("rsz_b") - 1 - F.col("pb")
-                )
-                >= required
+        cand.where(
+            F.least("pa", "pb")
+            + 1
+            + F.least(
+                F.col("rsz_a") - 1 - F.col("pa"), F.col("rsz_b") - 1 - F.col("pb")
             )
+            >= required
         )
         .join(arrs.withColumnRenamed("id", "id_a").withColumnRenamed("arr", "arr_a").hint("merge"), "id_a")
         .join(arrs.withColumnRenamed("id", "id_b").withColumnRenamed("arr", "arr_b").hint("merge"), "id_b")
@@ -630,13 +653,6 @@ def simhash_near_pairs(
         )
     from itertools import combinations as _combos
 
-    # NOTE: the self-join recomputes the signature subplan on both sides;
-    # measured, that beats BOTH a .cache() (InMemoryRelation barrier) and
-    # a lazy localCheckpoint (re-measured r11-opt after the explode_outer
-    # fold: 15-33 s vs 3.2-3.9 s isolated — the ExistingRDD scan breaks
-    # whole-stage codegen on both join inputs and the band explode +
-    # SMJ sort run interpreted). At 100 TB, materialize signatures to a
-    # table instead.
     sh = simhash(df, id_col, text_col)
     combos = list(_combos(range(6), 6 - radius))
 
@@ -660,21 +676,56 @@ def simhash_near_pairs(
             )
         ).alias("__b"),
     ).select("id", "simhash", "__b.band", "__b.bkey")
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Candidate generation is ONE groupBy over the banded frame with
+    # IN-ROW pair expansion (r12-opt; the shape that fixed jaccard): each
+    # (band, bkey) bucket collects its (id, simhash) occupants — the key
+    # domain is 2³⁰, so occupancy is near-dup-cluster-sized, not
+    # corpus-sized — and emits its hamming-filtered pairs without any
+    # join. The self-join this replaces ran the WHOLE signature subplan
+    # (scan + token explode + 60-sum aggregate) once per side plus two
+    # sorted band-key exchanges; AQE's runtime stage reuse de-duplicated
+    # the signature stages but both SMJ sorts and the downstream pair
+    # stage remained (measured: 3.2–3.9 s warm isolated at sf0.1 vs
+    # 2.0–2.3 s for this shape). Earlier rejected alternatives for the
+    # double computation — .cache() (InMemoryRelation barrier) and lazy
+    # localCheckpoint (ExistingRDD breaks codegen, 15–33 s) — are moot:
+    # there is no second side anymore.
+    #
+    # Memory shape: the pair expansion is TWO chained Generates
+    # (posexplode of the bucket, then explode of the per-pivot tail
+    # slice), so a bucket of m docs streams its C(m, 2) candidates one
+    # pivot at a time with O(m) bytes per row — the same streaming
+    # behaviour as the SMJ it replaces (whose buffered side was also the
+    # full key group) — rather than one flatten() materializing C(m, 2)
+    # structs in a single row. The hamming filter sits INSIDE the tail
+    # transform, so non-near-dup candidates die before the second
+    # Generate emits them. collect_list holds one bucket in memory at
+    # finalization (ObjectHashAggregate spills between groups); a
+    # degenerate exact-dup megacluster makes THAT list corpus-sized —
+    # the module's cheapest-first contract (exact_duplicates runs before
+    # near-dup passes) is what bounds it, exactly as the SMJ shape's
+    # single-key reduce task was what bounded the old plan.
+    bucket = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
+    tail = (
+        "filter(transform(slice(xs, __i + 2, size(xs)), y -> "
+        "IF(x.id < y.id, "
+        "struct(x.id AS id_a, y.id AS id_b, "
+        "bit_count(x.simhash ^ y.simhash) AS h), "
+        "struct(y.id AS id_a, x.id AS id_b, "
+        "bit_count(x.simhash ^ y.simhash) AS h))), "
+        f"p -> p.h <= {int(radius)})"
+    )
     return (
-        # corpus × corpus equi-join: pinned sort-merge for the same reason
-        # as the jaccard attach joins (compressed-bytes underestimation
-        # under the local 64 MB broadcast threshold)
-        a.join(
-            b.hint("merge"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(ham <= radius)
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.first(ham).cast("int").alias("hamming"))
+        bucket.select("xs", F.posexplode("xs").alias("__i", "x"))
+        .select(F.explode(F.expr(tail)).alias("p"))
+        # a pair sharing several bands/buckets appears once per bucket;
+        # hamming is a function of the pair, so first == min
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.min("p.h").cast("int").alias("hamming"))
     )
 
 

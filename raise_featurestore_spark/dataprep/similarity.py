@@ -592,11 +592,13 @@ def embedding_near_dup_pairs(
     both measured ~10 s/query at sf0.1). Accumulation is SEQUENTIAL over
     dimensions (vectorized over rows and planes), so each dot's rounding
     order is bit-identical to the oracle's left-to-right ± element chain.
-    The banded self-join carries the vectors once and is pinned
-    sort-merge (an array-of-double corpus relation under the broadcast
-    byte threshold decompresses ~10x — the jaccard x64 OOM class); the
-    multi-band duplicates are removed by ONE final DISTINCT after the
-    threshold filter, where the relation is smallest.
+    Candidates come from ONE (band, key) groupBy with streaming in-row
+    pair expansion (r12 — see the inline comment), not a self-join: the
+    vectors cross a single unsorted exchange once, and the former
+    broadcast-vs-SMJ question for the join (the jaccard x64 OOM class)
+    no longer exists because there is no join. Multi-band duplicates are
+    removed by ONE final DISTINCT after the threshold filter, where the
+    relation is smallest.
 
     Plan build is EAGER (one count() job) to derive the band width, the
     same documented posture as compile_correlation's rank maps. Passing
@@ -704,18 +706,47 @@ def embedding_near_dup_pairs(
     keyed = base.select(
         "id", "v", F.posexplode(_band_keys("v")).alias("band", "key")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+    # Candidate generation is ONE groupBy over the keyed frame with
+    # in-row pair expansion (r12-opt; the simhash/jaccard shape): each
+    # (band, key) bucket collects its (id, v) occupants — expected
+    # occupancy is pinned at ~_BAND_TARGET_ROWS by the n-adaptive width,
+    # so the list is small at ANY corpus size — and streams its pairs
+    # through two chained Generates (posexplode of the bucket, then
+    # explode of the per-pivot tail slice: O(bucket) bytes per row, the
+    # same streaming class as the SMJ's buffered key group). This
+    # replaces the banded self-join, which ran the scan + the _band_keys
+    # Arrow UDF once PER SIDE and paid two sorted band-key exchanges of
+    # the vector-carrying rows; now the vectors cross one unsorted
+    # exchange once. The _pair_cos UDF sees the same candidate multiset
+    # as the join produced (one occurrence per shared bucket); the
+    # multi-band duplicates are still removed by the ONE final DISTINCT
+    # after the threshold filter, where the relation is smallest.
+    bucket = (
+        keyed.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("id", "v")).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
+    pairs = (
+        bucket.select("xs", F.posexplode("xs").alias("__i", "x"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            grid_snap(_pair_cos(F.col("a.v"), F.col("b.v")), round_to).alias("cosine"),
+            F.col("x"),
+            F.explode(F.expr("slice(xs, __i + 2, size(xs))")).alias("y"),
+        )
+        .selectExpr(
+            "IF(x.id < y.id, x.id, y.id) AS id_a",
+            "IF(x.id < y.id, y.id, x.id) AS id_b",
+            # _pair_cos is bit-symmetric in its arguments (per-dim
+            # products commute; the norm product is the same either
+            # way), so pair orientation cannot change the value
+            "x.v AS va",
+            "y.v AS vb",
+        )
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            grid_snap(_pair_cos(F.col("va"), F.col("vb")), round_to).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
