@@ -15,6 +15,39 @@ import sys
 import time
 
 
+def artifact_guard(prev_queries: dict, timings: dict) -> float | None:
+    """Contended-run detector for the committed BENCH_local.json artifact.
+
+    r11 lesson (VERDICT r11 "what's wrong" item 2): the end-of-round
+    snapshot silently committed a 455.9 s artifact — 3× the same code's
+    mid-round run — because the box was contended, poisoning every future
+    round-over-round comparison. Guard: if the MEDIAN per-query ratio of
+    this run vs the committed artifact deviates more than 50% either way
+    (median, so a real optimization of any one family can't trip it; a
+    global slowdown of everything can), the committed artifact is kept
+    and this run lands in BENCH_local.rejected.json instead.
+
+    Returns the median ratio when the run is suspect, else None.
+    Override: SPARK_GRAFT_BENCH_FORCE=1 (e.g. after an intentional
+    global change or a hardware move).
+    """
+    import statistics
+
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+        return None
+    ratios = [
+        timings[q] / prev_queries[q]
+        for q in timings
+        if isinstance(prev_queries.get(q), (int, float)) and prev_queries[q] > 0
+    ]
+    if len(ratios) < 10:  # too few commons to judge (first run, renames)
+        return None
+    med = statistics.median(ratios)
+    if 1.0 / 1.5 <= med <= 1.5:
+        return None
+    return round(med, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -135,6 +168,18 @@ def main() -> None:
     try:
         side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_local.json")
+        # artifact hygiene (VERDICT r11 item 9): a contended run must not
+        # silently replace the committed artifact — see artifact_guard.
+        suspect = None
+        try:
+            with open(side) as f:
+                suspect = artifact_guard(json.load(f).get("queries", {}), timings)
+        except (OSError, ValueError):
+            pass  # no committed artifact yet / unreadable: write freely
+        if suspect is not None:
+            out["artifact_suppressed_median_ratio"] = suspect
+            full["artifact_suppressed_median_ratio"] = suspect
+            side = side.replace("BENCH_local.json", "BENCH_local.rejected.json")
         with open(side, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError:

@@ -497,7 +497,9 @@ def _kendall(df: DataFrame, feats: list[str], round_to: int | None) -> DataFrame
 
 def _grid_rank_tables(
     snapped: DataFrame, features: list[str], with_raw_bounds: bool = False
-):
+) -> tuple[
+    dict[str, tuple[np.ndarray, np.ndarray]], dict[str, tuple[float, float]]
+]:
     """Collect the per-feature snapped-value → average-rank maps.
 
     The value→rank tables are GRID-bounded (≤ cells rows — ~12k total
@@ -525,9 +527,20 @@ def _grid_rank_tables(
     constant-guard bounds come out of this collect as plan-time
     literals — the separate ``_feature_bounds`` pass over the cached
     base and its 1-row broadcast crossJoin disappear from the main
-    action. Returns ``(tables, bounds)`` with
-    ``bounds[ft] = (raw_min, raw_max)``; IEEE min/max is exact, so the
-    literal bounds equal the old aggregate's bit-for-bit.
+    action. ``bounds[ft] = (raw_min, raw_max)``; IEEE min/max is exact,
+    so the literal bounds equal the old aggregate's bit-for-bit.
+
+    Always returns ``(tables, bounds)``; ``bounds`` is empty unless
+    ``with_raw_bounds`` (r11 ADVICE: a flag-dependent return shape is
+    easy to misuse from a new call site).
+
+    NaN precondition (r11 ADVICE): the driver-side min/max fold and the
+    callers' ``mn == mx`` constant guard use Python float semantics, in
+    which ``NaN == NaN`` is False — sound ONLY because every caller
+    listwise-drops NULL/NaN rows (``na.drop``) before building the
+    snapped frame, so no ``__raw_*`` value is ever NaN. A new caller
+    feeding NaN-bearing raws would classify an all-NaN feature as
+    healthy instead of constant-NULL; keep the na.drop upstream.
     """
     k = len(features)
     if with_raw_bounds:
@@ -570,9 +583,7 @@ def _grid_rank_tables(
         # formula the range-prefix-sum shape computed distributedly)
         rk = np.cumsum(t) - (t - 1.0) / 2.0
         tables[ft] = (vals, np.ascontiguousarray(rk))
-    if with_raw_bounds:
-        return tables, bounds
-    return tables
+    return tables, bounds
 
 
 def _grid_rank_lookup(tables: dict, ft: str):
@@ -642,16 +653,17 @@ def _rawmoment_corr_cells(
     # terms + ~90 finalization cells cost one py4j round-trip PER OPERATOR
     # when built from Column objects — measured +2.3 s of driver-side plan
     # construction per compile (the whole win of the faster aggregate,
-    # spent before the job started). Strings parse JVM-side in one hop.
+    # spent before the job started). Strings parse JVM-side. r12-opt: ONE
+    # selectExpr ships the whole aggregate in a single py4j hop (an
+    # aggregate-only projection resolves to a global Aggregate, exactly
+    # like .agg()) — the previous per-term F.expr construction was ~130
+    # round-trips of per-call plan-build latency (VERDICT r11 item 6).
     used = sorted({i for i, _, _ in cells} | {j for _, j, _ in cells})
-    raw = frame.agg(
-        F.expr("CAST(COUNT(1) AS DOUBLE) AS __n"),
-        *[F.expr(f"SUM({names[i]}) AS __rs_{i}") for i in used],
-        *[F.expr(f"SUM({names[i]} * {names[i]}) AS __rq_{i}") for i in used],
-        *[
-            F.expr(f"SUM({names[i]} * {names[j]}) AS __rx_{i}_{j}")
-            for i, j, _ in cells
-        ],
+    raw = frame.selectExpr(
+        "CAST(COUNT(1) AS DOUBLE) AS __n",
+        *[f"SUM({names[i]}) AS __rs_{i}" for i in used],
+        *[f"SUM({names[i]} * {names[i]}) AS __rq_{i}" for i in used],
+        *[f"SUM({names[i]} * {names[j]}) AS __rx_{i}_{j}" for i, j, _ in cells],
     )
 
     def cell_sql(i: int, j: int) -> str:
@@ -825,7 +837,7 @@ def spearman_matrix_approx(
     # job materializes it, the rank-attach aggregate re-reads it — one
     # source scan total instead of two.
     snapped = snapped.persist()
-    tables = _grid_rank_tables(snapped, features)
+    tables, _ = _grid_rank_tables(snapped, features)
     # ranks centered by their table midpoint (plan-time literals) — the
     # numerical precondition of the raw-moment cell aggregate; spearman
     # is invariant to the shift.

@@ -59,6 +59,7 @@ def degen_sf_dir(spark, tmp_path_factory):
     return dst
 
 
+@pytest.mark.slow
 def test_every_query_survives_constant_tables(spark, degen_sf_dir):
     import __spark_entry__ as em
 

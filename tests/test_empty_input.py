@@ -33,6 +33,7 @@ def empty_sf_dir(spark, tmp_path_factory):
     return dst
 
 
+@pytest.mark.slow
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     import __spark_entry__ as em
 

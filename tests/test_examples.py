@@ -110,6 +110,7 @@ def test_example_bulk_inference(spark):
     assert out["gpu_confs"]["spark.task.resource.gpu.amount"] == "1.0"
 
 
+@pytest.mark.slow
 def test_example_training_pipeline(spark):
     out = _load("10_training_pipeline.py").main(SF_DIR)
     assert out["raw"] == 525

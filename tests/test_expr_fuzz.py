@@ -76,6 +76,7 @@ def frames(spark):
 @settings(max_examples=30, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(expr=exprs)
+@pytest.mark.slow
 def test_expression_matches_duckdb(frames, expr):
     df, con = frames
     _, col = compile_expression(df, expr)
@@ -142,6 +143,7 @@ def str_frames(spark):
 @settings(max_examples=30, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(expr=str_exprs)
+@pytest.mark.slow
 def test_string_expression_matches_duckdb(str_frames, expr):
     """String-function differential fuzz: UPPER/LOWER/TRIM family, CONCAT,
     SUBSTRING — including unicode and empty/whitespace rows — must agree

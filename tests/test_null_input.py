@@ -44,6 +44,7 @@ def null_sf_dir(spark, tmp_path_factory):
     return dst
 
 
+@pytest.mark.slow
 def test_every_query_survives_all_null_values(spark, null_sf_dir):
     import __spark_entry__ as em
 

@@ -439,6 +439,7 @@ def test_percentile_q_labels_exact(spark):
     assert "p12_5" in sql and "p50" in sql
 
 
+@pytest.mark.slow
 def test_streaming_rollup_multibatch_soak_with_replays_and_crash(spark, tmp_path):
     """r10 VERDICT item 6: soak the staged-swap state machine — 50
     foreachBatch cycles through BOTH sketch families (moments +

@@ -99,6 +99,7 @@ def test_decayed_mean_stream_carries_state(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stateful_dedup_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     chk = str(tmp_path / "chk")
@@ -121,6 +122,7 @@ def test_stateful_dedup_stream(spark, tmp_path):
     assert counts == {"a": 1, "b": 1}
 
 
+@pytest.mark.slow
 def test_stream_folds_multi_chunk_groups_in_time_order(spark, tmp_path):
     """Regression: a key whose micro-batch spans multiple Arrow chunks must
     be folded in GLOBAL time order — per-chunk sorting produced wrong means

@@ -237,6 +237,7 @@ def test_kendall_knight_kernel_matches_bruteforce():
         assert abs(_tau_b(x, y) - brute(x, y)) < 1e-12
 
 
+@pytest.mark.slow
 def test_kendall_sample_estimates_population_tau(spark):
     """VERDICT r5 item 8: the sampled kendall is an ESTIMATE of the
     population tau; pin its deviation inside the documented U-statistic
@@ -271,6 +272,7 @@ def test_kendall_sample_estimates_population_tau(spark):
     assert abs(tau_hat - tau_pop) <= band, (tau_hat, tau_pop, band)
 
 
+@pytest.mark.slow
 def test_kendall_full_matches_knight_kernel(spark):
     """Distributed exact tau-b (3-term inversion decomposition) must equal
     the O(n log n) Knight kernel BIT-EXACTLY — heavy x/y ties, multiple
@@ -349,6 +351,7 @@ def test_local_inv_vectorized_matches_fenwick():
         assert _local_inv(y) == fenwick_ref(y)
 
 
+@pytest.mark.slow
 def test_kendall_matrix_matches_knight_and_amortizes_shuffles(spark, monkeypatch):
     """r6 VERDICT item 4: the exact-Kendall MATRIX computes every pair from
     ONE data-scale range exchange (not one per pair) and matches the Knight

@@ -128,6 +128,7 @@ def test_live_table_refresh_and_query(spark, tmp_path):
     assert len(lt2.refresh_history()) == 2
 
 
+@pytest.mark.slow
 def test_live_table_on_change_stream(spark, tmp_path):
     """New files under the watched dir trigger a real streaming refresh."""
     watch = str(tmp_path / "watch")
@@ -199,6 +200,7 @@ def test_live_table_refresh_failure_recorded(spark, tmp_path):
         lt.start_on_change(spark, "/tmp/x", "id long", "/tmp/c")
 
 
+@pytest.mark.slow
 def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     """Two micro-batches: the second contains a re-fetch of a batch-1 doc
     under a new id plus a novel doc — only the novel one lands."""
@@ -259,6 +261,7 @@ def test_curation_in_batch_dedup_normalizes_text(spark, tmp_path):
     assert rows == {1, 3}, rows
 
 
+@pytest.mark.slow
 def test_watermark_late_data_inclusion_and_exclusion(spark, tmp_path):
     """VERDICT r3 item 8: true-streaming watermark semantics, end-to-end
     and deterministic. Append mode + 30m watermark over 1h tumbling
@@ -411,6 +414,7 @@ def test_live_table_scheduled_refresh(spark, tmp_path):
     assert not lt3.scheduled_due(t0)
 
 
+@pytest.mark.slow
 def test_live_table_on_change_batch_size_folds_files(spark, tmp_path):
     """r5 VERDICT item 6: batch_size (-> maxFilesPerTrigger) semantics
     under controlled file arrival. Five 1-row files are ALL on disk before

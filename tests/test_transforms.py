@@ -1084,6 +1084,7 @@ def test_commit_swap_spares_fresh_concurrent_ln_links(spark, tmp_path):
     assert _glob.glob(path + "__ln_*") == []
 
 
+@pytest.mark.slow
 def test_upsert_crash_matrix_every_interruption_point(spark, tmp_path):
     """r10 VERDICT item 3: with Delta unavailable (no jars on disk, no
     network — the install attempt is documented in README), the parquet
@@ -1187,6 +1188,7 @@ def test_upsert_crash_matrix_every_interruption_point(spark, tmp_path):
     assert complete  # silence lint
 
 
+@pytest.mark.slow
 def test_upsert_concurrent_writer_interleaving(spark, tmp_path):
     """r10 VERDICT item 3 (second ordering): two writers interleaved on
     one parquet target. The documented guarantee (README): NO corruption —
