@@ -543,15 +543,21 @@ def _grid_rank_tables(
     healthy instead of constant-NULL; keep the na.drop upstream.
     """
     k = len(features)
+    # group key is the INT feature index, not the feature-name string
+    # (r12-opt): the stack emits the key once per input row × k, so a
+    # string key pays per-row string hashing/equality in the grid
+    # aggregate's partial map for no information — the driver maps the
+    # index back to the name after the collect. Counts/min/max are
+    # key-agnostic: bit-identical tables.
     if with_raw_bounds:
         stack_expr = ", ".join(
-            f"'{ft}', {ft}, __raw_{i}" for i, ft in enumerate(features)
+            f"{i}, {ft}, __raw_{i}" for i, ft in enumerate(features)
         )
         cells = (
             snapped.selectExpr(
-                f"stack({k}, {stack_expr}) AS (__ft, __val, __rawv)"
+                f"stack({k}, {stack_expr}) AS (__fi, __val, __rawv)"
             )
-            .groupBy("__ft", "__val")
+            .groupBy("__fi", "__val")
             .agg(
                 F.count(F.lit(1)).alias("__t"),
                 F.min("__rawv").alias("__mn"),
@@ -560,20 +566,21 @@ def _grid_rank_tables(
             .collect()
         )
     else:
-        stack_expr = ", ".join(f"'{ft}', {ft}" for ft in features)
+        stack_expr = ", ".join(f"{i}, {ft}" for i, ft in enumerate(features))
         cells = (
-            snapped.selectExpr(f"stack({k}, {stack_expr}) AS (__ft, __val)")
-            .groupBy("__ft", "__val")
+            snapped.selectExpr(f"stack({k}, {stack_expr}) AS (__fi, __val)")
+            .groupBy("__fi", "__val")
             .agg(F.count(F.lit(1)).alias("__t"))
             .collect()
         )
     maps: dict[str, list[tuple[float, int]]] = {}
     bounds: dict[str, tuple[float, float]] = {}
     for r in cells:
-        maps.setdefault(r["__ft"], []).append((r["__val"], r["__t"]))
+        ft = features[r["__fi"]]
+        maps.setdefault(ft, []).append((r["__val"], r["__t"]))
         if with_raw_bounds:
-            mn, mx = bounds.get(r["__ft"], (r["__mn"], r["__mx"]))
-            bounds[r["__ft"]] = (min(mn, r["__mn"]), max(mx, r["__mx"]))
+            mn, mx = bounds.get(ft, (r["__mn"], r["__mx"]))
+            bounds[ft] = (min(mn, r["__mn"]), max(mx, r["__mx"]))
     tables: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for ft, v in maps.items():
         v.sort()
@@ -712,12 +719,22 @@ def correlation_matrix_dual(
 
     k = len(features)
     base = df.na.drop(subset=features).select(
-        *[F.col(ft).cast("double").alias(ft) for ft in features]
+        *[F.col(ft).cast("double").alias(ft) for ft in features],
+        # snapped columns INSIDE the per-query cache (r12-opt): sig_round
+        # is a per-value string-parse scale (functions/stable._exp10) and
+        # was computed twice per row — once feeding the eager rank-map
+        # aggregate, once feeding the action's rank lookups. Caching the
+        # snapped value alongside the raw (2k doubles/row) computes it
+        # once; both consumers read the identical cached bits.
+        *[
+            sig_round(F.col(ft).cast("double"), sig_digits).alias(f"__sn_{i}")
+            for i, ft in enumerate(features)
+        ],
     )
-    # per-query cache: ≤ k doubles/row; both the eager rank-map job and
+    # per-query cache: ≤ 2k doubles/row; both the eager rank-map job and
     # the main aggregate read it, so parquet is scanned exactly once.
     base = base.persist()
-    snapped_cols = [sig_round(F.col(ft), sig_digits) for ft in features]
+    snapped_cols = [F.col(f"__sn_{i}") for i in range(k)]
     # ONE eager collect builds BOTH the rank maps and the pearson bounds
     # (r11-opt): the raw doubles ride the same stack → grid-bounded cell
     # aggregate as extra min/max buffers, so the old `_feature_bounds`

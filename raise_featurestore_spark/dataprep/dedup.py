@@ -483,11 +483,11 @@ def minhash_lsh_pairs(
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k, seed)
     if persist_signatures:
-        # consumed three times (banded candidate generation + the two
-        # signature attach joins); without this the whole shingle-explode
-        # + k-minhash pipeline runs once per consumer. One compact row
-        # per doc; at 100 TB materialize the signature table instead
-        # (same note as simhash below).
+        # the banded frame self-joins below; without this the whole
+        # shingle-explode + k-minhash pipeline runs once per join side
+        # (no ReusedExchange for self-joins here — measured 2 parquet
+        # scans). One compact row per doc; at 100 TB materialize the
+        # signature table instead (same note as simhash below).
         sig = sig.persist()
     # Candidate generation shuffles ONLY (id, band, bh) — 3 narrow columns
     # per banded row, not the k signature components (k=128 at scale would
@@ -495,27 +495,26 @@ def minhash_lsh_pairs(
     # surviving DISTINCT pairs afterwards by two id-equi-joins against the
     # persisted signature frame.
     #
-    # Candidates come from ONE (band, bh) groupBy with in-row pair
-    # expansion (r12-opt; the simhash/jaccard/embedding-LSH shape): each
-    # bucket collects its ids — the bh domain is a 64-bit hash, so
-    # occupancy is near-dup-cluster-sized, not corpus-sized — sorts them
-    # (so id_a < id_b orientation is deterministic; collect_list order is
-    # not), and streams C(m, 2) pairs through two chained Generates with
-    # O(m) bytes per row. This replaces the corpus × corpus banded
-    # self-join: the banded rows cross ONE unsorted exchange instead of
-    # feeding both sides of a join (broadcast locally, but a corpus-scale
-    # build side at 100 TB — the same class the simhash/jaccard joins hit
-    # at x64). Degenerate exact-dup megacluster bound: the module's
-    # cheapest-first contract (exact_duplicates first), as for simhash.
+    # r12 measured-and-REJECTED: the (band, bh) bucket aggregate with
+    # in-row pair expansion (the shape that won for simhash/jaccard/
+    # embedding-LSH) is ~0.5 s SLOWER here at sf0.1 (warm 0.9–1.0 s
+    # self-join vs 1.45 s aggregate, iso noop ×3): this banded frame is
+    # three ints per row with NO array payload, so the local plan
+    # broadcasts it (zero extra exchange) and the broadcast estimate is
+    # sound — the compressed-bytes underestimation that OOM'd the
+    # array-carrying jaccard/simhash joins at x64 does not apply, and
+    # the un-pinned join flips to SMJ adaptively as the relation grows
+    # (x64 rehearsal: linear). Keep the join.
     bands_df = _banded_frame(sig, bands, r)
     cand = (
-        bands_df.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select("ids", F.posexplode("ids").alias("__i", "id_a"))
-        .select(
-            "id_a", F.explode(F.expr("slice(ids, __i + 2, size(ids))")).alias("id_b")
+        bands_df.alias("a")
+        .join(
+            bands_df.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sig_a = sig.select(
