@@ -170,12 +170,26 @@ def gram_check_sql(table: str, dim: int, emb_col: str = "embedding") -> str:
 
 
 class PCAModel:
-    """Fitted PCA: mean vector + top-k components (rows) + spectrum."""
+    """Fitted PCA: mean vector + top-k components (rows) + spectrum.
 
-    def __init__(self, mean: np.ndarray, components: np.ndarray, explained: np.ndarray):
+    ``n`` is the valid-vector count the moments were computed over (rows
+    with a non-null, dim-length embedding) — exposed so callers that need
+    the same count (e.g. the covariance denominator in the spectral
+    bridge queries) can reuse it instead of running a second count job
+    over the corpus (r12-opt; value-identical by construction: the SQL
+    twin's ``len(embedding) = dim`` predicate selects the same rows)."""
+
+    def __init__(
+        self,
+        mean: np.ndarray,
+        components: np.ndarray,
+        explained: np.ndarray,
+        n: int = 0,
+    ):
         self.mean = mean
         self.components = components  # (k, d), orthonormal rows
         self.explained = explained  # (d,) eigenvalues, descending
+        self.n = n  # valid-vector count behind the moments
 
     @property
     def explained_ratio(self) -> np.ndarray:
@@ -262,7 +276,7 @@ def pca_fit(
         j = int(np.argmax(np.abs(row)))
         if row[j] < 0:
             row *= -1.0
-    return PCAModel(mean, comps, vals)
+    return PCAModel(mean, comps, vals, n=int(n))
 
 
 def pca_project(

@@ -1880,8 +1880,11 @@ def _pca_frobenius_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eig_sq = float((model.explained**2).sum())
     g = PCA.gram_exact(emb, dim=64)  # (i, j>=i, gram) exact decimals
     s = PCA.dim_sums(emb, dim=64)  # (i, s) exact decimals
-    n = emb.where(F.size("embedding") == 64).count()
-    nd = F.lit(float(n))
+    # valid-vector count reused from the fit's moment pass (r12-opt):
+    # pca_fit already counted exactly the len-64 non-null vectors, so the
+    # separate count() job here was a second full pass for a number the
+    # driver holds. Same predicate as the SQL twin's len(embedding)=64.
+    nd = F.lit(float(model.n))
     cov = (F.col("gram") - F.col("si") * F.col("sj") / nd) / (nd - F.lit(1.0))
     w = F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(F.lit(2.0))
     cells = (
